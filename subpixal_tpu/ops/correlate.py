@@ -1,0 +1,252 @@
+"""Batched FFT cross-correlation and subpixel displacement — TPU-native.
+
+Capability parity with the reference's ``subpixal/cc.py · find_displacement``
+(see SURVEY.md §2 #4, §3.4): plain (``'CC'``) and normalized (``'NCC'`` /
+``'ZNCC'``) FFT cross-correlation of cutout pairs, optional Fourier-domain
+(matrix-DFT) upsampling of the correlation peak region for sub-pixel
+precision (Guizar-Sicairos & Fienup style), and a quadratic/Gaussian
+surface peak fit.
+
+TPU-first redesign (not a port):
+
+* everything is **batched** over a leading cutout axis — one ``rfft2`` /
+  ``irfft2`` pair processes the whole catalog of cutouts at once;
+* the Fourier upsampling is expressed as two small **complex matmuls per
+  cutout** (``kr @ G @ kc``), which XLA lowers onto the MXU;
+* upsampling kernel phases are computed with an exact integer-mod split
+  (integer coarse shift handled in int32 modular arithmetic, fractional
+  offsets kept small) so float32 is sufficient for <0.01-pix precision —
+  TPU has no fast float64;
+* masked NCC statistics use fixed shapes and validity masks instead of
+  data-dependent trimming.
+
+Sign convention
+---------------
+``find_displacement(ref, img)`` returns ``(dx, dy)`` such that ``img`` is
+``ref`` **shifted by** ``(dx, dy)``: ``img[y, x] ≈ ref[y - dy, x - dx]``.
+Applying the correction ``-(dx, dy)`` to ``img``'s coordinates aligns it to
+``ref`` (the same convention the reference feeds into its linear fit).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .peaks import find_peak
+
+__all__ = ["cross_correlate", "find_displacement", "Displacement"]
+
+
+class Displacement(NamedTuple):
+    """Batched displacement measurement.
+
+    dx, dy : (B,) float32 — shift of ``img`` relative to ``ref`` (pixels).
+    peak : (B,) float32 — correlation peak value (≈ correlation coefficient
+        for NCC inputs).
+    fit_ok : (B,) bool — subpixel fit succeeded (False = integer fallback).
+    """
+
+    dx: jax.Array
+    dy: jax.Array
+    peak: jax.Array
+    fit_ok: jax.Array
+
+
+def _atleast_batched(a):
+    return (a[None], True) if a.ndim == 2 else (a, False)
+
+
+def _normalize(a: jax.Array, mask: jax.Array | None, cc_type: str) -> jax.Array:
+    """Prepare one side of the correlation according to ``cc_type``.
+
+    'CC'   : raw data (masked pixels zeroed).
+    'NCC'/'ZNCC' : subtract masked mean, scale by masked std and sqrt(N) so
+        that the correlation peak of identical cutouts is ~1. Zero-filled
+        outside the mask. Matches the reference's normalized correlation
+        semantics (gain/offset invariant) with mask-aware statistics
+        (SURVEY.md §7 "Fixed shapes under jit").
+    """
+    a = a.astype(jnp.float32)
+    if mask is None:
+        m = jnp.ones_like(a)
+    else:
+        m = jnp.broadcast_to(mask, a.shape).astype(jnp.float32)
+    a = a * m
+    if cc_type == "CC":
+        return a
+    if cc_type in ("NCC", "ZNCC"):
+        n = jnp.maximum(jnp.sum(m, axis=(-2, -1), keepdims=True), 1.0)
+        mean = jnp.sum(a, axis=(-2, -1), keepdims=True) / n
+        d = (a - mean) * m
+        var = jnp.sum(d * d, axis=(-2, -1), keepdims=True) / n
+        sigma = jnp.sqrt(jnp.maximum(var, 1e-20))
+        return d / (sigma * jnp.sqrt(n))
+    raise ValueError(f"unknown cc_type: {cc_type!r} (expected 'CC'|'NCC'|'ZNCC')")
+
+
+def _cross_spectrum(ref, img, cc_type, ref_mask, img_mask):
+    """G = fft2(img) * conj(fft2(ref)) for normalized inputs, via rfft2."""
+    r = _normalize(ref, ref_mask, cc_type)
+    i = _normalize(img, img_mask, cc_type)
+    Fr = jnp.fft.rfft2(r)
+    Fi = jnp.fft.rfft2(i)
+    return Fi * jnp.conj(Fr)
+
+
+def cross_correlate(
+    ref: jax.Array,
+    img: jax.Array,
+    cc_type: str = "NCC",
+    ref_mask: jax.Array | None = None,
+    img_mask: jax.Array | None = None,
+    shift_output: bool = True,
+) -> jax.Array:
+    """Circular cross-correlation surface(s) of ``img`` against ``ref``.
+
+    Input arrays are ``(B, H, W)`` (or ``(H, W)``). The returned surface is
+    fftshifted by default so a zero shift peaks at ``(H//2, W//2)`` and the
+    displacement of a peak at ``(py, px)`` is ``(px - W//2, py - H//2)``.
+    """
+    ref_b, squeeze = _atleast_batched(ref)
+    img_b, _ = _atleast_batched(img)
+    G = _cross_spectrum(ref_b, img_b, cc_type, ref_mask, img_mask)
+    cc = jnp.fft.irfft2(G, s=ref_b.shape[-2:])
+    if shift_output:
+        cc = jnp.fft.fftshift(cc, axes=(-2, -1))
+    return cc[0] if squeeze else cc
+
+
+def _us_dft_kernel(s0: jax.Array, tfrac: jax.Array, nfreq: int, period: int):
+    """Complex DFT kernel ``K[b, i, u] = exp(+2πi f_u (s0_b + tfrac_i) / P)``.
+
+    ``s0`` is integer (B,), ``tfrac`` (n,) has small magnitude, ``f_u`` are
+    the signed FFT frequencies of an axis of length ``period`` (only the
+    first ``nfreq`` entries — supports rfft half-spectra).
+
+    Precision: the integer part of the phase is reduced with exact int32
+    modular arithmetic ((f_u * s0) mod P) so float32 only ever sees phases
+    of a few cycles; this is what makes float32 viable on TPU at 10x
+    upsampling (<0.01-pix target, BASELINE config 3).
+    """
+    f = jnp.fft.fftfreq(period) * period  # signed freqs, float
+    f = jnp.round(f).astype(jnp.int32)[:nfreq]  # (U,)
+    # exact integer phase (in cycles, mod 1): ((f*s0) mod P) / P
+    int_ph = jnp.mod(f[None, :] * s0[:, None].astype(jnp.int32), period)
+    int_ph = int_ph.astype(jnp.float32) / period  # (B, U)
+    frac_ph = (f.astype(jnp.float32)[None, :] / period) * tfrac[:, None]  # (n, U)
+    phase = int_ph[:, None, :] + frac_ph[None, :, :]  # (B, n, U)
+    ang = (2.0 * jnp.pi) * (phase - jnp.round(phase))
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def _upsampled_correlation(
+    G: jax.Array,
+    s0y: jax.Array,
+    s0x: jax.Array,
+    usfac: int,
+    nwin: int,
+    H: int,
+    W: int,
+):
+    """Matrix-DFT upsampled correlation window around integer shift (s0y, s0x).
+
+    G : (B, H, Wr) rfft2 cross-spectrum (Wr = W//2+1). Returns the real
+    upsampled surface (B, nwin, nwin) sampled at positions
+    ``s0 + (i - nwin//2)/usfac`` along each axis, plus those offsets.
+
+    Implementation: ``C = Re{ kr @ G_full @ kc }`` with per-batch complex
+    kernels — two MXU matmuls per cutout. The rfft half-spectrum is
+    expanded to the full spectrum along the last axis to keep the math
+    simple and exact (W is small for cutouts).
+    """
+    B = G.shape[0]
+    tf = (jnp.arange(nwin, dtype=jnp.float32) - nwin // 2) / usfac
+    # rows: exp(+2πi fy (s0y + tf)/H) — (B, nwin, H)
+    kr = _us_dft_kernel(s0y, tf, H, H)
+    # full spectrum from rfft half-spectrum: G_full[u, v] for v in [0, W)
+    Wr = G.shape[-1]
+    # G_full[u, v] = G[u, v] for v < Wr; = conj(G[-u mod H, (W - v) mod W]) else
+    u_idx = (-jnp.arange(H)) % H
+    v_hi = jnp.arange(Wr, W)
+    G_hi = jnp.conj(G[:, u_idx][:, :, (W - v_hi) % W])
+    G_full = jnp.concatenate([G, G_hi], axis=-1)  # (B, H, W)
+    kc = _us_dft_kernel(s0x, tf, W, W)  # (B, nwin, W)
+    # C[b, i, j] = sum_{u, v} kr[b, i, u] G_full[b, u, v] kc[b, j, v]
+    # Precision.HIGHEST: full f32 accumulation — these matmuls set the
+    # upsampled-correlation subpixel precision (<0.01 pix target).
+    P = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("biu,buv->biv", kr, G_full, precision=P)
+    C = jnp.einsum("biv,bjv->bij", tmp, kc, precision=P)
+    off_y = s0y.astype(jnp.float32) - (nwin // 2) / usfac
+    off_x = s0x.astype(jnp.float32) - (nwin // 2) / usfac
+    return C.real / (H * W), off_y, off_x
+
+
+def find_displacement(
+    ref: jax.Array,
+    img: jax.Array,
+    cc_type: str = "NCC",
+    usfac: int = 1,
+    peak_fit_box: int = 5,
+    fit_type: str = "quadratic",
+    ref_mask: jax.Array | None = None,
+    img_mask: jax.Array | None = None,
+) -> Displacement:
+    """Measure the subpixel displacement of ``img`` relative to ``ref``.
+
+    Parity: reference ``subpixal/cc.py · find_displacement`` (SURVEY §3.4).
+    Batched: ``ref``/``img`` are ``(B, H, W)`` (or a single ``(H, W)`` pair).
+
+    Parameters
+    ----------
+    cc_type : 'CC' | 'NCC' | 'ZNCC'
+    usfac : int
+        Fourier upsampling factor. 1 = subpixel precision from the
+        quadratic/Gaussian peak fit alone; >1 adds a matrix-DFT upsampled
+        refinement pass around the coarse peak (BASELINE config 3 uses 10).
+    peak_fit_box, fit_type
+        Passed to :func:`subpixal_tpu.ops.peaks.find_peak`.
+    ref_mask, img_mask
+        Optional validity masks (True = valid), e.g. segmentation masks
+        (reference ``combine_seg_mask=True`` behavior) or cutout padding.
+
+    Returns
+    -------
+    Displacement(dx, dy, peak, fit_ok) — see the module sign convention.
+    """
+    ref_b, squeeze = _atleast_batched(ref)
+    img_b, _ = _atleast_batched(img)
+    if ref_b.shape != img_b.shape:
+        raise ValueError(
+            f"ref and img must have the same shape, got {ref_b.shape} vs {img_b.shape}"
+        )
+    B, H, W = ref_b.shape
+
+    G = _cross_spectrum(ref_b, img_b, cc_type, ref_mask, img_mask)
+    cc = jnp.fft.irfft2(G, s=(H, W))
+    cc_s = jnp.fft.fftshift(cc, axes=(-2, -1))
+
+    if usfac <= 1:
+        pk = find_peak(cc_s, peak_fit_box=peak_fit_box, fit_type=fit_type)
+        dx = pk.x - W // 2
+        dy = pk.y - H // 2
+        res = Displacement(dx=dx, dy=dy, peak=pk.value, fit_ok=pk.fit_ok)
+    else:
+        # Coarse integer shift from the plain surface.
+        flat = jnp.argmax(cc_s.reshape(B, -1), axis=-1)
+        s0y = (flat // W).astype(jnp.int32) - H // 2
+        s0x = (flat % W).astype(jnp.int32) - W // 2
+        # Window: cover ±0.5 coarse pixels (= usfac upsampled px) + fit box.
+        nwin = int(usfac) + int(peak_fit_box) + 3
+        C, off_y, off_x = _upsampled_correlation(G, s0y, s0x, int(usfac), nwin, H, W)
+        pk = find_peak(C, peak_fit_box=peak_fit_box, fit_type=fit_type)
+        dx = off_x + pk.x / usfac
+        dy = off_y + pk.y / usfac
+        res = Displacement(dx=dx, dy=dy, peak=pk.value, fit_ok=pk.fit_ok)
+
+    if squeeze:
+        res = Displacement(*(r[0] for r in res))
+    return res

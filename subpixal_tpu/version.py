@@ -1,0 +1,3 @@
+"""Version for subpixal_tpu."""
+
+__version__ = "0.1.0"

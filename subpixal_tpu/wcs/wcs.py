@@ -1,0 +1,258 @@
+"""Self-contained TAN(+SIP) WCS — host + device implementations.
+
+The reference delegates all WCS work to ``astropy.wcs`` / ``stwcs`` (HST
+SIP distortion); this environment has no astropy, and a TPU-native build
+wants the per-cutout coordinate math to be pure-array anyway (SURVEY.md §7
+"WCS distortion on device"). This module therefore implements the FITS
+standard gnomonic (TAN) projection with optional SIP polynomial distortion
+from scratch:
+
+* ``TanWCS`` — an immutable host-side object (numpy scalars) holding
+  ``crpix``, ``crval``, ``cd`` and optional SIP coefficient matrices
+  ``a``/``b`` (forward, pixel→intermediate) and ``ap``/``bp`` (inverse);
+* all transforms are also exposed as pure functions of arrays
+  (``pixel_to_world``, ``world_to_pixel``) that trace cleanly under jit,
+  so per-cutout coordinate grids can be evaluated on device;
+* ``world_to_pixel`` uses the AP/BP inverse polynomials when present and a
+  fixed-trip Newton refinement otherwise (jit-safe, no data-dependent
+  control flow);
+* :func:`apply_tangent_affine` applies an alignment correction measured in
+  a reference image's pixel frame to an exposure's WCS — the TPU-native
+  analogue of the reference's header-update step
+  (``subpixal/align.py`` WCS-update helper → drizzlepac ``updatehdr``).
+
+Conventions: pixel coordinates are **0-based** (the reference converts
+1-based catalog coords to 0-based internally; so do we — FITS CRPIX is
+converted on ingest). Angles in degrees. ``cd`` is the FITS CD matrix
+(deg/pixel), row 0 → RA-like axis, row 1 → Dec-like axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+__all__ = ["TanWCS", "apply_tangent_affine", "fit_wcs_offset"]
+
+_D2R = np.pi / 180.0
+_R2D = 180.0 / np.pi
+
+
+def _poly_eval(coeff: Any, u: Any, v: Any, xp) -> Any:
+    """Evaluate sum_{i,j} coeff[i, j] * u^i * v^j (SIP polynomial).
+
+    ``coeff`` is a small (order+1, order+1) matrix; the double loop is
+    unrolled at trace time (static order), producing pure FMA chains —
+    XLA-friendly, no dynamic control flow.
+    """
+    out = xp.zeros_like(u)
+    n = coeff.shape[0]
+    up = [xp.ones_like(u)]
+    vp = [xp.ones_like(v)]
+    for i in range(1, n):
+        up.append(up[-1] * u)
+        vp.append(vp[-1] * v)
+    cc = np.asarray(coeff)
+    for i in range(n):
+        for j in range(n):
+            c = float(cc[i, j])
+            if c != 0.0:
+                out = out + c * (up[i] * vp[j])
+    return out
+
+
+def _get_xp(*arrs):
+    """numpy for numpy inputs, jax.numpy when any input is a JAX array."""
+    for a in arrs:
+        if type(a).__module__.startswith(("jax", "jaxlib")):
+            import jax.numpy as jnp
+
+            return jnp
+    return np
+
+
+@dataclasses.dataclass(frozen=True)
+class TanWCS:
+    """Gnomonic (TAN) WCS with optional SIP distortion. Immutable.
+
+    Parameters
+    ----------
+    crpix : (2,) float — 0-based reference pixel (x, y).
+    crval : (2,) float — (RA, Dec) at the reference pixel, degrees.
+    cd : (2, 2) float — CD matrix, degrees/pixel:
+        [dxi/dx, dxi/dy; deta/dx, deta/dy] with (xi, eta) the tangent-plane
+        intermediate world coordinates.
+    a, b : optional (n, n) float — SIP forward distortion for x and y:
+        u' = u + A(u, v), v' = v + B(u, v) with (u, v) = pixel - crpix.
+    ap, bp : optional (n, n) float — SIP inverse polynomials.
+    """
+
+    crpix: np.ndarray
+    crval: np.ndarray
+    cd: np.ndarray
+    a: np.ndarray | None = None
+    b: np.ndarray | None = None
+    ap: np.ndarray | None = None
+    bp: np.ndarray | None = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "crpix", np.asarray(self.crpix, np.float64))
+        object.__setattr__(self, "crval", np.asarray(self.crval, np.float64))
+        object.__setattr__(self, "cd", np.asarray(self.cd, np.float64))
+        for f in ("a", "b", "ap", "bp"):
+            val = getattr(self, f)
+            if val is not None:
+                object.__setattr__(self, f, np.asarray(val, np.float64))
+
+    # ------------------------------------------------------------------ #
+    # forward: pixel -> world
+    # ------------------------------------------------------------------ #
+    def pixel_to_tangent(self, x, y):
+        """Pixel -> tangent-plane (xi, eta) in degrees (includes SIP)."""
+        xp = _get_xp(x, y)
+        u = x - self.crpix[0]
+        v = y - self.crpix[1]
+        if self.a is not None:
+            du = _poly_eval(self.a, u, v, xp)
+            dv = _poly_eval(self.b, u, v, xp)
+            u, v = u + du, v + dv
+        xi = self.cd[0, 0] * u + self.cd[0, 1] * v
+        eta = self.cd[1, 0] * u + self.cd[1, 1] * v
+        return xi, eta
+
+    def tangent_to_world(self, xi, eta):
+        """Tangent-plane (deg) -> (RA, Dec) via inverse gnomonic."""
+        xp = _get_xp(xi, eta)
+        xi_r = xi * _D2R
+        eta_r = eta * _D2R
+        ra0 = self.crval[0] * _D2R
+        dec0 = self.crval[1] * _D2R
+        cosd, sind = np.cos(dec0), np.sin(dec0)
+        den = cosd - eta_r * sind
+        ra = ra0 + xp.arctan2(xi_r, den)
+        dec = xp.arctan2(
+            (sind + eta_r * cosd) * xp.cos(ra - ra0), den
+        )
+        return (ra * _R2D) % 360.0, dec * _R2D
+
+    def pixel_to_world(self, x, y):
+        return self.tangent_to_world(*self.pixel_to_tangent(x, y))
+
+    # ------------------------------------------------------------------ #
+    # inverse: world -> pixel
+    # ------------------------------------------------------------------ #
+    def world_to_tangent(self, ra, dec):
+        """(RA, Dec) deg -> tangent-plane (xi, eta) deg (gnomonic)."""
+        xp = _get_xp(ra, dec)
+        ra_r = ra * _D2R
+        dec_r = dec * _D2R
+        ra0 = self.crval[0] * _D2R
+        dec0 = self.crval[1] * _D2R
+        cosd0, sind0 = np.cos(dec0), np.sin(dec0)
+        cosd = xp.cos(dec_r)
+        sind = xp.sin(dec_r)
+        cosr = xp.cos(ra_r - ra0)
+        den = sind * sind0 + cosd * cosd0 * cosr
+        xi = cosd * xp.sin(ra_r - ra0) / den
+        eta = (sind * cosd0 - cosd * sind0 * cosr) / den
+        return xi * _R2D, eta * _R2D
+
+    def tangent_to_pixel(self, xi, eta, newton_iters: int = 3):
+        """Tangent-plane (deg) -> pixel, inverting CD and SIP."""
+        xp = _get_xp(xi, eta)
+        inv = np.linalg.inv(self.cd)
+        up = inv[0, 0] * xi + inv[0, 1] * eta  # distorted (u', v')
+        vp = inv[1, 0] * xi + inv[1, 1] * eta
+        if self.a is None:
+            u, v = up, vp
+        elif self.ap is not None:
+            # SIP convention: u = u' + AP(u', v'), v = v' + BP(u', v')
+            u = up + _poly_eval(self.ap, up, vp, xp)
+            v = vp + _poly_eval(self.bp, up, vp, xp)
+        else:
+            # Fixed-trip Newton/Picard refinement of u + A(u,v) = u'.
+            u, v = up, vp
+            for _ in range(int(newton_iters)):
+                u = up - _poly_eval(self.a, u, v, xp)
+                v = vp - _poly_eval(self.b, u, v, xp)
+        return u + self.crpix[0], v + self.crpix[1]
+
+    def world_to_pixel(self, ra, dec, newton_iters: int = 3):
+        return self.tangent_to_pixel(*self.world_to_tangent(ra, dec),
+                                     newton_iters=newton_iters)
+
+    # ------------------------------------------------------------------ #
+    # derived properties (parity with reference Cutout pixel-scale props)
+    # ------------------------------------------------------------------ #
+    @property
+    def pscale(self) -> float:
+        """Mean pixel scale, arcsec/pixel (sqrt of |det CD| in arcsec)."""
+        return float(np.sqrt(abs(np.linalg.det(self.cd))) * 3600.0)
+
+    def replace(self, **kw) -> "TanWCS":
+        return dataclasses.replace(self, **kw)
+
+    def copy(self) -> "TanWCS":
+        return dataclasses.replace(self)
+
+    def with_shifted_crpix(self, dx: float, dy: float) -> "TanWCS":
+        """WCS of a subarray whose (0,0) is at parent pixel (dx, dy) —
+        the reference's deep-copied-cutout-WCS-with-CRPIX-offset
+        (SURVEY §3.5)."""
+        return self.replace(crpix=self.crpix - np.array([dx, dy]))
+
+
+def apply_tangent_affine(
+    wcs: TanWCS,
+    ref_wcs: TanWCS,
+    matrix: np.ndarray,
+    shift: np.ndarray,
+) -> TanWCS:
+    """Apply an alignment correction fitted in ``ref_wcs`` pixel space.
+
+    The align fit (see :func:`subpixal_tpu.ops.fit.iter_linear_fit`)
+    found that a source whose current WCS predicts reference-frame pixel
+    ``p`` is actually located at ``F(p) = matrix @ p + shift``. The
+    corrected sky position of any point is therefore
+    ``world_ref(F(pixel_ref(world_old)))``.
+
+    Because the TAN projection is linear in the tangent plane, F conjugated
+    by the reference CD matrix is an affine map of (xi, eta); we absorb its
+    linear part into this WCS's CD matrix and its offset into CRVAL — the
+    same first-order header update the reference performs via drizzlepac's
+    ``updatehdr`` (SURVEY §3.1 "apply WCS correction to exposure SCI
+    header(s)").
+    """
+    M = np.asarray(matrix, np.float64)
+    t = np.asarray(shift, np.float64)
+    cd_ref = ref_wcs.cd
+    # Tangent-plane linear part: G = CD_ref @ M @ CD_ref^-1
+    G = cd_ref @ M @ np.linalg.inv(cd_ref)
+
+    # Offset: where does this WCS's CRPIX end up after correction?
+    # xi/eta of CRPIX under the old WCS, in ref tangent frame:
+    ra, dec = wcs.pixel_to_world(wcs.crpix[0], wcs.crpix[1])
+    xi, eta = ref_wcs.world_to_tangent(ra, dec)
+    p_ref = np.array(ref_wcs.tangent_to_pixel(xi, eta), np.float64)
+    p_new = M @ p_ref + t
+    xi2, eta2 = ref_wcs.pixel_to_tangent(p_new[0], p_new[1])
+    ra2, dec2 = ref_wcs.tangent_to_world(xi2, eta2)
+
+    # New CD: corrected tangent frame differs by G (expressed around the
+    # ref tangent point; for the small corrections of the align loop this
+    # is also valid around this image's tangent point).
+    cd_new = G @ wcs.cd
+    return wcs.replace(cd=cd_new, crval=np.array([ra2, dec2]))
+
+
+def fit_wcs_offset(wcs_a: TanWCS, wcs_b: TanWCS, x, y):
+    """Pixel positions (x, y) of WCS ``a`` mapped into WCS ``b``'s frame.
+
+    The drz↔flt pairing primitive (reference ``cutout.py`` WCS-aware
+    mapping, SURVEY §3.1): compose a.pixel_to_world with b.world_to_pixel.
+    Works for numpy or JAX array inputs.
+    """
+    ra, dec = wcs_a.pixel_to_world(x, y)
+    return wcs_b.world_to_pixel(ra, dec)

@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Per SURVEY.md §4 item 4: multi-device shard_map/collective paths are
+exercised under pytest on CPU via XLA's forced host platform device count;
+numerics are asserted against single-device/numpy oracles. The real-TPU
+path is exercised by bench.py / the driver instead.
+
+Note: this environment's sitecustomize registers an 'axon' TPU platform and
+forces ``jax_platforms='axon,cpu'`` via jax.config (so the JAX_PLATFORMS
+env var alone is NOT enough) — we must override through jax.config before
+any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

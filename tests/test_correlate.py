@@ -1,0 +1,134 @@
+"""Tests for subpixal_tpu.ops.correlate.
+
+Covers SURVEY §4 items 1–2 and BASELINE configs 1–3:
+- single 64x64 Gaussian-star pair with known 0.3-pix shift (config 1);
+- NCC gain/offset invariance;
+- batched random subpixel shifts with an RMSE bound (property test);
+- 10x Fourier upsampling <0.01-pix precision (config 3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from subpixal_tpu.ops.correlate import cross_correlate, find_displacement
+
+
+def gauss_star(h, w, x0, y0, sigma=2.0, amp=1.0):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    return amp * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sigma**2))
+
+
+def shifted_pair(h=64, w=64, dx=0.3, dy=0.0, sigma=2.0, noise=0.0, seed=0):
+    """ref with a star at center; img with the star shifted by (dx, dy)."""
+    rng = np.random.default_rng(seed)
+    ref = gauss_star(h, w, w / 2, h / 2, sigma)
+    img = gauss_star(h, w, w / 2 + dx, h / 2 + dy, sigma)
+    if noise:
+        ref = ref + rng.normal(0, noise, ref.shape)
+        img = img + rng.normal(0, noise, img.shape)
+    return jnp.asarray(ref, jnp.float32), jnp.asarray(img, jnp.float32)
+
+
+def test_config1_single_pair_64x64_knownshift():
+    """BASELINE config 1: 64x64 Gaussian star, 0.3-pix shift, ≤ a few mpix."""
+    ref, img = shifted_pair(dx=0.3, dy=0.0)
+    d = find_displacement(ref, img, cc_type="NCC", fit_type="gaussian")
+    assert abs(float(d.dx) - 0.3) < 1e-3
+    assert abs(float(d.dy) - 0.0) < 1e-3
+    assert bool(d.fit_ok)
+
+
+def test_integer_shift_exact():
+    ref, img = shifted_pair(dx=5.0, dy=-3.0)
+    d = find_displacement(ref, img, cc_type="CC")
+    assert abs(float(d.dx) - 5.0) < 1e-2
+    assert abs(float(d.dy) + 3.0) < 1e-2
+
+
+def test_ncc_gain_offset_invariance():
+    ref, img = shifted_pair(dx=0.25, dy=-0.4)
+    d0 = find_displacement(ref, img, cc_type="NCC")
+    d1 = find_displacement(ref, 7.5 * img + 3.0, cc_type="NCC")
+    assert abs(float(d0.dx) - float(d1.dx)) < 1e-5
+    assert abs(float(d0.dy) - float(d1.dy)) < 1e-5
+    # peak of NCC of a matching pair is ~ the correlation coefficient
+    assert 0.8 < float(d1.peak) <= 1.05
+
+
+def test_batched_random_subpixel_shifts_rmse():
+    """Property test: random shifts in (-0.5, 0.5), modest noise, mpix RMSE."""
+    rng = np.random.default_rng(42)
+    B = 64
+    dxs = rng.uniform(-0.5, 0.5, B)
+    dys = rng.uniform(-0.5, 0.5, B)
+    refs, imgs = [], []
+    for i in range(B):
+        r, m = shifted_pair(dx=dxs[i], dy=dys[i], noise=1e-3, seed=i)
+        refs.append(r)
+        imgs.append(m)
+    refs = jnp.stack(refs)
+    imgs = jnp.stack(imgs)
+    d = find_displacement(refs, imgs, cc_type="NCC", fit_type="gaussian")
+    ex = np.asarray(d.dx) - dxs
+    ey = np.asarray(d.dy) - dys
+    rmse = np.sqrt(np.mean(ex**2 + ey**2))
+    assert rmse < 2e-3, f"shift RMSE {rmse*1e3:.2f} mpix"
+
+
+@pytest.mark.parametrize("usfac", [5, 10])
+def test_config3_upsampled_precision(usfac):
+    """BASELINE config 3: Fourier-domain upsampled correlation <0.01 pix."""
+    rng = np.random.default_rng(7)
+    B = 16
+    dxs = rng.uniform(-0.5, 0.5, B)
+    dys = rng.uniform(-0.5, 0.5, B)
+    refs, imgs = [], []
+    for i in range(B):
+        r, m = shifted_pair(dx=dxs[i], dy=dys[i], sigma=1.5, seed=100 + i)
+        refs.append(r)
+        imgs.append(m)
+    d = find_displacement(
+        jnp.stack(refs), jnp.stack(imgs), cc_type="NCC",
+        usfac=usfac, fit_type="gaussian",
+    )
+    ex = np.asarray(d.dx) - dxs
+    ey = np.asarray(d.dy) - dys
+    err = np.sqrt(ex**2 + ey**2)
+    assert err.max() < 0.01, f"max upsampled err {err.max():.4f} pix"
+
+
+def test_upsampled_large_coarse_shift():
+    """Upsampling must compose correctly with a large integer part."""
+    ref, img = shifted_pair(dx=11.3, dy=-7.25, sigma=2.5)
+    d = find_displacement(ref, img, cc_type="NCC", usfac=10, fit_type="gaussian")
+    assert abs(float(d.dx) - 11.3) < 0.01
+    assert abs(float(d.dy) + 7.25) < 0.01
+
+
+def test_cross_correlate_surface_peak_position():
+    ref, img = shifted_pair(dx=4.0, dy=2.0)
+    cc = cross_correlate(ref, img, cc_type="CC")
+    py, px = np.unravel_index(int(jnp.argmax(cc)), cc.shape)
+    assert px - 32 == 4
+    assert py - 32 == 2
+
+
+def test_mask_aware_ncc():
+    """A corrupted corner outside the mask must not bias the measurement."""
+    ref, img = shifted_pair(dx=0.3, dy=0.2)
+    img_bad = np.asarray(img).copy()
+    img_bad[:8, :8] = 100.0
+    mask = np.ones(img_bad.shape, bool)
+    mask[:8, :8] = False
+    d = find_displacement(
+        ref, jnp.asarray(img_bad), cc_type="NCC",
+        img_mask=jnp.asarray(mask), fit_type="gaussian",
+    )
+    assert abs(float(d.dx) - 0.3) < 5e-3
+    assert abs(float(d.dy) - 0.2) < 5e-3
+
+
+def test_shape_mismatch_raises():
+    with pytest.raises(ValueError):
+        find_displacement(jnp.zeros((32, 32)), jnp.zeros((64, 64)))

@@ -1,0 +1,125 @@
+"""Tests for subpixal_tpu.wcs (TAN+SIP roundtrips, affine updates)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from subpixal_tpu.wcs.wcs import TanWCS, apply_tangent_affine, fit_wcs_offset
+
+
+def make_wcs(crval=(150.0, 2.3), scale_as=0.05, rot_deg=15.0, crpix=(2048, 1024),
+             sip=False):
+    s = scale_as / 3600.0
+    th = np.deg2rad(rot_deg)
+    cd = s * np.array([[-np.cos(th), np.sin(th)], [np.sin(th), np.cos(th)]])
+    a = b = None
+    if sip:
+        a = np.zeros((4, 4))
+        b = np.zeros((4, 4))
+        a[2, 0] = 2.5e-6   # u^2 term
+        a[1, 1] = -1e-6
+        b[0, 2] = 3e-6     # v^2 term
+        b[1, 1] = 5e-7
+    return TanWCS(crpix=np.array(crpix, float), crval=np.array(crval, float),
+                  cd=cd, a=a, b=b)
+
+
+def test_pixel_world_roundtrip_tan():
+    w = make_wcs()
+    x = np.array([0.0, 100.5, 4095.0, 2048.0])
+    y = np.array([0.0, 3000.2, 10.0, 1024.0])
+    ra, dec = w.pixel_to_world(x, y)
+    x2, y2 = w.world_to_pixel(ra, dec)
+    np.testing.assert_allclose(x2, x, atol=1e-8)
+    np.testing.assert_allclose(y2, y, atol=1e-8)
+
+
+def test_crpix_maps_to_crval():
+    w = make_wcs(crval=(10.0, -45.0))
+    ra, dec = w.pixel_to_world(w.crpix[0], w.crpix[1])
+    np.testing.assert_allclose([ra, dec], [10.0, -45.0], atol=1e-12)
+
+
+def test_pixel_world_roundtrip_sip_newton():
+    w = make_wcs(sip=True)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 4096, 50)
+    y = rng.uniform(0, 2048, 50)
+    ra, dec = w.pixel_to_world(x, y)
+    x2, y2 = w.world_to_pixel(ra, dec, newton_iters=5)
+    np.testing.assert_allclose(x2, x, atol=1e-6)
+    np.testing.assert_allclose(y2, y, atol=1e-6)
+
+
+def test_jax_arrays_supported():
+    w = make_wcs(sip=True)
+    x = jnp.asarray([10.0, 500.0])
+    y = jnp.asarray([20.0, 700.0])
+    ra, dec = w.pixel_to_world(x, y)
+    assert "jax" in type(ra).__module__
+    ra_np, dec_np = w.pixel_to_world(np.asarray(x), np.asarray(y))
+    np.testing.assert_allclose(np.asarray(ra, np.float64), ra_np, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dec, np.float64), dec_np, atol=1e-5)
+
+
+def test_pscale():
+    w = make_wcs(scale_as=0.05)
+    np.testing.assert_allclose(w.pscale, 0.05, rtol=1e-10)
+
+
+def test_shifted_crpix_cutout_wcs():
+    w = make_wcs()
+    sub = w.with_shifted_crpix(100.0, 50.0)
+    ra1, dec1 = w.pixel_to_world(110.0, 70.0)
+    ra2, dec2 = sub.pixel_to_world(10.0, 20.0)
+    np.testing.assert_allclose([ra1, dec1], [ra2, dec2], atol=1e-12)
+
+
+def test_fit_wcs_offset_cross_frame():
+    wa = make_wcs(crpix=(100, 100))
+    wb = make_wcs(crpix=(90, 105))  # same sky, offset detector
+    x, y = np.array([50.0]), np.array([60.0])
+    xb, yb = fit_wcs_offset(wa, wb, x, y)
+    np.testing.assert_allclose(xb, [40.0], atol=1e-8)
+    np.testing.assert_allclose(yb, [65.0], atol=1e-8)
+
+
+def test_apply_tangent_affine_corrects_planted_error():
+    """Plant a pixel-space affine error in the ref frame; the corrected WCS
+    must map sources to their true reference-frame positions."""
+    ref = make_wcs(crpix=(512, 512), rot_deg=0.0)
+    true_wcs = make_wcs(crpix=(500, 520), rot_deg=0.1)
+
+    # Sources at true ref-frame positions p_true. The "wrong" image WCS
+    # mis-predicts them at p_pred. Fit F: p_pred -> p_true.
+    M = np.array([[1.0001, 2e-5], [-2e-5, 0.9999]])
+    t = np.array([0.4, -0.3])
+
+    # Build wrong WCS = true WCS composed with F^-1 in ref pixel space:
+    # i.e., predicted = F^-1(true). Then applying F must recover truth.
+    rng = np.random.default_rng(1)
+    x = rng.uniform(100, 900, 30)
+    y = rng.uniform(100, 900, 30)
+
+    # p_true in ref frame, via the true WCS
+    ra, dec = true_wcs.pixel_to_world(x, y)
+    ptx, pty = ref.world_to_pixel(ra, dec)
+
+    # wrong WCS: sends (x, y) to F^-1(p_true)
+    Minv = np.linalg.inv(M)
+    px = Minv[0, 0] * (ptx - t[0]) + Minv[0, 1] * (pty - t[1])
+    py = Minv[1, 0] * (ptx - t[0]) + Minv[1, 1] * (pty - t[1])
+
+    # construct an actual wrong TanWCS by fitting is overkill; instead apply
+    # the inverse correction to the true WCS and check we roundtrip:
+    wrong = apply_tangent_affine(true_wcs, ref, Minv, -Minv @ t)
+    fixed = apply_tangent_affine(wrong, ref, M, t)
+
+    ra_f, dec_f = fixed.pixel_to_world(x, y)
+    pfx, pfy = ref.world_to_pixel(ra_f, dec_f)
+    np.testing.assert_allclose(pfx, ptx, atol=5e-3)
+    np.testing.assert_allclose(pfy, pty, atol=5e-3)
+
+    # and the wrong WCS really was wrong by ~|t|
+    ra_w, dec_w = wrong.pixel_to_world(x, y)
+    pwx, pwy = ref.world_to_pixel(ra_w, dec_w)
+    assert np.abs(pwx - ptx).max() > 0.1
