@@ -1,0 +1,89 @@
+"""FITS header <-> TanWCS bridge.
+
+The reference gets this from astropy/stwcs; here we parse the standard
+keywords ourselves: CRPIX (FITS 1-based -> internal 0-based), CRVAL,
+CD matrix (CD*_* preferred, CDELT+PC*_* fallback, plain CDELT last),
+and SIP distortion keywords (A_ORDER/A_i_j, B_*, AP_*, BP_*).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.fits import Header
+from .wcs import TanWCS
+
+__all__ = ["wcs_from_header", "wcs_to_header"]
+
+
+def _sip_matrix(hdr: Header, prefix: str) -> np.ndarray | None:
+    order = hdr.get(f"{prefix}_ORDER")
+    if order is None:
+        return None
+    n = int(order) + 1
+    m = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            v = hdr.get(f"{prefix}_{i}_{j}")
+            if v is not None:
+                m[i, j] = float(v)
+    return m
+
+
+def wcs_from_header(hdr: Header) -> TanWCS:
+    """Build a :class:`TanWCS` from FITS WCS keywords (0-based crpix)."""
+    crpix = np.array([float(hdr.get("CRPIX1", 1.0)) - 1.0,
+                      float(hdr.get("CRPIX2", 1.0)) - 1.0])
+    crval = np.array([float(hdr.get("CRVAL1", 0.0)),
+                      float(hdr.get("CRVAL2", 0.0))])
+    if "CD1_1" in hdr:
+        cd = np.array([[float(hdr.get("CD1_1", 0.0)), float(hdr.get("CD1_2", 0.0))],
+                       [float(hdr.get("CD2_1", 0.0)), float(hdr.get("CD2_2", 0.0))]])
+    elif "PC1_1" in hdr:
+        pc = np.array([[float(hdr.get("PC1_1", 1.0)), float(hdr.get("PC1_2", 0.0))],
+                       [float(hdr.get("PC2_1", 0.0)), float(hdr.get("PC2_2", 1.0))]])
+        cdelt = np.diag([float(hdr.get("CDELT1", 1.0)),
+                         float(hdr.get("CDELT2", 1.0))])
+        cd = cdelt @ pc
+    else:
+        cd = np.diag([float(hdr.get("CDELT1", 1.0)),
+                      float(hdr.get("CDELT2", 1.0))])
+    return TanWCS(
+        crpix=crpix, crval=crval, cd=cd,
+        a=_sip_matrix(hdr, "A"), b=_sip_matrix(hdr, "B"),
+        ap=_sip_matrix(hdr, "AP"), bp=_sip_matrix(hdr, "BP"),
+    )
+
+
+def _write_sip(hdr: Header, prefix: str, m: np.ndarray | None):
+    if m is None:
+        return
+    hdr[f"{prefix}_ORDER"] = m.shape[0] - 1
+    for i in range(m.shape[0]):
+        for j in range(m.shape[1]):
+            if m[i, j] != 0.0:
+                hdr[f"{prefix}_{i}_{j}"] = float(m[i, j])
+
+
+def wcs_to_header(wcs: TanWCS, hdr: Header | None = None) -> Header:
+    """Write WCS keywords into ``hdr`` (created if None). 1-based CRPIX."""
+    if hdr is None:
+        hdr = Header()
+    sip = wcs.a is not None
+    ctype_suffix = "-SIP" if sip else ""
+    hdr["WCSAXES"] = 2
+    hdr["CTYPE1"] = f"RA---TAN{ctype_suffix}"
+    hdr["CTYPE2"] = f"DEC--TAN{ctype_suffix}"
+    hdr["CRPIX1"] = float(wcs.crpix[0]) + 1.0
+    hdr["CRPIX2"] = float(wcs.crpix[1]) + 1.0
+    hdr["CRVAL1"] = float(wcs.crval[0])
+    hdr["CRVAL2"] = float(wcs.crval[1])
+    hdr["CD1_1"] = float(wcs.cd[0, 0])
+    hdr["CD1_2"] = float(wcs.cd[0, 1])
+    hdr["CD2_1"] = float(wcs.cd[1, 0])
+    hdr["CD2_2"] = float(wcs.cd[1, 1])
+    hdr["CUNIT1"] = "deg"
+    hdr["CUNIT2"] = "deg"
+    for prefix, m in (("A", wcs.a), ("B", wcs.b), ("AP", wcs.ap), ("BP", wcs.bp)):
+        _write_sip(hdr, prefix, m)
+    return hdr

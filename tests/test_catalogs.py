@@ -1,0 +1,127 @@
+"""Tests for catalogs: native labeling, source finder, filters, SEx parsing."""
+
+import numpy as np
+import pytest
+
+from subpixal_tpu._native import component_stats, get_lib, label_components
+from subpixal_tpu.catalogs import (
+    ImageSourceCatalog,
+    SExCatalog,
+    Table,
+    find_sources,
+    sigma_clipped_stats,
+)
+
+
+def make_field(h=256, w=256, nsrc=25, seed=0, fwhm=2.5, amp=100.0, bg=10.0,
+               noise=1.0):
+    rng = np.random.default_rng(seed)
+    img = bg + rng.normal(0, noise, (h, w))
+    xs = rng.uniform(20, w - 20, nsrc)
+    ys = rng.uniform(20, h - 20, nsrc)
+    sig = fwhm / 2.3548
+    yy, xx = np.mgrid[0:h, 0:w]
+    for x0, y0 in zip(xs, ys):
+        img += amp * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sig**2))
+    return img.astype(np.float32), np.stack([xs, ys], 1)
+
+
+def test_native_lib_builds():
+    assert get_lib() is not None, "native labeling lib failed to build"
+
+
+def test_label_components_matches_scipy():
+    rng = np.random.default_rng(1)
+    mask = rng.random((64, 64)) > 0.7
+    labels, n = label_components(mask, connectivity=8)
+    from scipy import ndimage
+
+    ref_labels, ref_n = ndimage.label(mask, structure=np.ones((3, 3)))
+    assert n == ref_n
+    # same partition (labels may be permuted): compare via matched pairs
+    for l in range(1, n + 1):
+        sel = labels == l
+        ref_vals = np.unique(ref_labels[sel])
+        assert len(ref_vals) == 1 and ref_vals[0] != 0
+    assert np.array_equal(labels > 0, ref_labels > 0)
+
+
+def test_component_stats_simple():
+    mask = np.zeros((10, 10), bool)
+    mask[2:5, 3:6] = True   # 3x3 block
+    mask[7:9, 7:9] = True   # 2x2 block
+    labels, n = label_components(mask)
+    assert n == 2
+    data = np.ones((10, 10), np.float32)
+    s = component_stats(labels, data, n)
+    areas = sorted(s["area"].tolist())
+    assert areas == [4, 9]
+    i9 = int(np.argmax(s["area"]))
+    assert s["cx"][i9] == pytest.approx(4.0)
+    assert s["cy"][i9] == pytest.approx(3.0)
+
+
+def test_find_sources_recovers_planted():
+    img, truth = make_field()
+    cat, seg = find_sources(img, nsigma=5.0, npixels=5)
+    assert len(cat) >= 20  # most of the 25 planted (some may blend)
+    # each detection matches a planted source to subpixel-ish accuracy
+    d2 = ((cat["x"][:, None] - truth[None, :, 0]) ** 2
+          + (cat["y"][:, None] - truth[None, :, 1]) ** 2)
+    nearest = np.sqrt(d2.min(axis=1))
+    assert np.median(nearest) < 0.2
+    assert seg.max() == int(cat["id"].max())
+    # segmentation ids match catalog ids
+    assert set(cat["id"].tolist()) <= set(np.unique(seg).tolist())
+
+
+def test_catalog_filters():
+    img, _ = make_field()
+    c = ImageSourceCatalog(img, nsigma=5.0)
+    n_all = len(c.catalog)
+    c.set_filters([("flux", ">", float(np.median(c.rawcat["flux"])))])
+    n_bright = len(c.catalog)
+    assert 0 < n_bright < n_all
+    c.append_filters(("area", ">=", 5))
+    assert len(c.catalog) <= n_bright
+    with pytest.raises(ValueError):
+        c.set_filters([("flux", "~", 1.0)])
+
+
+def test_table_basics():
+    t = Table({"a": np.arange(5), "b": np.arange(5) * 2.0})
+    assert len(t) == 5
+    assert t.colnames == ["a", "b"]
+    sub = t[t["a"] > 2]
+    assert len(sub) == 2
+    with pytest.raises(ValueError):
+        t["c"] = np.zeros(3)
+
+
+def test_sex_catalog_parsing(tmp_path):
+    cat = tmp_path / "test.cat"
+    cat.write_text(
+        "#   1 NUMBER     Running object number\n"
+        "#   2 X_IMAGE    Object position along x    [pixel]\n"
+        "#   3 Y_IMAGE    Object position along y    [pixel]\n"
+        "#   4 FLUX_AUTO  Flux within a Kron-like elliptical aperture\n"
+        "1 10.5 20.5 100.0\n"
+        "2 30.0 40.0 250.0\n"
+    )
+    c = SExCatalog(str(cat))
+    t = c.catalog
+    assert len(t) == 2
+    np.testing.assert_allclose(t["x"], [9.5, 29.0])  # 1-based -> 0-based
+    np.testing.assert_allclose(t["y"], [19.5, 39.0])
+    np.testing.assert_allclose(t["flux"], [100.0, 250.0])
+    c.set_filters([("flux", ">", 150)])
+    assert len(c.catalog) == 1
+
+
+def test_sigma_clipped_stats_rejects_sources():
+    rng = np.random.default_rng(0)
+    data = rng.normal(5.0, 1.0, 10000)
+    data[:100] += 500.0  # bright contamination
+    mean, med, std = sigma_clipped_stats(data)
+    assert abs(med - 5.0) < 0.1
+    assert abs(std - 1.0) < 0.1

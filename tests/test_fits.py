@@ -1,0 +1,94 @@
+"""Tests for the pure-numpy FITS reader/writer (roundtrips, header cards)."""
+
+import numpy as np
+import pytest
+
+from subpixal_tpu.io.fits import HDU, Header, read_fits, write_fits, getdata
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.int32, np.float32,
+                                   np.float64])
+def test_roundtrip_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.integer):
+        data = rng.integers(0, 100, size=(7, 11)).astype(dtype)
+    else:
+        data = rng.normal(size=(7, 11)).astype(dtype)
+    p = tmp_path / "x.fits"
+    write_fits(p, HDU(data=data))
+    back = getdata(p, 0)
+    np.testing.assert_array_equal(back, data)
+    assert back.dtype == dtype
+
+
+def test_multi_extension_and_named_lookup(tmp_path):
+    sci1 = np.ones((4, 4), np.float32)
+    sci2 = 2 * np.ones((4, 4), np.float32)
+    h1 = Header()
+    h1["EXTNAME"] = "SCI"
+    h1["EXTVER"] = 1
+    h2 = Header()
+    h2["EXTNAME"] = "SCI"
+    h2["EXTVER"] = 2
+    p = tmp_path / "m.fits"
+    write_fits(p, [HDU(), HDU(sci1, h1), HDU(sci2, h2)])
+    hdul = read_fits(p)
+    assert len(hdul) == 3
+    assert hdul[0].data is None
+    np.testing.assert_array_equal(hdul["SCI", 1].data, sci1)
+    np.testing.assert_array_equal(hdul[("SCI", 2)].data, sci2)
+    with pytest.raises(KeyError):
+        hdul["ERR", 1]
+
+
+def test_header_value_types_roundtrip(tmp_path):
+    h = Header()
+    h["CRPIX1"] = 2048.5
+    h["CRVAL1"] = (150.1234567890123, "RA of reference pixel")
+    h["NITER"] = 42
+    h["ALIGNED"] = True
+    h["TARGNAME"] = "NGC-1234 o'neill"
+    h["BIGNUM"] = 1.23e-11
+    h.add_history("aligned by subpixal_tpu")
+    p = tmp_path / "h.fits"
+    write_fits(p, HDU(np.zeros((2, 2), np.float32), h))
+    hb = read_fits(p)[0].header
+    assert hb["CRPIX1"] == 2048.5
+    assert abs(hb["CRVAL1"] - 150.1234567890123) < 1e-12
+    assert hb.get_comment("CRVAL1") == "RA of reference pixel"
+    assert hb["NITER"] == 42
+    assert hb["ALIGNED"] is True
+    assert hb["TARGNAME"] == "NGC-1234 o'neill"
+    assert abs(hb["BIGNUM"] - 1.23e-11) < 1e-25
+    assert hb.history == ["aligned by subpixal_tpu"]
+
+
+def test_header_update_rewrite(tmp_path):
+    p = tmp_path / "u.fits"
+    h = Header()
+    h["CRVAL1"] = 10.0
+    write_fits(p, HDU(np.zeros((3, 3), np.float32), h))
+    hdul = read_fits(p)
+    hdul[0].header["CRVAL1"] = 11.5
+    write_fits(p, list(hdul))
+    assert read_fits(p)[0].header["CRVAL1"] == 11.5
+
+
+def test_bscale_bzero_applied(tmp_path):
+    # hand-craft int16 + BZERO (unsigned convention)
+    h = Header()
+    h["BZERO"] = 32768.0
+    h["BSCALE"] = 1.0
+    data = np.array([[0, 1], [2, 3]], np.int16)
+    p = tmp_path / "b.fits"
+    write_fits(p, HDU(data, h))
+    back = read_fits(p)[0]
+    np.testing.assert_array_equal(np.asarray(back.data, np.float64),
+                                  data.astype(np.float64) + 32768.0)
+
+
+def test_3d_cube_roundtrip(tmp_path):
+    cube = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    p = tmp_path / "c.fits"
+    write_fits(p, HDU(cube))
+    np.testing.assert_array_equal(getdata(p), cube)
