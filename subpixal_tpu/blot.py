@@ -1,0 +1,99 @@
+"""Blot: resample a (drizzled) reference image onto an exposure's frame.
+
+Capability parity with the reference's ``subpixal/blot.py · blot_cutout``
+(mechanism: ``drizzlepac.ablot.do_blot`` → C ``cdriz.tblot``; SURVEY.md
+§2 #8, §3.1). Blotting lets the align loop compare like-with-like: the
+combined reference is interpolated onto the SAME distorted pixel grid as
+each exposure cutout, so the pair can be cross-correlated pixel-for-pixel.
+
+TPU-native design: the WCS composition (exposure pixel → sky → reference
+pixel) produces a *pixmap*; sampling the reference at the pixmap is a
+static-footprint separable gather (:mod:`subpixal_tpu.ops.interp`) that
+runs batched on device. Pixmaps are evaluated in float64 numpy on host by
+default (SURVEY §7 "WCS distortion on device": grids are small and
+evaluated once per iteration) — or on device when handed JAX arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops.interp import sample_image
+from .wcs.wcs import TanWCS
+
+__all__ = ["compute_pixmap", "blot_image", "blot_cutout"]
+
+
+def compute_pixmap(
+    from_wcs: TanWCS,
+    to_wcs: TanWCS,
+    shape: tuple[int, int],
+    blc: tuple[int, int] = (0, 0),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Map every pixel of a ``shape`` grid in ``from_wcs``'s frame (offset
+    by ``blc`` = (y0, x0)) to pixel coordinates in ``to_wcs``'s frame.
+
+    Returns float64 arrays (x_to, y_to) of shape ``shape``.
+    """
+    h, w = shape
+    y0, x0 = blc
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    ra, dec = from_wcs.pixel_to_world(xx + x0, yy + y0)
+    xt, yt = to_wcs.world_to_pixel(ra, dec)
+    return np.asarray(xt), np.asarray(yt)
+
+
+def blot_image(
+    ref_data,
+    pixmap_x,
+    pixmap_y,
+    interp: str = "poly5",
+    expout: float = 1.0,
+    fill: float = 0.0,
+):
+    """Sample ``ref_data`` at pixmap coordinates (device gather).
+
+    ``expout`` rescales output flux for exposure-time units (parity with
+    ``do_blot``'s expout handling). Returns (blotted, valid_mask).
+    """
+    vals, valid = sample_image(
+        jnp.asarray(ref_data, jnp.float32),
+        jnp.asarray(pixmap_x, jnp.float32),
+        jnp.asarray(pixmap_y, jnp.float32),
+        interp=interp,
+        fill=fill,
+    )
+    if expout != 1.0:
+        vals = vals * jnp.float32(expout)
+    return vals, valid
+
+
+def blot_cutout(source_cutout, image_cutout, interp: str = "poly5",
+                expout: float | None = None):
+    """Blot a reference-frame cutout onto an exposure cutout's grid.
+
+    Parity: reference ``blot.blot_cutout(source_cutout, image, ...)``.
+    Both arguments are :class:`subpixal_tpu.cutout.Cutout` objects; the
+    source (primary/reference) cutout's data is interpolated onto the
+    image cutout's pixel grid using their WCSs. Returns a new Cutout in
+    the image cutout's frame.
+    """
+    from .cutout import Cutout  # local import to avoid cycle
+
+    px, py = compute_pixmap(
+        image_cutout.wcs, source_cutout.wcs,
+        image_cutout.data.shape, blc=(0, 0),
+    )
+    scale = 1.0 if expout is None else float(expout)
+    vals, valid = blot_image(source_cutout.data, px, py, interp=interp,
+                             expout=scale)
+    return Cutout(
+        data=np.asarray(vals),
+        wcs=image_cutout.wcs.copy(),
+        blc=image_cutout.blc,
+        src_pos=image_cutout.src_pos,
+        mask=np.asarray(valid) & np.asarray(image_cutout.mask, bool),
+        exptime=image_cutout.exptime,
+        data_units=source_cutout.data_units,
+    )

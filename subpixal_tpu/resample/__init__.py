@@ -1,0 +1,242 @@
+"""Resample: combine exposures into a reference image (TPU drizzle).
+
+Capability parity with the reference's ``subpixal/resample.py`` (SURVEY.md
+§2 #7, §3.2): an abstract ``Resample`` interface plus a concrete
+``Drizzle`` implementation, including the **fast add/drop** path the align
+loop relies on (re-drizzling after one image's WCS update without redoing
+the whole stack).
+
+TPU-first redesign: where the reference shells out to
+``drizzlepac.astrodrizzle`` (C ``cdriz.tdriz``) and communicates through
+FITS files on disk, this implementation keeps every plane device-resident:
+per-exposure pixmaps are composed from WCSs on host (float64) once per
+update, deposits run as vectorized area-overlap scatter-adds on TPU
+(:mod:`subpixal_tpu.ops.drizzle`), and per-exposure accumulators are
+cached so ``add_image``/``drop_image`` are O(1 exposure), not O(stack).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.drizzle import drizzle_combine, drizzle_deposit
+from ..wcs.wcs import TanWCS
+
+__all__ = ["Resample", "Drizzle", "Exposure", "make_output_wcs"]
+
+
+class Exposure:
+    """One input exposure: science data + weight + WCS (+ metadata)."""
+
+    def __init__(self, data, wcs: TanWCS, weight=None, exptime: float = 1.0,
+                 name: str = ""):
+        self.data = np.asarray(data, np.float32)
+        self.wcs = wcs
+        self.weight = None if weight is None else np.asarray(weight, np.float32)
+        self.exptime = float(exptime)
+        self.name = name or f"exposure@{id(self):x}"
+
+    def __repr__(self):
+        return f"Exposure({self.name!r}, shape={self.data.shape})"
+
+
+def make_output_wcs(wcs_list: Sequence[TanWCS],
+                    shapes: Sequence[tuple[int, int]],
+                    pscale: float | None = None,
+                    pscale_ratio: float = 1.0) -> tuple[TanWCS, tuple[int, int]]:
+    """Construct an undistorted TAN output grid covering all inputs.
+
+    The role of AstroDrizzle's output-WCS setup: north-up TAN frame at the
+    mean sky position, pixel scale = ``pscale`` arcsec (default: mean input
+    scale × ``pscale_ratio``), sized to cover every input footprint.
+    Returns (wcs, (H, W)).
+    """
+    # mean tangent point
+    crvals = np.array([w.crval for w in wcs_list])
+    ra0 = np.deg2rad(crvals[:, 0])
+    dec0 = np.deg2rad(crvals[:, 1])
+    x = np.cos(dec0) * np.cos(ra0)
+    y = np.cos(dec0) * np.sin(ra0)
+    z = np.sin(dec0)
+    cen = np.array([x.mean(), y.mean(), z.mean()])
+    cen /= np.linalg.norm(cen)
+    crval = np.array([np.rad2deg(np.arctan2(cen[1], cen[0])) % 360.0,
+                      np.rad2deg(np.arcsin(cen[2]))])
+    if pscale is None:
+        pscale = float(np.mean([w.pscale for w in wcs_list])) * pscale_ratio
+    s = pscale / 3600.0
+    cd = np.array([[-s, 0.0], [0.0, s]])  # north-up, RA increasing left
+    out = TanWCS(crpix=np.zeros(2), crval=crval, cd=cd)
+
+    # project all input corners; pad by 1 pixel
+    xs, ys = [], []
+    for w, (H, W) in zip(wcs_list, shapes):
+        cx = np.array([0.0, W - 1.0, 0.0, W - 1.0])
+        cy = np.array([0.0, 0.0, H - 1.0, H - 1.0])
+        ra, dec = w.pixel_to_world(cx, cy)
+        px, py = out.world_to_pixel(ra, dec)
+        xs.append(px)
+        ys.append(py)
+    xs = np.concatenate(xs)
+    ys = np.concatenate(ys)
+    x0, x1 = np.floor(xs.min()) - 1, np.ceil(xs.max()) + 1
+    y0, y1 = np.floor(ys.min()) - 1, np.ceil(ys.max()) + 1
+    Wo = int(x1 - x0 + 1)
+    Ho = int(y1 - y0 + 1)
+    out = out.replace(crpix=np.array([-x0, -y0]))
+    return out, (Ho, Wo)
+
+
+class Resample:
+    """ABC: combine input exposures into one reference image.
+
+    Parity with the reference ``Resample`` interface (SURVEY §2 #7):
+    ``execute()`` (re)builds the combined product; ``output_sci`` /
+    ``output_wht`` / ``output_wcs`` expose it; ``fast_add_image`` /
+    ``fast_drop_image`` update it incrementally.
+    """
+
+    def execute(self) -> None:
+        raise NotImplementedError
+
+    @property
+    def output_sci(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def output_wht(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def output_wcs(self) -> TanWCS:
+        raise NotImplementedError
+
+
+class Drizzle(Resample):
+    """TPU-resident drizzle combiner with cached per-exposure deposits.
+
+    Parameters mirror the knobs the reference forwards to AstroDrizzle:
+    ``pixfrac``, ``kernel``, ``fillval``, output pixel scale (via
+    ``pscale`` / ``pscale_ratio``).
+    """
+
+    def __init__(self, exposures: Sequence[Exposure] | None = None,
+                 output_wcs: TanWCS | None = None,
+                 output_shape: tuple[int, int] | None = None,
+                 pixfrac: float = 1.0, kernel: str = "square",
+                 fillval: float = 0.0, pscale: float | None = None,
+                 pscale_ratio: float = 1.0):
+        self.exposures: list[Exposure] = list(exposures or [])
+        self.pixfrac = float(pixfrac)
+        self.kernel = kernel
+        self.fillval = float(fillval)
+        self.pscale = pscale
+        self.pscale_ratio = float(pscale_ratio)
+        self._owcs = output_wcs
+        self._oshape = output_shape
+        self._sci_acc = None  # device arrays
+        self._wht_acc = None
+        self._per_exp: dict[str, tuple] = {}  # name -> (sci_dep, wht_dep)
+
+    # -- setup ----------------------------------------------------------- #
+    def _ensure_output_grid(self):
+        if self._owcs is None or self._oshape is None:
+            if not self.exposures:
+                raise ValueError("no exposures and no explicit output grid")
+            owcs, oshape = make_output_wcs(
+                [e.wcs for e in self.exposures],
+                [e.data.shape for e in self.exposures],
+                pscale=self.pscale, pscale_ratio=self.pscale_ratio,
+            )
+            self._owcs = self._owcs or owcs
+            self._oshape = self._oshape or oshape
+
+    def _deposit(self, exp: Exposure):
+        from ..blot import compute_pixmap
+
+        H, W = exp.data.shape
+        px, py = compute_pixmap(exp.wcs, self._owcs, (H, W))
+        ratio = exp.wcs.pscale / self._owcs.pscale
+        return drizzle_deposit(
+            jnp.asarray(exp.data), None if exp.weight is None
+            else jnp.asarray(exp.weight),
+            jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
+            self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
+            kernel=self.kernel,
+        )
+
+    # -- public API ------------------------------------------------------ #
+    def execute(self) -> None:
+        """(Re)drizzle the full stack; caches per-exposure deposits."""
+        self._ensure_output_grid()
+        Ho, Wo = self._oshape
+        sci = jnp.zeros((Ho, Wo), jnp.float32)
+        wht = jnp.zeros((Ho, Wo), jnp.float32)
+        self._per_exp.clear()
+        for exp in self.exposures:
+            s, w = self._deposit(exp)
+            self._per_exp[exp.name] = (s, w)
+            sci = sci + s
+            wht = wht + w
+        self._sci_acc, self._wht_acc = sci, wht
+
+    def fast_add_image(self, exp: Exposure) -> None:
+        """Add one exposure's contribution (the reference's fast add path,
+        SURVEY §3.2)."""
+        self._ensure_output_grid()
+        if self._sci_acc is None:
+            Ho, Wo = self._oshape
+            self._sci_acc = jnp.zeros((Ho, Wo), jnp.float32)
+            self._wht_acc = jnp.zeros((Ho, Wo), jnp.float32)
+        if exp not in self.exposures:
+            self.exposures.append(exp)
+        s, w = self._deposit(exp)
+        self._per_exp[exp.name] = (s, w)
+        self._sci_acc = self._sci_acc + s
+        self._wht_acc = self._wht_acc + w
+
+    def fast_drop_image(self, name: str) -> None:
+        """Remove one exposure's cached contribution (fast drop path)."""
+        if name not in self._per_exp:
+            raise KeyError(f"no cached deposit for {name!r}")
+        s, w = self._per_exp.pop(name)
+        self._sci_acc = self._sci_acc - s
+        self._wht_acc = self._wht_acc - w
+        self.exposures = [e for e in self.exposures if e.name != name]
+
+    def fast_replace_image(self, exp: Exposure) -> None:
+        """drop + add in one call: the align loop's per-iteration
+        'update this exposure's WCS and refresh the reference' step."""
+        if exp.name in self._per_exp:
+            s, w = self._per_exp.pop(exp.name)
+            self._sci_acc = self._sci_acc - s
+            self._wht_acc = self._wht_acc - w
+            self.exposures = [e for e in self.exposures if e.name != exp.name]
+        self.fast_add_image(exp)
+
+    @property
+    def output_sci(self) -> np.ndarray:
+        if self._sci_acc is None:
+            self.execute()
+        return np.asarray(
+            drizzle_combine(self._sci_acc, self._wht_acc, fill=self.fillval)
+        )
+
+    @property
+    def output_wht(self) -> np.ndarray:
+        if self._wht_acc is None:
+            self.execute()
+        return np.asarray(self._wht_acc)
+
+    @property
+    def output_wcs(self) -> TanWCS:
+        self._ensure_output_grid()
+        return self._owcs
+
+    @property
+    def output_shape(self) -> tuple[int, int]:
+        self._ensure_output_grid()
+        return self._oshape

@@ -1,0 +1,141 @@
+"""Tests for ops.drizzle and resample.Drizzle (flux conservation, add/drop)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from subpixal_tpu.ops.drizzle import drizzle_combine, drizzle_deposit
+from subpixal_tpu.resample import Drizzle, Exposure, make_output_wcs
+from subpixal_tpu.wcs.wcs import TanWCS
+
+
+def make_wcs(crpix, scale=0.05, rot=0.0, crval=(150.0, 2.0)):
+    s = scale / 3600.0
+    th = np.deg2rad(rot)
+    cd = s * np.array([[-np.cos(th), np.sin(th)], [np.sin(th), np.cos(th)]])
+    return TanWCS(crpix=np.asarray(crpix, float), crval=np.asarray(crval, float),
+                  cd=cd)
+
+
+def identity_pixmap(h, w, dx=0.0, dy=0.0):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return xx + dx, yy + dy
+
+
+def test_identity_deposit_conserves_flux():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(1, 2, (16, 16)).astype(np.float32)
+    px, py = identity_pixmap(16, 16)
+    sci, wht = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                               jnp.asarray(py), (16, 16), pixfrac=1.0)
+    out = np.asarray(drizzle_combine(sci, wht))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wht), 1.0, atol=1e-6)
+
+
+def test_half_pixel_shift_splits_flux():
+    img = np.zeros((9, 9), np.float32)
+    img[4, 4] = 8.0
+    px, py = identity_pixmap(9, 9, dx=0.5)
+    sci, wht = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                               jnp.asarray(py), (9, 9), pixfrac=1.0)
+    s = np.asarray(sci)
+    assert s[4, 4] == pytest.approx(4.0, abs=1e-5)
+    assert s[4, 5] == pytest.approx(4.0, abs=1e-5)
+
+
+def test_pixfrac_smaller_droplet():
+    img = np.zeros((9, 9), np.float32)
+    img[4, 4] = 1.0
+    px, py = identity_pixmap(9, 9, dx=0.2)
+    sci, _ = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                             jnp.asarray(py), (9, 9), pixfrac=0.5)
+    s = np.asarray(sci)
+    # droplet half-size 0.25 centered at 4.2 lies fully in cell 4
+    assert s[4, 4] == pytest.approx(1.0, abs=1e-5)
+    assert s[4, 5] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_point_kernel():
+    img = np.zeros((5, 5), np.float32)
+    img[2, 2] = 3.0
+    px, py = identity_pixmap(5, 5, dx=0.4)
+    sci, wht = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                               jnp.asarray(py), (5, 5), kernel="point")
+    assert np.asarray(sci)[2, 2] == pytest.approx(3.0)
+
+
+def test_zero_weight_pixels_dropped():
+    img = np.ones((4, 4), np.float32) * 7.0
+    wht_in = np.ones((4, 4), np.float32)
+    wht_in[1, 1] = 0.0
+    px, py = identity_pixmap(4, 4)
+    sci, wht = drizzle_deposit(jnp.asarray(img), jnp.asarray(wht_in),
+                               jnp.asarray(px), jnp.asarray(py), (4, 4))
+    assert np.asarray(wht)[1, 1] == 0.0
+    out = np.asarray(drizzle_combine(sci, wht, fill=-1.0))
+    assert out[1, 1] == -1.0
+    assert out[0, 0] == pytest.approx(7.0, abs=1e-5)
+
+
+def test_bad_kernel_raises():
+    with pytest.raises(ValueError):
+        drizzle_deposit(jnp.ones((2, 2)), None, jnp.zeros((2, 2)),
+                        jnp.zeros((2, 2)), (2, 2), kernel="bogus")
+
+
+def gauss(h, w, x0, y0, s=2.0, amp=50.0):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    return (amp * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * s * s))
+            ).astype(np.float32)
+
+
+def test_resample_drizzle_two_dithered_exposures():
+    """Two exposures offset by a half-pixel dither must combine into a
+    reference image whose source lands at the WCS-predicted position."""
+    w1 = make_wcs((32, 32))
+    w2 = make_wcs((31.5, 32.5))  # dithered pointing
+    e1 = Exposure(gauss(64, 64, 30, 34), w1, name="e1")
+    e2 = Exposure(gauss(64, 64, 29.5, 34.5), w2, name="e2")  # same sky pos
+    d = Drizzle([e1, e2], pixfrac=1.0)
+    d.execute()
+    sci = d.output_sci
+    assert sci.shape == d.output_shape
+    # the source sky position: from e1 pixel (30, 34)
+    ra, dec = w1.pixel_to_world(30.0, 34.0)
+    ox, oy = d.output_wcs.world_to_pixel(ra, dec)
+    iy, ix = np.unravel_index(np.argmax(sci), sci.shape)
+    assert abs(ix - ox) <= 1.0 and abs(iy - oy) <= 1.0
+    # weight ~2 where both exposures overlap
+    assert np.isclose(d.output_wht.max(), 2.0, atol=0.1)
+
+
+def test_fast_drop_equals_rebuild():
+    w1 = make_wcs((32, 32))
+    w2 = make_wcs((30, 33))
+    e1 = Exposure(gauss(64, 64, 30, 34), w1, name="e1")
+    e2 = Exposure(gauss(64, 64, 28, 35), w2, name="e2")
+    owcs, oshape = make_output_wcs([w1, w2], [(64, 64)] * 2)
+    d_all = Drizzle([e1, e2], output_wcs=owcs, output_shape=oshape)
+    d_all.execute()
+    d_all.fast_drop_image("e2")
+    d_one = Drizzle([e1], output_wcs=owcs, output_shape=oshape)
+    d_one.execute()
+    np.testing.assert_allclose(d_all.output_sci, d_one.output_sci, atol=1e-5)
+    np.testing.assert_allclose(d_all.output_wht, d_one.output_wht, atol=1e-5)
+
+
+def test_fast_replace_after_wcs_update():
+    w1 = make_wcs((32, 32))
+    w2 = make_wcs((30, 33))
+    w2b = make_wcs((30.3, 32.8))  # corrected WCS
+    e1 = Exposure(gauss(64, 64, 30, 34), w1, name="e1")
+    e2 = Exposure(gauss(64, 64, 28, 35), w2, name="e2")
+    owcs, oshape = make_output_wcs([w1, w2], [(64, 64)] * 2)
+    d = Drizzle([e1, e2], output_wcs=owcs, output_shape=oshape)
+    d.execute()
+    e2b = Exposure(e2.data, w2b, name="e2")
+    d.fast_replace_image(e2b)
+    d_ref = Drizzle([e1, e2b], output_wcs=owcs, output_shape=oshape)
+    d_ref.execute()
+    np.testing.assert_allclose(d.output_sci, d_ref.output_sci, atol=1e-5)
