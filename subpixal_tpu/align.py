@@ -1,0 +1,504 @@
+"""Iterative image alignment — the main API (TPU-native).
+
+Capability parity with the reference's entry point
+``subpixal/align.py · align_images`` (SURVEY.md §2 #2, §3.1): iteratively
+measure per-source displacements between each exposure and a combined
+(drizzled) reference image, sigma-clip, fit a linear WCS correction per
+image (shift/rscale/general), update the WCSs, re-resample, and repeat to
+convergence (``eps_shift``).
+
+TPU-first redesign (NOT a port — the reference round-trips FITS files on
+disk between every stage and loops in Python):
+
+* **All WCS evaluation happens once, on host, in float64** (SURVEY §7
+  "WCS distortion on device"): per-exposure pixmaps into the reference
+  pixel frame (cutout grids + full-frame drizzle grids) and per-source
+  local Jacobians. The alignment correction is an *affine map of the
+  reference pixel frame*, so every iteration updates coordinates by
+  composing that affine on device — no re-evaluation of trig/SIP.
+* **One jit-compiled step** performs, entirely on device with static
+  shapes: re-drizzle of all exposures (area-overlap scatter-add), blot of
+  the reference onto every cutout grid (separable gather), batched NCC
+  cross-correlation + subpixel peak fit over all (exposure, source)
+  pairs at once, per-exposure sigma-clipped linear fits, and affine
+  composition. Off-frame sources are weight-0, not exceptions.
+* The loop is a fixed-point iteration on the per-exposure affine state
+  ``(M_e, t_e)``; convergence is the reference's ``eps_shift`` test.
+  Final corrections are written back into each exposure's WCS via
+  :func:`subpixal_tpu.wcs.wcs.apply_tangent_affine` (the header-update
+  step) on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .blot import compute_pixmap
+from .catalogs import ImageCatalog, ImageSourceCatalog
+from .cutout import create_primary_cutouts
+from .ops.correlate import find_displacement
+from .ops.cutouts import extract_cutouts
+from .ops.drizzle import drizzle_combine, drizzle_deposit
+from .ops.fit import iter_linear_fit
+from .ops.interp import sample_image
+from .resample import Drizzle, Exposure
+from .wcs.wcs import TanWCS, apply_tangent_affine
+
+__all__ = ["align_images", "AlignConfig", "AlignResult", "ImageAlignInfo"]
+
+_P = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Alignment configuration — kwargs mirror the reference
+    ``align_images`` signature 1:1 where applicable (SURVEY §5 "Config").
+    """
+
+    cc_type: str = "NCC"
+    fitgeom: str = "general"
+    nclip: int = 3
+    sigma: float = 3.0
+    use_weights: bool = True
+    combine_seg_mask: bool = True
+    wcsupdate: str = "batch"  # 'batch' | 'otf' (otf composes within the step)
+    max_iterations: int = 10
+    eps_shift: float = 0.004
+    history: str = "all"  # 'all' | 'last'
+    # TPU-build knobs (no reference counterpart):
+    usfac: int = 1
+    peak_fit_box: int = 5
+    fit_type: str = "quadratic"
+    interp: str = "poly5"
+    cutout_shape: tuple[int, int] | None = None
+    pixfrac: float = 1.0
+    kernel: str = "square"
+    min_sources: int = 3
+
+
+@dataclasses.dataclass
+class ImageAlignInfo:
+    """Per-image, per-iteration fit record (structured observability —
+    SURVEY §5 'Metrics/logging': the reference bare-prints these)."""
+
+    name: str
+    iteration: int
+    shift: tuple[float, float]
+    matrix: tuple[tuple[float, float], tuple[float, float]]
+    rms: tuple[float, float]
+    rmse: float
+    mae: float
+    nmatches: int
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+@dataclasses.dataclass
+class AlignResult:
+    """Result of :func:`align_images`.
+
+    exposures: input exposures with CORRECTED WCSs.
+    matrices/shifts: cumulative per-exposure affine corrections in the
+        reference pixel frame (``p_true = M @ p_pred + t``).
+    history: per-iteration list of :class:`ImageAlignInfo` (or only the
+        last iteration when ``history='last'``).
+    converged: whether the eps_shift criterion was met.
+    """
+
+    exposures: list[Exposure]
+    matrices: np.ndarray
+    shifts: np.ndarray
+    history: list[list[ImageAlignInfo]]
+    converged: bool
+    n_iterations: int
+    drizzle: Drizzle | None = None
+
+
+def _affine_apply_pts(M, t, pts):
+    """Apply per-exposure affine to points: (E,2,2),(E,2),(E,N,2)->(E,N,2)."""
+    return jnp.einsum("eij,enj->eni", M, pts, precision=_P) + t[:, None, :]
+
+
+def _affine_apply_grid(M, t, gx, gy):
+    """Apply per-exposure affine to coordinate grids of any shape."""
+    nx = M[..., 0, 0] * gx + M[..., 0, 1] * gy + t[..., 0]
+    ny = M[..., 1, 0] * gx + M[..., 1, 1] * gy + t[..., 1]
+    return nx, ny
+
+
+def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
+                dri_ratio: float):
+    """Create the jitted per-iteration device step.
+
+    Closure over static config (including the input/output pixel-scale
+    ratio, which sizes the drizzle deposit window at trace time); all data
+    flows through arguments so one compilation serves every iteration.
+    """
+
+    def step(Ms, ts, exp_data, exp_wht, dri_px, dri_py,
+             cut_px, cut_py, img_cut, img_msk, seg_cut, jac, xy0,
+             src_w, src_valid):
+        E = exp_data.shape[0]
+        N = cut_px.shape[1]
+        h, w = cut_shape
+
+        # ---- 1. re-drizzle all exposures with current corrections ----
+        def deposit(e):
+            px, py = _affine_apply_grid(Ms[e], ts[e], dri_px[e], dri_py[e])
+            return drizzle_deposit(
+                exp_data[e], exp_wht[e], px, py, out_shape,
+                pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
+                kernel=cfg.kernel,
+            )
+
+        sci_acc = jnp.zeros(out_shape, jnp.float32)
+        wht_acc = jnp.zeros(out_shape, jnp.float32)
+        for e in range(E):  # static unroll; E is small
+            s, wgt = deposit(e)
+            sci_acc = sci_acc + s
+            wht_acc = wht_acc + wgt
+        drz = drizzle_combine(sci_acc, wht_acc)
+
+        # ---- 2. blot reference onto every cutout grid ----
+        bpx, bpy = _affine_apply_grid(
+            Ms[:, None, None, None], ts[:, None, None, None],
+            cut_px, cut_py,
+        )  # (E,N,h,w)
+        flat_x = bpx.reshape(E * N, h, w)
+        flat_y = bpy.reshape(E * N, h, w)
+        blot_vals, blot_ok = jax.vmap(
+            lambda x, y: sample_image(drz, x, y, interp=interp)
+        )(flat_x, flat_y)
+        blotted = blot_vals.reshape(E, N, h, w)
+        blot_valid = blot_ok.reshape(E, N, h, w)
+
+        img = img_cut
+        msk = img_msk & blot_valid
+        if cfg.combine_seg_mask:
+            img = img * seg_cut
+            blotted = blotted * seg_cut
+
+        # ---- 3. batched displacement measurement ----
+        d = find_displacement(
+            blotted.reshape(E * N, h, w), img.reshape(E * N, h, w),
+            cc_type=cfg.cc_type, usfac=cfg.usfac,
+            peak_fit_box=cfg.peak_fit_box, fit_type=cfg.fit_type,
+            ref_mask=msk.reshape(E * N, h, w),
+            img_mask=msk.reshape(E * N, h, w),
+        )
+        dxy = jnp.stack([d.dx, d.dy], axis=-1).reshape(E, N, 2)
+        meas_ok = d.fit_ok.reshape(E, N)
+        peak = d.peak.reshape(E, N)
+
+        # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
+        # Displacement in ref-frame pixels: duv = (M_e @ J_{e,n}) @ d_{e,n}.
+        # Exact identity: (measured ref position of the actual source)
+        # minus (its position in the CURRENT drizzled reference) equals
+        # duv — independent of where the drz frame itself sits. Fitting
+        # G: (q + duv) -> q with q approximated by the fixed catalog
+        # positions xy0 therefore has the true fixed point d=0 => G=I;
+        # any small error in the q estimate only perturbs the (tiny)
+        # matrix part through leverage, never the shift (for which it
+        # cancels exactly). Using a MOVING target like F_e(xy0) instead
+        # introduces a common-mode drift of the whole frame — seen as a
+        # never-converging shared shift.
+        MJ = jnp.einsum("eij,enjk->enik", Ms, jac, precision=_P)
+        duv = jnp.einsum("enik,enk->eni", MJ, dxy, precision=_P)
+        uv = xy0 + duv   # measured positions (up to the common q estimate)
+
+        wgt = src_valid & meas_ok & (peak > 0)
+        wgt = wgt.astype(jnp.float32)
+        if cfg.use_weights:
+            wgt = wgt * src_w
+
+        # Incremental correction G maps MEASURED positions back onto the
+        # reference positions; the updated exposure map is F' = G∘F.
+        fit = jax.vmap(
+            lambda a, b, ww: iter_linear_fit(
+                a, b, wxy=ww, fitgeom=fitgeom,
+                nclip=cfg.nclip, sigma=cfg.sigma)
+        )(uv, xy0, wgt)
+
+        G_M, G_t = fit.matrix, fit.shift
+        newM = jnp.einsum("eij,ejk->eik", G_M, Ms, precision=_P)
+        newt = jnp.einsum("eij,ej->ei", G_M, ts, precision=_P) + G_t
+
+        # Convergence metric: max over exposures of the rms incremental
+        # source motion |G(uv) - uv| (the reference's eps_shift test, made
+        # robust to matrix-only corrections). Alignment is RELATIVE — the
+        # common reference frame may drift by ~mpix per iteration (the
+        # evolving drz frame is the gauge, exactly as in the reference) —
+        # so for multi-exposure runs the common-mode motion is projected
+        # out before testing eps_shift.
+        moved = _affine_apply_pts(G_M, G_t, uv) - uv
+        if exp_data.shape[0] > 1:
+            wsum_all = jnp.maximum(jnp.sum(wgt), 1e-12)
+            common = (jnp.sum(wgt[..., None] * moved, axis=(0, 1), keepdims=True)
+                      / wsum_all)
+            moved = moved - common
+        move2 = jnp.sum(moved * moved, axis=-1)
+        wsum = jnp.maximum(jnp.sum(wgt, axis=1), 1e-12)
+        rms_move = jnp.sqrt(jnp.sum(wgt * move2, axis=1) / wsum)
+        max_shift = jnp.max(rms_move)
+
+        info = dict(
+            G_M=G_M, G_t=G_t, rms=fit.rms, rmse=fit.rmse, mae=fit.mae,
+            nmatches=fit.nmatches, max_shift=max_shift,
+        )
+        return newM, newt, info
+
+    return jax.jit(step)
+
+
+def align_images(
+    catalogs: ImageCatalog | Sequence[ImageCatalog] | None = None,
+    resample: Drizzle | None = None,
+    *,
+    exposures: Sequence[Exposure] | None = None,
+    cc_type: str = "NCC",
+    fitgeom: str = "general",
+    nclip: int = 3,
+    sigma: float = 3.0,
+    use_weights: bool = True,
+    combine_seg_mask: bool = True,
+    wcsupdate: str = "batch",
+    max_iterations: int = 10,
+    eps_shift: float = 0.004,
+    history: str = "all",
+    config: AlignConfig | None = None,
+    verbose: bool = False,
+    **kw: Any,
+) -> AlignResult:
+    """Iteratively align exposures to their combined reference image.
+
+    Parameters mirror the reference ``align_images(catalogs, resample,
+    cc_type='NCC', fitgeom='general', nclip=3, sigma=3.0,
+    use_weights=True, combine_seg_mask=True, wcsupdate='batch',
+    max_iterations=10, eps_shift=0.004, history='last')`` (SURVEY §2 #2).
+
+    ``resample`` is a :class:`subpixal_tpu.resample.Drizzle` holding the
+    input :class:`Exposure` objects (or pass ``exposures=`` directly and a
+    Drizzle is built). ``catalogs`` may be an :class:`ImageCatalog` for
+    the *reference* image; ``None`` runs the built-in native source finder
+    on the first drizzle product.
+
+    Additional TPU-build knobs (``usfac``, ``peak_fit_box``, ``fit_type``,
+    ``interp``, ``cutout_shape``, ``pixfrac``, ``kernel``) are accepted via
+    ``**kw`` / ``config``.
+
+    Returns an :class:`AlignResult`; input Exposure objects are not
+    mutated — corrected copies are returned.
+    """
+    if config is None:
+        config = AlignConfig(
+            cc_type=cc_type, fitgeom=fitgeom, nclip=nclip, sigma=sigma,
+            use_weights=use_weights, combine_seg_mask=combine_seg_mask,
+            wcsupdate=wcsupdate, max_iterations=max_iterations,
+            eps_shift=eps_shift, history=history, **kw,
+        )
+    cfg = config
+
+    if resample is None:
+        if exposures is None:
+            raise ValueError("provide `resample` (Drizzle) or `exposures`")
+        resample = Drizzle(list(exposures), pixfrac=cfg.pixfrac,
+                           kernel=cfg.kernel)
+    exps = list(resample.exposures)
+    if not exps:
+        raise ValueError("no exposures to align")
+
+    with jax.named_scope("align_setup"):
+        t_setup = time.time()
+        # -- initial reference image ------------------------------------ #
+        resample.execute()
+        drz_sci = resample.output_sci
+        ref_wcs = resample.output_wcs
+        out_shape = resample.output_shape
+
+        # -- catalog + segmentation on the reference --------------------- #
+        if catalogs is None:
+            catalog_obj: ImageCatalog = ImageSourceCatalog(drz_sci)
+        elif isinstance(catalogs, (list, tuple)):
+            catalog_obj = catalogs[0]
+        else:
+            catalog_obj = catalogs
+        cat = catalog_obj.catalog
+        seg = catalog_obj.segmentation
+        if seg is None:
+            seg = np.zeros(out_shape, np.int32)
+        if len(cat) < cfg.min_sources:
+            raise ValueError(
+                f"only {len(cat)} sources found (need >= {cfg.min_sources})"
+            )
+
+        prim = create_primary_cutouts(
+            cat, seg, drz_sci, ref_wcs,
+            combine_seg_mask=False,  # masking happens on device per iter
+        )
+        if len(prim) < cfg.min_sources:
+            raise ValueError("too few usable primary cutouts")
+
+        # -- static cutout shape ----------------------------------------- #
+        if cfg.cutout_shape is None:
+            mh = max(c.data.shape[0] for c in prim)
+            mw = max(c.data.shape[1] for c in prim)
+            s = int(np.ceil(max(mh + 4, mw + 4, 16) / 8) * 8)
+            cut_shape = (min(s, 128), min(s, 128))
+        else:
+            cut_shape = cfg.cutout_shape
+        h, w = cut_shape
+        N = len(prim)
+        E = len(exps)
+
+        xy_cat = np.array([c.src_pos_parent for c in prim], np.float64)
+        src_ids = np.array([c.src_id for c in prim], np.int64)
+        flux_w = np.array([c.src_weight for c in prim], np.float64)
+        flux_w = flux_w / max(flux_w.max(), 1e-12)
+
+        # -- per-exposure static device inputs --------------------------- #
+        img_cut = np.zeros((E, N, h, w), np.float32)
+        img_msk = np.zeros((E, N, h, w), bool)
+        seg_cut = np.zeros((E, N, h, w), np.float32)
+        cut_px = np.zeros((E, N, h, w), np.float32)
+        cut_py = np.zeros((E, N, h, w), np.float32)
+        jac = np.zeros((E, N, 2, 2), np.float32)
+        xy0 = np.zeros((E, N, 2), np.float32)
+        src_valid = np.zeros((E, N), bool)
+        exp_data = np.zeros((E,) + exps[0].data.shape, np.float32)
+        exp_wht = np.ones((E,) + exps[0].data.shape, np.float32)
+        dri_px = np.zeros((E,) + exps[0].data.shape, np.float32)
+        dri_py = np.zeros((E,) + exps[0].data.shape, np.float32)
+
+        ra_cat, dec_cat = ref_wcs.pixel_to_world(xy_cat[:, 0], xy_cat[:, 1])
+        seg_f = np.asarray(seg, np.float32)
+
+        for e, exp in enumerate(exps):
+            if exp.data.shape != exps[0].data.shape:
+                raise ValueError("all exposures must share one shape "
+                                 "(pad on ingest)")
+            exp_data[e] = exp.data
+            if exp.weight is not None:
+                exp_wht[e] = exp.weight
+            H, W = exp.data.shape
+            # full-frame pixmap for drizzle (f64 -> f32)
+            px, py = compute_pixmap(exp.wcs, ref_wcs, (H, W))
+            dri_px[e] = px
+            dri_py[e] = py
+            # predicted source positions in this exposure
+            sx, sy = exp.wcs.world_to_pixel(ra_cat, dec_cat)
+            inside = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
+            src_valid[e] = inside
+            # cutout windows (fixed for all iterations)
+            bx = np.round(sx).astype(int) - w // 2
+            by = np.round(sy).astype(int) - h // 2
+            # per-cutout pixmaps into the ref frame + Jacobians
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+            for n in range(N):
+                gx = xx + bx[n]
+                gy = yy + by[n]
+                ra, dec = exp.wcs.pixel_to_world(gx, gy)
+                rx, ry = ref_wcs.world_to_pixel(ra, dec)
+                cut_px[e, n] = rx
+                cut_py[e, n] = ry
+                cy, cx2 = h // 2, w // 2
+                jac[e, n] = [
+                    [(rx[cy, cx2 + 1] - rx[cy, cx2 - 1]) / 2.0,
+                     (rx[cy + 1, cx2] - rx[cy - 1, cx2]) / 2.0],
+                    [(ry[cy, cx2 + 1] - ry[cy, cx2 - 1]) / 2.0,
+                     (ry[cy + 1, cx2] - ry[cy - 1, cx2]) / 2.0],
+                ]
+            # initial predictions in the ref frame = catalog positions
+            # (the WCS roundtrip exposure->sky->ref is the identity there)
+            xy0[e] = xy_cat.astype(np.float32)
+            # extract the (static) image cutouts on device
+            cb = extract_cutouts(
+                jnp.asarray(exp.data), jnp.asarray(
+                    np.stack([sx, sy], 1), jnp.float32), cut_shape)
+            img_cut[e] = np.asarray(cb.data)
+            img_msk[e] = np.asarray(cb.mask)
+            # per-source segmentation mask on the cutout grid: sample the
+            # ref-frame segmentation at the initial pixmap (nearest) and
+            # keep only this source's footprint
+            sseg, _ = sample_image(jnp.asarray(seg_f),
+                                   jnp.asarray(cut_px[e]),
+                                   jnp.asarray(cut_py[e]), interp="nearest")
+            sseg = np.asarray(sseg)
+            seg_cut[e] = (np.abs(sseg - src_ids[:, None, None]) < 0.5
+                          ).astype(np.float32)
+
+        dri_ratio = float(np.mean([exp.wcs.pscale for exp in exps])
+                          / ref_wcs.pscale)
+        setup_s = time.time() - t_setup
+
+    # ------------------------------------------------------------------ #
+    # device fixed-point iteration
+    # ------------------------------------------------------------------ #
+    step = _build_step(cfg, out_shape, cut_shape, cfg.interp, cfg.fitgeom,
+                       dri_ratio)
+
+    Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
+    ts = jnp.zeros((E, 2), jnp.float32)
+    args = [jnp.asarray(a) for a in (
+        exp_data, exp_wht, dri_px, dri_py,
+        cut_px, cut_py, img_cut, img_msk, seg_cut, jac, xy0,
+        flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
+
+    hist: list[list[ImageAlignInfo]] = []
+    converged = False
+    n_iter = 0
+    for it in range(cfg.max_iterations):
+        with jax.named_scope("align_step"):
+            Ms, ts, info = step(Ms, ts, *args)
+        n_iter = it + 1
+        G_t = np.asarray(info["G_t"])
+        G_M = np.asarray(info["G_M"])
+        recs = [
+            ImageAlignInfo(
+                name=exps[e].name, iteration=it,
+                shift=tuple(map(float, G_t[e])),
+                matrix=tuple(tuple(map(float, row)) for row in G_M[e]),
+                rms=tuple(map(float, np.asarray(info["rms"])[e])),
+                rmse=float(np.asarray(info["rmse"])[e]),
+                mae=float(np.asarray(info["mae"])[e]),
+                nmatches=int(np.asarray(info["nmatches"])[e]),
+            )
+            for e in range(E)
+        ]
+        if cfg.history == "all" or not hist:
+            hist.append(recs)
+        else:
+            hist[-1] = recs
+        if verbose:
+            for r in recs:
+                print(r.to_json())
+        max_shift = float(np.asarray(info["max_shift"]))
+        if max_shift < cfg.eps_shift:
+            converged = True
+            break
+
+    # ------------------------------------------------------------------ #
+    # write corrections back into WCSs (host)
+    # ------------------------------------------------------------------ #
+    Ms_np = np.asarray(Ms, np.float64)
+    ts_np = np.asarray(ts, np.float64)
+    out_exps = []
+    for e, exp in enumerate(exps):
+        new_wcs = apply_tangent_affine(exp.wcs, ref_wcs, Ms_np[e], ts_np[e])
+        out_exps.append(Exposure(exp.data, new_wcs, weight=exp.weight,
+                                 exptime=exp.exptime, name=exp.name))
+
+    final = Drizzle(out_exps, output_wcs=ref_wcs, output_shape=out_shape,
+                    pixfrac=cfg.pixfrac, kernel=cfg.kernel)
+    return AlignResult(
+        exposures=out_exps, matrices=Ms_np, shifts=ts_np,
+        history=hist, converged=converged, n_iterations=n_iter,
+        drizzle=final,
+    )

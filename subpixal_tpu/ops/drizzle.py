@@ -95,10 +95,15 @@ def drizzle_deposit(
             f"unknown kernel: {kernel!r} (expected 'square'|'point'|'gaussian')"
         )
 
-    # static candidate window: cells whose index may intersect the footprint
+    # Static candidate window: cell c covers [c-0.5, c+0.5], so the
+    # leftmost cell intersecting [xo-reach, xo+reach] is
+    # floor(xo - reach + 0.5); a window of ceil(2*reach)+1 cells then
+    # covers the rightmost one too. (Omitting the +0.5 cell-center shift
+    # silently drops the rightmost cell's flux for fractional offsets —
+    # an asymmetric loss that biases every deposited position.)
     K = int(math.ceil(2.0 * reach)) + 1
-    c0x = jnp.floor(xo - reach).astype(jnp.int32)
-    c0y = jnp.floor(yo - reach).astype(jnp.int32)
+    c0x = jnp.floor(xo - reach + 0.5).astype(jnp.int32)
+    c0y = jnp.floor(yo - reach + 0.5).astype(jnp.int32)
 
     for dy in range(K):
         cy = c0y + dy

@@ -1,0 +1,145 @@
+"""Integration tests for align_images (BASELINE configs 4 & 5 on CPU).
+
+Simulate dithered exposures of one star field, plant WCS errors (shifts /
+small affines), run the full iterative align loop, and assert the planted
+errors are recovered to ~mpix level.
+"""
+
+import numpy as np
+import pytest
+
+from subpixal_tpu.align import AlignConfig, align_images
+from subpixal_tpu.resample import Drizzle, Exposure
+from subpixal_tpu.wcs.wcs import TanWCS
+
+
+SCALE_AS = 0.05  # arcsec/pix
+
+
+def make_wcs(crpix, scale=SCALE_AS, rot=0.0, crval=(150.0, 2.0)):
+    s = scale / 3600.0
+    th = np.deg2rad(rot)
+    cd = s * np.array([[-np.cos(th), np.sin(th)], [np.sin(th), np.cos(th)]])
+    return TanWCS(crpix=np.asarray(crpix, float), crval=np.asarray(crval, float),
+                  cd=cd)
+
+
+def render(wcs, sky_xy_ref, ref_wcs, shape, amp=200.0, sig=1.8, noise=0.5,
+           seed=0):
+    """Render stars (given as positions in a reference WCS frame) into an
+    exposure with WCS ``wcs``."""
+    rng = np.random.default_rng(seed)
+    H, W = shape
+    img = rng.normal(0, noise, shape).astype(np.float64)
+    ra, dec = ref_wcs.pixel_to_world(sky_xy_ref[:, 0], sky_xy_ref[:, 1])
+    xs, ys = wcs.world_to_pixel(ra, dec)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for x0, y0 in zip(xs, ys):
+        if -10 < x0 < W + 10 and -10 < y0 < H + 10:
+            img += amp * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2)
+                                / (2 * sig**2))
+    return img.astype(np.float32)
+
+
+def star_positions(n=30, lo=30, hi=220, seed=1, min_sep=18.0):
+    rng = np.random.default_rng(seed)
+    pts = []
+    while len(pts) < n:
+        p = rng.uniform(lo, hi, 2)
+        if all(np.hypot(*(p - q)) > min_sep for q in pts):
+            pts.append(p)
+    return np.asarray(pts)
+
+
+def planted_scene(n_exp=3, shape=(256, 256), shift_err=None, seed=1):
+    """Build exposures whose TRUE WCS differs from the catalogued one by a
+    planted per-exposure shift (in exposure pixels)."""
+    ref_frame = make_wcs((128, 128))
+    stars = star_positions(seed=seed)
+    rng = np.random.default_rng(seed + 10)
+    exps, true_shifts = [], []
+    for e in range(n_exp):
+        # dither pattern ~ +-6 px
+        dith = rng.uniform(-6, 6, 2)
+        true_wcs = make_wcs((128 + dith[0], 128 + dith[1]))
+        if shift_err is None:
+            err = rng.uniform(-1.5, 1.5, 2) if e > 0 else np.zeros(2)
+        else:
+            err = np.asarray(shift_err[e], float)
+        # data rendered with the TRUE wcs; header carries a WRONG wcs
+        data = render(true_wcs, stars, ref_frame, shape, seed=100 + e)
+        wrong_wcs = make_wcs((128 + dith[0] + err[0], 128 + dith[1] + err[1]))
+        exps.append(Exposure(data, wrong_wcs, name=f"e{e}"))
+        true_shifts.append(err)
+    return exps, np.asarray(true_shifts), ref_frame, stars
+
+
+def test_config4_shift_alignment_converges():
+    """BASELINE config 4: planted per-exposure WCS shift errors must be
+    recovered by the iterative loop (relative alignment, mpix-level)."""
+    err = np.array([(0.0, 0.0), (1.2, -0.7), (-0.9, 0.5)])
+    exps, true_shift, ref_frame, stars = planted_scene(
+        n_exp=3, shift_err=err)
+    res = align_images(
+        resample=Drizzle(exps, pixfrac=1.0),
+        fitgeom="shift", max_iterations=8, eps_shift=0.004,
+        usfac=1, fit_type="gaussian", min_sources=5,
+    )
+    assert res.converged, "align loop did not converge"
+    # the fitted correction t equals +err in the ref frame here (J ~ I);
+    # alignment is relative, so compare shifts relative to exposure 0
+    rel = res.shifts - res.shifts[0]
+    rel_true = err - err[0]
+    resid = np.abs(rel - rel_true).max()
+    assert resid < 0.01, f"relative shift error {resid*1e3:.2f} mpix"
+
+
+def test_config4_affine_alignment():
+    """Plant a small rotation error; 'rscale' fit must recover it."""
+    exps, _, ref_frame, stars = planted_scene(
+        n_exp=2, shift_err=[(0, 0), (0.8, -0.6)])
+    # additionally rotate exposure 1's header WCS by 0.05 deg
+    w = exps[1].wcs
+    th = np.deg2rad(0.05)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    exps[1] = Exposure(exps[1].data, w.replace(cd=R @ w.cd), name=exps[1].name)
+    res = align_images(
+        resample=Drizzle(exps, pixfrac=1.0),
+        fitgeom="rscale", max_iterations=10, eps_shift=0.004,
+        fit_type="gaussian", min_sources=5,
+    )
+    assert res.converged
+    # relative rotation between the two corrections must be ~0.05 deg
+    Mrel = res.matrices[1] @ np.linalg.inv(res.matrices[0])
+    ang = np.rad2deg(np.arctan2(Mrel[1, 0], Mrel[0, 0]))
+    assert abs(abs(ang) - 0.05) < 0.005, f"rotation not recovered: {ang}"
+    # relative scale ~1
+    s = np.sqrt(abs(np.linalg.det(Mrel)))
+    assert abs(s - 1.0) < 2e-4
+
+
+def test_history_and_records():
+    exps, _, _, _ = planted_scene(n_exp=2, shift_err=[(0, 0), (0.5, 0.5)])
+    res = align_images(
+        resample=Drizzle(exps), fitgeom="shift", max_iterations=3,
+        eps_shift=1e-6, history="all", fit_type="gaussian", min_sources=5,
+    )
+    assert len(res.history) == res.n_iterations
+    rec = res.history[0][1]
+    assert rec.name == "e1"
+    assert rec.nmatches > 5
+    js = rec.to_json()
+    assert "rmse" in js
+    res2 = align_images(
+        resample=Drizzle(exps), fitgeom="shift", max_iterations=3,
+        eps_shift=1e-6, history="last", fit_type="gaussian", min_sources=5,
+    )
+    assert len(res2.history) == 1
+
+
+def test_too_few_sources_raises():
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 1, (64, 64)).astype(np.float32)  # no sources
+    exps = [Exposure(data, make_wcs((32, 32)), name="e0")]
+    with pytest.raises(ValueError):
+        align_images(resample=Drizzle(exps), min_sources=3)

@@ -139,3 +139,22 @@ def test_fast_replace_after_wcs_update():
     d_ref = Drizzle([e1, e2b], output_wcs=owcs, output_shape=oshape)
     d_ref.execute()
     np.testing.assert_allclose(d.output_sci, d_ref.output_sci, atol=1e-5)
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.25, 0.457, 0.6, 0.9])
+def test_fractional_offset_centroid_preserved(frac):
+    """Deposits at arbitrary fractional offsets must preserve flux AND
+    centroid (regression: the candidate window must use cell-center
+    convention or the rightmost cell's flux is dropped)."""
+    img = np.zeros((16, 16), np.float32)
+    img[8, 8] = 10.0
+    px, py = identity_pixmap(16, 16, dx=frac, dy=frac / 2)
+    sci, wht = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                               jnp.asarray(py), (20, 20), pixfrac=1.0)
+    s = np.asarray(sci)
+    assert s.sum() == pytest.approx(10.0, rel=1e-5)  # flux conserved
+    yy, xx = np.mgrid[0:20, 0:20]
+    cx = (s * xx).sum() / s.sum()
+    cy = (s * yy).sum() / s.sum()
+    assert cx == pytest.approx(8 + frac, abs=1e-5)
+    assert cy == pytest.approx(8 + frac / 2, abs=1e-5)
