@@ -1,0 +1,164 @@
+"""Benchmark: batched cutout cross-correlation throughput + shift RMSE.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "cc/s", "vs_baseline": N, ...}
+
+Workload = BASELINE configs 2+3: a 500-source catalog of 64x64 cutout
+pairs with planted subpixel shifts; each pair is measured with NCC
+cross-correlation, 10x Fourier-domain upsampling and a Gaussian surface
+peak fit.
+
+vs_baseline compares the TPU batched path against a faithful serial numpy
+implementation of the reference's per-pair algorithm (subpixal/cc.py:
+fft2 -> conj-multiply -> ifft2 -> upsampled matrix-DFT -> quadratic/log
+peak fit), timed on this host's CPU. The reference publishes no numbers
+(BASELINE.md), so its algorithm re-timed on CPU is the baseline.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+# --------------------------------------------------------------------- #
+# workload
+# --------------------------------------------------------------------- #
+def make_workload(B=500, h=64, w=64, seed=0, sigma=2.0, noise=1e-3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    dxs = rng.uniform(-0.5, 0.5, B)
+    dys = rng.uniform(-0.5, 0.5, B)
+    ref = np.exp(-((xx - w / 2) ** 2 + (yy - h / 2) ** 2) / (2 * sigma**2))
+    refs = (ref[None] + rng.normal(0, noise, (B, h, w))).astype(np.float32)
+    imgs = np.exp(
+        -((xx[None] - w / 2 - dxs[:, None, None]) ** 2
+          + (yy[None] - h / 2 - dys[:, None, None]) ** 2) / (2 * sigma**2)
+    )
+    imgs = (imgs + rng.normal(0, noise, (B, h, w))).astype(np.float32)
+    return refs, imgs, dxs, dys
+
+
+# --------------------------------------------------------------------- #
+# serial numpy reference (the subpixal algorithm, per pair)
+# --------------------------------------------------------------------- #
+def _np_find_displacement(ref, img, usfac=10, kfit=5):
+    """One pair, reference-style: NCC + FFT + upsampled DFT + peak fit."""
+    h, w = ref.shape
+
+    def norm(a):
+        a = a.astype(np.float64)
+        a = a - a.mean()
+        s = a.std()
+        return a / (s * np.sqrt(a.size) + 1e-30)
+
+    r = norm(ref)
+    i = norm(img)
+    Fr = np.fft.fft2(r)
+    Fi = np.fft.fft2(i)
+    G = Fi * np.conj(Fr)
+    cc = np.fft.ifft2(G).real
+    cc_s = np.fft.fftshift(cc)
+    py, px = np.unravel_index(np.argmax(cc_s), cc_s.shape)
+    s0y, s0x = py - h // 2, px - w // 2
+
+    # matrix-DFT upsampling around the coarse peak (Guizar-Sicairos style)
+    n = usfac + kfit + 3
+    fy = np.fft.fftfreq(h) * h
+    fx = np.fft.fftfreq(w) * w
+    ty = s0y + (np.arange(n) - n // 2) / usfac
+    tx = s0x + (np.arange(n) - n // 2) / usfac
+    kr = np.exp(2j * np.pi * np.outer(ty, fy) / h)
+    kc = np.exp(2j * np.pi * np.outer(fx, tx) / w)
+    C = (kr @ G @ kc).real / (h * w)
+
+    # quadratic fit on log surface around the argmax
+    qy, qx = np.unravel_index(np.argmax(C), C.shape)
+    k = kfit
+    y0 = min(max(qy - k // 2, 0), n - k)
+    x0 = min(max(qx - k // 2, 0), n - k)
+    box = C[y0:y0 + k, x0:x0 + k]
+    bmax = box.max()
+    z = np.log(np.clip(box / bmax, 1e-8, None))
+    wts = np.clip(box / bmax, 0, 1).ravel()
+    c = (k - 1) / 2.0
+    gy, gx = np.mgrid[0:k, 0:k].astype(np.float64)
+    X = np.stack([np.ones(k * k), (gx - c).ravel(), (gy - c).ravel(),
+                  ((gx - c) ** 2).ravel(), ((gx - c) * (gy - c)).ravel(),
+                  ((gy - c) ** 2).ravel()], 1)
+    A = X * wts[:, None]
+    coef, *_ = np.linalg.lstsq(A, z.ravel() * wts, rcond=None)
+    c0, c1, c2, c3, c4, c5 = coef
+    det = 4 * c3 * c5 - c4 * c4
+    if det > 0 and c3 < 0:
+        sx = (-2 * c5 * c1 + c4 * c2) / det
+        sy = (c4 * c1 - 2 * c3 * c2) / det
+    else:
+        sx = sy = 0.0
+    ux = x0 + c + sx
+    uy = y0 + c + sy
+    dx = s0x + (ux - n // 2) / usfac
+    dy = s0y + (uy - n // 2) / usfac
+    return dx, dy
+
+
+def bench_cpu_reference(refs, imgs, n_pairs=40):
+    t0 = time.perf_counter()
+    out = []
+    for b in range(n_pairs):
+        out.append(_np_find_displacement(refs[b], imgs[b]))
+    dt = time.perf_counter() - t0
+    return n_pairs / dt, np.asarray(out)  # cc/s, (n_pairs, 2) dx/dy
+
+
+def bench_tpu(refs, imgs, dxs, dys, iters=30):
+    import jax
+    import jax.numpy as jnp
+
+    from subpixal_tpu.ops.correlate import find_displacement
+
+    f = jax.jit(lambda r, i: find_displacement(
+        r, i, cc_type="NCC", usfac=10, fit_type="gaussian"))
+    r_j = jnp.asarray(refs)
+    i_j = jnp.asarray(imgs)
+    out = f(r_j, i_j)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(r_j, i_j)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    ex = np.asarray(out.dx) - dxs
+    ey = np.asarray(out.dy) - dys
+    rmse_mpix = 1e3 * float(np.sqrt(np.mean(ex**2 + ey**2)))
+    dxy = np.stack([np.asarray(out.dx), np.asarray(out.dy)], 1)
+    return refs.shape[0] / dt, rmse_mpix, dxy
+
+
+def main():
+    refs, imgs, dxs, dys = make_workload()
+    tpu_ccs, rmse_mpix, tpu_dxy = bench_tpu(refs, imgs, dxs, dys)
+    cpu_ccs, cpu_dxy = bench_cpu_reference(refs, imgs)
+    # BASELINE metric "shift RMSE vs reference": same data, TPU vs the
+    # reference algorithm's own measurements (data noise cancels).
+    n = cpu_dxy.shape[0]
+    vs_ref = 1e3 * float(
+        np.sqrt(np.mean(np.sum((tpu_dxy[:n] - cpu_dxy) ** 2, axis=1))))
+    import jax
+
+    print(json.dumps({
+        "metric": "batched cutout cross-correlations/sec "
+                  "(NCC + 10x Fourier upsampling + Gaussian peak fit, "
+                  "500x64x64)",
+        "value": round(tpu_ccs, 1),
+        "unit": "cc/s",
+        "vs_baseline": round(tpu_ccs / cpu_ccs, 2),
+        "baseline_cpu_ccs": round(cpu_ccs, 1),
+        "shift_rmse_vs_truth_mpix": round(rmse_mpix, 4),
+        "shift_rmse_vs_reference_mpix": round(vs_ref, 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

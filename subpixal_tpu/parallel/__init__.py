@@ -1,0 +1,23 @@
+"""Multi-device sharding for the alignment pipeline.
+
+The reference is a serial numpy program (SURVEY.md §2b: no parallelism of
+any kind); these are new, first-class TPU components: the cutout batch is
+data-parallel over a ``jax.sharding.Mesh``, global sigma-clipped fits run
+via ``lax.psum`` collectives inside ``shard_map`` (ICI within a slice,
+DCN across slices), and the joint multi-exposure alignment step (BASELINE
+config 5) is one jit-compiled SPMD program.
+"""
+
+from .sharding import (
+    make_mesh,
+    pad_to_multiple,
+    sharded_find_displacement,
+    sharded_measure_and_fit,
+)
+
+__all__ = [
+    "make_mesh",
+    "pad_to_multiple",
+    "sharded_find_displacement",
+    "sharded_measure_and_fit",
+]

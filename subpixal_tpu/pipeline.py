@@ -1,0 +1,155 @@
+"""FITS-level pipeline: the reference's file-based workflow.
+
+The reference's users hand ``align_images`` FITS files; the corrected
+WCSs are written back into the SCI extension headers (with HISTORY
+records — SURVEY.md §3.1 "apply WCS correction to exposure SCI
+header(s)", §5 "Checkpoint/resume": state between iterations lives in
+FITS headers, so a killed run resumes from the last written headers).
+
+This module provides that workflow on top of the array-level
+:func:`subpixal_tpu.align.align_images`:
+
+* :func:`load_exposures` — read SCI extensions (+ optional WHT) into
+  :class:`~subpixal_tpu.resample.Exposure` objects;
+* :func:`align_fits` — end-to-end: load, align, write corrected WCS
+  keywords + HISTORY back into the input files (or copies);
+* :class:`AlignState` — an explicit serializable checkpoint of the
+  alignment state (per-image affine, iteration count, fit history) as a
+  JSON file, beyond the implicit header-based resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from .align import AlignResult, align_images
+from .io.fits import read_fits, write_fits
+from .resample import Drizzle, Exposure
+from .utils import parse_file_name
+from .wcs.fitswcs import wcs_from_header, wcs_to_header
+
+__all__ = ["load_exposures", "align_fits", "AlignState"]
+
+
+def load_exposures(
+    image_fnames: Sequence[str],
+    ext=("SCI", 1),
+    wht_ext=None,
+) -> list[Exposure]:
+    """Read FITS exposures (``"file.fits[sci,1]"`` specs supported)."""
+    exps = []
+    for spec in image_fnames:
+        fname, fext = parse_file_name(spec)
+        use_ext = fext if fext is not None else ext
+        hdul = read_fits(fname)
+        try:
+            hdu = hdul[use_ext]
+        except KeyError:
+            hdu = next(h for h in hdul if h.data is not None)
+        wcs = wcs_from_header(hdu.header)
+        weight = None
+        if wht_ext is not None:
+            try:
+                weight = np.asarray(hdul[wht_ext].data, np.float32)
+            except KeyError:
+                pass
+        exptime = float(hdu.header.get("EXPTIME", 1.0))
+        exps.append(Exposure(np.asarray(hdu.data, np.float32), wcs,
+                             weight=weight, exptime=exptime, name=spec))
+    return exps
+
+
+def _update_file_wcs(spec: str, wcs, default_ext, history_lines):
+    fname, fext = parse_file_name(spec)
+    use_ext = fext if fext is not None else default_ext
+    hdul = read_fits(fname)
+    try:
+        hdu = hdul[use_ext]
+    except KeyError:
+        hdu = next(h for h in hdul if h.data is not None)
+    wcs_to_header(wcs, hdu.header)
+    for line in history_lines:
+        hdu.header.add_history(line)
+    write_fits(fname, list(hdul))
+
+
+def align_fits(
+    image_fnames: Sequence[str],
+    ext=("SCI", 1),
+    wht_ext=None,
+    update_headers: bool = True,
+    state_file: str | None = None,
+    **align_kwargs,
+) -> AlignResult:
+    """End-to-end file-based alignment (the reference's usage pattern).
+
+    Reads the exposures, runs the TPU align loop, and (by default) writes
+    the corrected WCS keywords back into each input file's header with a
+    HISTORY record per iteration (reference ``history`` semantics). A
+    re-run after interruption picks up the last written headers —
+    the reference's implicit resume — and ``state_file`` additionally
+    saves an explicit :class:`AlignState` JSON checkpoint.
+    """
+    exps = load_exposures(image_fnames, ext=ext, wht_ext=wht_ext)
+    result = align_images(resample=Drizzle(exps), **align_kwargs)
+    if update_headers:
+        for spec, exp, M, t in zip(image_fnames, result.exposures,
+                                   result.matrices, result.shifts):
+            hist = [
+                "subpixal_tpu: aligned "
+                f"(converged={result.converged}, "
+                f"iters={result.n_iterations})",
+                f"subpixal_tpu: shift=({t[0]:.6f}, {t[1]:.6f}) "
+                f"matrix=[[{M[0,0]:.8f},{M[0,1]:.8f}],"
+                f"[{M[1,0]:.8f},{M[1,1]:.8f}]]",
+            ]
+            _update_file_wcs(spec, exp.wcs, ext, hist)
+    if state_file:
+        AlignState.from_result(result, image_fnames).save(state_file)
+    return result
+
+
+@dataclasses.dataclass
+class AlignState:
+    """Explicit serializable alignment state (SURVEY §5 checkpoint/resume).
+
+    The reference has no checkpointing beyond FITS headers; this gives the
+    TPU build an explicit artifact: per-image affines, convergence info
+    and the per-iteration fit history, restorable into new runs.
+    """
+
+    images: list[str]
+    matrices: list  # (E, 2, 2) nested lists
+    shifts: list    # (E, 2)
+    converged: bool
+    n_iterations: int
+    history: list   # per-iteration list of per-image record dicts
+
+    @classmethod
+    def from_result(cls, result: AlignResult,
+                    images: Sequence[str]) -> "AlignState":
+        return cls(
+            images=list(images),
+            matrices=np.asarray(result.matrices).tolist(),
+            shifts=np.asarray(result.shifts).tolist(),
+            converged=bool(result.converged),
+            n_iterations=int(result.n_iterations),
+            history=[[dataclasses.asdict(r) for r in recs]
+                     for recs in result.history],
+        )
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=1)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "AlignState":
+        with open(path) as f:
+            return cls(**json.load(f))
