@@ -111,7 +111,36 @@ def bench_cpu_reference(refs, imgs, n_pairs=40):
     return n_pairs / dt, np.asarray(out)  # cc/s, (n_pairs, 2) dx/dy
 
 
-def bench_tpu(refs, imgs, dxs, dys, iters=30):
+def _dev_time_per_iter(make_loop, iters=(1, 21)):
+    """Honest device time per iteration.
+
+    Runs the op in a *dependent* ``lax.fori_loop`` (each iteration's
+    input is perturbed by the previous output) inside one jit, syncs
+    once, and differences two loop lengths. This defeats both dispatch
+    pipelining and result caching in remoted/tunneled runtimes, and
+    subtracts the fixed dispatch/sync latency — naive per-call timing
+    with repeated identical arguments reports fantasy numbers there.
+    """
+    import jax
+
+    fs = {k: jax.jit(make_loop(k)) for k in iters}
+    for k in iters:
+        jax.block_until_ready(fs[k]())  # compile + warm
+    best = None
+    for _ in range(3):
+        ts = {}
+        for k in iters:
+            t0 = time.perf_counter()
+            jax.block_until_ready(fs[k]())
+            ts[k] = time.perf_counter() - t0
+        k0, k1 = iters
+        dt = (ts[k1] - ts[k0]) / (k1 - k0)
+        if dt > 0 and (best is None or dt < best):
+            best = dt
+    return best if best is not None else ts[k1] / k1
+
+
+def bench_tpu(refs, imgs, dxs, dys):
     import jax
     import jax.numpy as jnp
 
@@ -122,12 +151,21 @@ def bench_tpu(refs, imgs, dxs, dys, iters=30):
     r_j = jnp.asarray(refs)
     i_j = jnp.asarray(imgs)
     out = f(r_j, i_j)
-    jax.block_until_ready(out)  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(r_j, i_j)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+
+    def make_loop(k):
+        def run():
+            def body(_, carry):
+                s, _ = carry
+                d = find_displacement(
+                    r_j + s * 1e-30, i_j, cc_type="NCC", usfac=10,
+                    fit_type="gaussian")
+                return (jnp.sum(d.dx), d.dx[0])
+            return jax.lax.fori_loop(
+                0, k, body, (jnp.float32(0), jnp.float32(0)))[1]
+        return run
+
+    dt = _dev_time_per_iter(make_loop)
     ex = np.asarray(out.dx) - dxs
     ey = np.asarray(out.dy) - dys
     rmse_mpix = 1e3 * float(np.sqrt(np.mean(ex**2 + ey**2)))

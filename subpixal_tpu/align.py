@@ -81,6 +81,7 @@ class AlignConfig:
     pixfrac: float = 1.0
     kernel: str = "square"
     min_sources: int = 3
+    use_pallas: bool | str = "auto"  # Pallas blot/drizzle kernels on TPU
 
 
 @dataclasses.dataclass
@@ -135,12 +136,17 @@ def _affine_apply_grid(M, t, gx, gy):
 
 
 def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
-                dri_ratio: float):
+                dri_ratio: float, pallas: bool = False,
+                blot_tile: tuple[int, int] | None = None,
+                driz_tile: tuple[int, int] | None = None):
     """Create the jitted per-iteration device step.
 
     Closure over static config (including the input/output pixel-scale
     ratio, which sizes the drizzle deposit window at trace time); all data
     flows through arguments so one compilation serves every iteration.
+    When ``pallas`` is set, the blot gather and drizzle deposit run as the
+    MXU matmul kernels of :mod:`subpixal_tpu.kernels` with statically
+    sized tiles (computed from the concrete setup pixmaps).
     """
 
     def step(Ms, ts, exp_data, exp_wht, dri_px, dri_py,
@@ -153,6 +159,14 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         # ---- 1. re-drizzle all exposures with current corrections ----
         def deposit(e):
             px, py = _affine_apply_grid(Ms[e], ts[e], dri_px[e], dri_py[e])
+            if pallas:
+                from .kernels.drizzle import drizzle_deposit_pallas
+
+                return drizzle_deposit_pallas(
+                    exp_data[e], exp_wht[e], px, py, out_shape,
+                    pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
+                    kernel=cfg.kernel, tile=driz_tile,
+                )
             return drizzle_deposit(
                 exp_data[e], exp_wht[e], px, py, out_shape,
                 pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
@@ -174,9 +188,16 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         )  # (E,N,h,w)
         flat_x = bpx.reshape(E * N, h, w)
         flat_y = bpy.reshape(E * N, h, w)
-        blot_vals, blot_ok = jax.vmap(
-            lambda x, y: sample_image(drz, x, y, interp=interp)
-        )(flat_x, flat_y)
+        if pallas:
+            from .kernels.blot import sample_cutouts_pallas
+
+            blot_vals, blot_ok = sample_cutouts_pallas(
+                drz, flat_x, flat_y, interp=interp,
+                tile=blot_tile or (128, 128))
+        else:
+            blot_vals, blot_ok = jax.vmap(
+                lambda x, y: sample_image(drz, x, y, interp=interp)
+            )(flat_x, flat_y)
         blotted = blot_vals.reshape(E, N, h, w)
         blot_valid = blot_ok.reshape(E, N, h, w)
 
@@ -441,8 +462,26 @@ def align_images(
     # ------------------------------------------------------------------ #
     # device fixed-point iteration
     # ------------------------------------------------------------------ #
+    from .kernels import use_pallas as _use_pallas
+
+    pallas = _use_pallas(cfg.use_pallas)
+    blot_tile = driz_tile = None
+    if pallas:
+        from .kernels.drizzle import required_tile
+
+        # exact static tiles from the concrete setup pixmaps (+margin for
+        # the sub-pixel affine corrections applied on device)
+        ey = float((cut_py.max(axis=(2, 3)) - cut_py.min(axis=(2, 3))).max())
+        ex = float((cut_px.max(axis=(2, 3)) - cut_px.min(axis=(2, 3))).max())
+        blot_tile = (int(np.ceil(ey)) + 12, int(np.ceil(ex)) + 12)
+        reach = 0.5 * cfg.pixfrac * dri_ratio + 0.1
+        tiles = [required_tile(dri_px[e], dri_py[e], wht=exp_wht[e],
+                               reach=reach, margin=4) for e in range(E)]
+        driz_tile = (max(t[0] for t in tiles), max(t[1] for t in tiles))
+
     step = _build_step(cfg, out_shape, cut_shape, cfg.interp, cfg.fitgeom,
-                       dri_ratio)
+                       dri_ratio, pallas=pallas, blot_tile=blot_tile,
+                       driz_tile=driz_tile)
 
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
     ts = jnp.zeros((E, 2), jnp.float32)

@@ -1,0 +1,312 @@
+"""Pallas TPU kernel: drizzle deposit (the resample hot path).
+
+TPU-native equivalent of the reference's drizzle kernel (``drizzlepac`` C
+``cdriz.tdriz``, reached via ``subpixal/resample.py · Drizzle``;
+SURVEY.md §2 #7, §2a): every input pixel deposits flux over its shrunken
+square footprint on the output grid, accumulating science and weight
+planes.
+
+Design — scatter-free, MXU-native
+---------------------------------
+Scatter-add is the classic drizzle formulation and the worst op for a
+vector machine. The key identity: for the ``square`` (and ``turbo``)
+kernel the area overlap between a droplet centered at ``(x, y)`` and the
+output cell ``(r, c)`` **factorizes** per axis::
+
+    a[p, (r, c)] = oy(y_p, r) · ox(x_p, c)
+
+(similarly ``gaussian`` separates, and ``point`` is a per-axis one-hot).
+So the deposit of a whole block of P input pixels onto an output tile is
+a single matrix product — an MXU contraction over the block::
+
+    sci_tile[r, c] += Σ_p (v·w)[p] · Oy[p, r] · Ox[p, c]
+                    = ((Oy ⊙ v·w)ᵀ @ Ox)[r, c]
+    wht_tile[r, c] += ((Oy ⊙ w)ᵀ @ Ox)[r, c]
+
+The kernel walks input blocks on a sequential grid; each block's bounded
+output bbox tile is DMA'd from the HBM accumulators, the two (Th, P) ×
+(P, Tw) matmuls are added in, and the tile is written back. Sequential
+grid execution makes the read-modify-write race-free — the TPU-native
+answer to drizzle's overlapping-footprint contention (SURVEY §7 "hard
+parts": per-output-tile gather formulation).
+
+Pixels whose footprint escapes their block's static tile (possible only
+for rotations/scales beyond what ``tile`` was sized for) deposit
+nothing; callers can detect this by comparing ``wht.sum()`` against the
+expected total (see ``tests/test_pallas_kernels.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["drizzle_deposit_pallas", "required_tile"]
+
+
+def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
+                  reach: float = 0.55, margin: int = 2) -> tuple[int, int]:
+    """Exact per-block output-tile size for a concrete (host) pixmap.
+
+    Walks the same block partition as :func:`drizzle_deposit_pallas` and
+    returns the smallest ``tile`` covering every block's output bbox
+    (+ kernel ``reach`` and ``margin``). Evaluate once per geometry on
+    the host (numpy) and pass the result as the static ``tile`` argument
+    — exact coverage beats the rotation-margin heuristic when the pixmap
+    is known (align evaluates all pixmaps at setup anyway).
+    """
+    import numpy as np
+
+    x = np.asarray(x_out)
+    y = np.asarray(y_out)
+    H, W = x.shape
+    bh, bw = block
+    Hp = -(-H // bh) * bh
+    Wp = -(-W // bw) * bw
+    live = np.ones((H, W), bool) if wht is None else np.asarray(wht) > 0
+    pad = ((0, Hp - H), (0, Wp - W))
+    xp = np.pad(x, pad)
+    yp = np.pad(y, pad)
+    lv = np.pad(live, pad)
+
+    def blocks(a):
+        return (a.reshape(Hp // bh, bh, Wp // bw, bw)
+                .transpose(0, 2, 1, 3).reshape(-1, bh * bw))
+
+    xb, yb, lb = blocks(xp), blocks(yp), blocks(lv)
+    big = 1e18
+    ey = (np.max(np.where(lb, yb, -big), 1)
+          - np.min(np.where(lb, yb, big), 1))
+    ex = (np.max(np.where(lb, xb, -big), 1)
+          - np.min(np.where(lb, xb, big), 1))
+    anyb = lb.any(1)
+    ey = float(np.max(ey, initial=0.0, where=anyb))
+    ex = float(np.max(ex, initial=0.0, where=anyb))
+    return (int(math.ceil(ey + 2 * reach + 1)) + margin,
+            int(math.ceil(ex + 2 * reach + 1)) + margin)
+
+
+def _overlap_matrix_t(pos: jax.Array, width: int, kernel: str,
+                      half: float, sigma: float) -> jax.Array:
+    """Transposed per-axis deposit-weight matrix (width, P).
+
+    ``pos``: (1, P) droplet centers in tile-local coordinates. Entry
+    [i, p] is the 1-D overlap between pixel p's droplet and output cell
+    ``i`` (cells cover [i-0.5, i+0.5]).
+    """
+    P = pos.shape[1]
+    cells = jax.lax.broadcasted_iota(jnp.int32, (width, P), 0).astype(
+        jnp.float32)
+    if kernel == "square":
+        ov = (jnp.minimum(pos + half, cells + 0.5)
+              - jnp.maximum(pos - half, cells - 0.5))
+        return jnp.maximum(ov, 0.0) / (2.0 * half)
+    if kernel == "gaussian":
+        return jnp.exp(-0.5 * ((cells - pos) / sigma) ** 2)
+    # point: all mass to the nearest cell
+    return (jnp.round(pos) == cells).astype(jnp.float32)
+
+
+def _driz_kernel(origins_ref, data_ref, wht_ref, x_ref, y_ref,
+                 sci_hbm, wht_hbm, sci_out, wht_out,
+                 sci_tile, wht_tile, sems, *,
+                 kernel: str, half: float, sigma: float,
+                 Th: int, Tw: int):
+    g = pl.program_id(0)
+    # origins are pre-aligned to the (8, 128) memory tiling by the caller
+    oy = pl.multiple_of(origins_ref[g, 0], 8)
+    ox = pl.multiple_of(origins_ref[g, 1], 128)
+
+    # fetch the current accumulator tiles (input-aliased to the outputs,
+    # so grid step i reads what steps < i wrote — sequential, race-free)
+    in_s = pltpu.make_async_copy(
+        sci_out.at[pl.ds(oy, Th), pl.ds(ox, Tw)], sci_tile, sems.at[0])
+    in_w = pltpu.make_async_copy(
+        wht_out.at[pl.ds(oy, Th), pl.ds(ox, Tw)], wht_tile, sems.at[1])
+    in_s.start()
+    in_w.start()
+
+    v = data_ref[0]                             # (1, P)
+    wv = wht_ref[0]
+    px = x_ref[0] - ox.astype(jnp.float32)
+    py = y_ref[0] - oy.astype(jnp.float32)
+
+    Oyt = _overlap_matrix_t(py, Th, kernel, half, sigma)  # (Th, P)
+    Oxt = _overlap_matrix_t(px, Tw, kernel, half, sigma)  # (Tw, P)
+
+    # deposit of the whole block as one MXU contraction over P:
+    #   sci[r, c] += Σ_p (v·w)[p] · Oy[r, p] · Ox[c, p]
+    dn = (((1,), (1,)), ((), ()))
+    ds = jax.lax.dot_general(Oyt * (v * wv), Oxt, dimension_numbers=dn,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    dw = jax.lax.dot_general(Oyt * wv, Oxt, dimension_numbers=dn,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    in_s.wait()
+    in_w.wait()
+    sci_tile[:] = sci_tile[:] + ds
+    wht_tile[:] = wht_tile[:] + dw
+
+    out_s = pltpu.make_async_copy(
+        sci_tile, sci_out.at[pl.ds(oy, Th), pl.ds(ox, Tw)], sems.at[0])
+    out_w = pltpu.make_async_copy(
+        wht_tile, wht_out.at[pl.ds(oy, Th), pl.ds(ox, Tw)], sems.at[1])
+    out_s.start()
+    out_w.start()
+    out_s.wait()
+    out_w.wait()
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_shape", "pixfrac", "pscale_ratio", "kernel",
+                     "block", "tile", "max_rot", "interpret"),
+)
+def drizzle_deposit_pallas(
+    in_data: jax.Array,
+    in_wht: jax.Array | None,
+    x_out: jax.Array,
+    y_out: jax.Array,
+    out_shape: tuple[int, int],
+    pixfrac: float = 1.0,
+    pscale_ratio: float = 1.0,
+    kernel: str = "square",
+    block: tuple[int, int] = (8, 128),
+    tile: tuple[int, int] | None = None,
+    max_rot: float = 0.27,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Deposit one input plane onto an output grid (Pallas TPU path).
+
+    Same contract as :func:`subpixal_tpu.ops.drizzle.drizzle_deposit`:
+    returns ``(sci_acc, wht_acc)`` accumulators over ``out_shape``.
+
+    ``block`` is the (rows, cols) input-block shape walked by the grid;
+    ``tile`` the static output bbox tile per block (auto-sized from
+    ``block``, ``pscale_ratio`` and the kernel reach when None — covers
+    rotations up to ~15°).
+    """
+    if kernel not in ("square", "point", "gaussian"):
+        raise ValueError(
+            f"unknown kernel: {kernel!r} (expected "
+            "'square'|'point'|'gaussian')")
+    Ho, Wo = out_shape
+    H, W = in_data.shape
+    bh, bw = block
+    bh = min(bh, _round_up(H, 8))
+    bw = min(bw, _round_up(W, 128))
+
+    half = 0.5 * float(pixfrac) * float(pscale_ratio)
+    sigma = max(float(pixfrac) * float(pscale_ratio), 1e-3) / 2.3548
+    reach = {"square": half, "point": 0.51,
+             "gaussian": 2.5 * sigma}[kernel]
+
+    if tile is None:
+        # block extent in output pixels + rotation margin + kernel reach;
+        # max_rot ~ tan(max pixmap rotation) the tile must absorb
+        ey = (bh + max_rot * bw) * float(pscale_ratio) + 2 * reach + 3
+        ex = (bw + max_rot * bh) * float(pscale_ratio) + 2 * reach + 3
+        tile = (int(math.ceil(ey)), int(math.ceil(ex)))
+    # tile origins must sit on the (8, 128) memory tiling for the DMA
+    # slices, so tiles carry one extra alignment quantum of coverage
+    Th = _round_up(tile[0], 8) + 8
+    Tw = _round_up(tile[1], 128) + 128
+    Hop = max(_round_up(Ho, 8), Th)
+    Wop = max(_round_up(Wo, 128), Tw)
+
+    # pad the input to whole blocks with zero weight
+    Hp, Wp = _round_up(H, bh), _round_up(W, bw)
+    data = jnp.asarray(in_data, jnp.float32)
+    wht = (jnp.ones((H, W), jnp.float32) if in_wht is None
+           else jnp.asarray(in_wht, jnp.float32))
+    xo = jnp.asarray(x_out, jnp.float32)
+    yo = jnp.asarray(y_out, jnp.float32)
+    if (Hp, Wp) != (H, W):
+        pad = ((0, Hp - H), (0, Wp - W))
+        data = jnp.pad(data, pad)
+        wht = jnp.pad(wht, pad)  # zero weight -> no deposit
+        xo = jnp.pad(xo, pad, constant_values=-1e6)
+        yo = jnp.pad(yo, pad, constant_values=-1e6)
+
+    nby, nbx = Hp // bh, Wp // bw
+    nblocks = nby * nbx
+    P = bh * bw  # multiple of 128 (bw is)
+
+    def to_blocks(a):
+        # (nblocks, 1, P): unit sublane axis keeps the block shape legal
+        return (a.reshape(nby, bh, nbx, bw).transpose(0, 2, 1, 3)
+                .reshape(nblocks, 1, P))
+
+    data_b = to_blocks(data)
+    wht_b = to_blocks(wht)
+    x_b = to_blocks(xo)
+    y_b = to_blocks(yo)
+
+    # per-block tile origins; ignore zero-weight (padded / masked) pixels
+    big = 1e6
+    live = wht_b > 0
+    ymin = jnp.min(jnp.where(live, y_b, big), axis=(1, 2))
+    xmin = jnp.min(jnp.where(live, x_b, big), axis=(1, 2))
+    # rounded DOWN onto the (8, 128) memory tiling (coverage only grows)
+    oy = jnp.clip(
+        (jnp.floor(ymin - reach - 0.5).astype(jnp.int32) // 8) * 8,
+        0, Hop - Th)
+    ox = jnp.clip(
+        (jnp.floor(xmin - reach - 0.5).astype(jnp.int32) // 128) * 128,
+        0, Wop - Tw)
+    origins = jnp.stack([oy, ox], axis=1)
+
+    # out-of-grid pixels need no masking: their centers lie outside every
+    # tile, so each per-axis overlap is exactly zero
+
+    sci0 = jnp.zeros((Hop, Wop), jnp.float32)
+    wht0 = jnp.zeros((Hop, Wop), jnp.float32)
+
+    kern = functools.partial(_driz_kernel, kernel=kernel, half=half,
+                             sigma=sigma, Th=Th, Tw=Tw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, P), lambda g, o: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda g, o: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda g, o: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda g, o: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Th, Tw), jnp.float32),
+            pltpu.VMEM((Th, Tw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    sci, wht_acc = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((Hop, Wop), jnp.float32),
+                   jax.ShapeDtypeStruct((Hop, Wop), jnp.float32)),
+        grid_spec=grid_spec,
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(origins, data_b, wht_b, x_b, y_b, sci0, wht0)
+    return sci[:Ho, :Wo], wht_acc[:Ho, :Wo]

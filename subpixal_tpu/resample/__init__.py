@@ -128,13 +128,15 @@ class Drizzle(Resample):
                  output_shape: tuple[int, int] | None = None,
                  pixfrac: float = 1.0, kernel: str = "square",
                  fillval: float = 0.0, pscale: float | None = None,
-                 pscale_ratio: float = 1.0):
+                 pscale_ratio: float = 1.0,
+                 use_pallas: bool | str = "auto"):
         self.exposures: list[Exposure] = list(exposures or [])
         self.pixfrac = float(pixfrac)
         self.kernel = kernel
         self.fillval = float(fillval)
         self.pscale = pscale
         self.pscale_ratio = float(pscale_ratio)
+        self.use_pallas = use_pallas
         self._owcs = output_wcs
         self._oshape = output_shape
         self._sci_acc = None  # device arrays
@@ -156,13 +158,30 @@ class Drizzle(Resample):
 
     def _deposit(self, exp: Exposure):
         from ..blot import compute_pixmap
+        from ..kernels import use_pallas as _use_pallas
 
         H, W = exp.data.shape
         px, py = compute_pixmap(exp.wcs, self._owcs, (H, W))
         ratio = exp.wcs.pscale / self._owcs.pscale
+        wht = None if exp.weight is None else jnp.asarray(exp.weight)
+        if _use_pallas(self.use_pallas):
+            # MXU matmul-deposit kernel; tile sized exactly from the
+            # concrete host pixmap (SURVEY §2a/§7)
+            from ..kernels.drizzle import drizzle_deposit_pallas, required_tile
+
+            reach = {"square": 0.5 * self.pixfrac * ratio,
+                     "point": 0.51,
+                     "gaussian": 2.5 * self.pixfrac * ratio / 2.3548,
+                     }[self.kernel]
+            tile = required_tile(px, py, wht=exp.weight, reach=reach)
+            return drizzle_deposit_pallas(
+                jnp.asarray(exp.data), wht,
+                jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
+                self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
+                kernel=self.kernel, tile=tile,
+            )
         return drizzle_deposit(
-            jnp.asarray(exp.data), None if exp.weight is None
-            else jnp.asarray(exp.weight),
+            jnp.asarray(exp.data), wht,
             jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
             self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
             kernel=self.kernel,

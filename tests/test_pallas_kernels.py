@@ -1,0 +1,132 @@
+"""Pallas kernel correctness vs the XLA oracle paths.
+
+Runs the Mosaic kernels in interpreter mode on the CPU test backend
+(``tests/conftest.py`` forces ``JAX_PLATFORMS=cpu``); the same kernels
+compile for TPU and are cross-checked there by ``bench.py``/the align
+pipeline. Mirrors SURVEY.md §4 unit-test strategy: numpy/XLA oracles,
+masked-edge semantics, flux conservation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from subpixal_tpu.kernels.blot import sample_cutouts_pallas
+from subpixal_tpu.kernels.drizzle import drizzle_deposit_pallas
+from subpixal_tpu.ops.interp import sample_image
+from subpixal_tpu.ops.drizzle import drizzle_deposit
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    H, W = 200, 300
+    img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    B, h, w = 5, 24, 24
+    ox = rng.uniform(-8, W - 16, B)
+    oy = rng.uniform(-8, H - 16, B)
+    th = rng.uniform(-0.3, 0.3, B)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    x = (np.cos(th)[:, None, None] * xx - np.sin(th)[:, None, None] * yy
+         + ox[:, None, None]).astype(np.float32)
+    y = (np.sin(th)[:, None, None] * xx + np.cos(th)[:, None, None] * yy
+         + oy[:, None, None]).astype(np.float32)
+    return img, jnp.asarray(x), jnp.asarray(y)
+
+
+@pytest.mark.parametrize("interp", ["nearest", "linear", "poly3", "poly5",
+                                    "sinc"])
+def test_blot_kernel_matches_oracle(scene, interp):
+    img, x, y = scene
+    v1, ok1 = sample_cutouts_pallas(img, x, y, interp=interp,
+                                    tile=(64, 128), interpret=True)
+    v2, ok2 = jax.vmap(
+        lambda a, b: sample_image(img, a, b, interp=interp))(x, y)
+    ok1, ok2 = np.asarray(ok1), np.asarray(ok2)
+    # the kernel's validity may only be a subset (tile coverage)
+    assert not np.any(ok1 & ~ok2)
+    # here the tile covers every cutout: identical validity
+    np.testing.assert_array_equal(ok1, ok2)
+    np.testing.assert_allclose(np.asarray(v1)[ok1], np.asarray(v2)[ok1],
+                               atol=1e-6)
+    # invalid pixels carry the fill value
+    assert np.all(np.asarray(v1)[~ok1] == 0.0)
+
+
+def test_blot_kernel_fill_value(scene):
+    img, x, y = scene
+    v, ok = sample_cutouts_pallas(img, x, y, interp="linear",
+                                  tile=(64, 128), fill=-7.0,
+                                  interpret=True)
+    assert np.all(np.asarray(v)[~np.asarray(ok)] == -7.0)
+
+
+def test_blot_kernel_small_image():
+    """Images smaller than one tile are padded internally."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((40, 50)).astype(np.float32))
+    yy, xx = np.mgrid[0:8, 0:8].astype(np.float32)
+    x = jnp.asarray((xx + 11.3)[None])
+    y = jnp.asarray((yy + 9.8)[None])
+    v1, ok1 = sample_cutouts_pallas(img, x, y, interp="poly3",
+                                    interpret=True)
+    v2, ok2 = jax.vmap(
+        lambda a, b: sample_image(img, a, b, interp="poly3"))(x, y)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def driz_scene():
+    rng = np.random.default_rng(1)
+    H, W = 48, 260
+    data = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    wht = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    th = 0.05
+    gx = jnp.asarray(np.cos(th) * xx - np.sin(th) * yy + 3.3)
+    gy = jnp.asarray(np.sin(th) * xx + np.cos(th) * yy + 2.2)
+    return data, wht, gx, gy, (56, 270)
+
+
+@pytest.mark.parametrize("kernel,tol", [("square", 1e-5), ("point", 1e-6),
+                                        ("gaussian", 5e-4)])
+def test_drizzle_kernel_matches_oracle(driz_scene, kernel, tol):
+    data, wht, gx, gy, out_shape = driz_scene
+    s1, w1 = drizzle_deposit_pallas(data, wht, gx, gy, out_shape,
+                                    pixfrac=0.8, kernel=kernel,
+                                    interpret=True)
+    s2, w2 = drizzle_deposit(data, wht, gx, gy, out_shape, pixfrac=0.8,
+                             kernel=kernel)
+    # gaussian: the XLA oracle truncates the cloud at a K×K window, the
+    # matmul kernel keeps the (tiny) tail inside the whole tile
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=tol)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=tol)
+
+
+def test_drizzle_kernel_flux_conservation(driz_scene):
+    """Interior droplets deposit exactly their weight (area sums to 1)."""
+    data, _, gx, gy, _ = driz_scene
+    w = jnp.ones_like(data)
+    # output sized so every droplet lands fully inside the grid
+    out_shape = (80, 288)
+    s1, w1 = drizzle_deposit_pallas(data, w, gx, gy, out_shape,
+                                    pixfrac=1.0, kernel="square",
+                                    interpret=True)
+    np.testing.assert_allclose(float(w1.sum()), float(w.sum()), rtol=1e-5)
+    np.testing.assert_allclose(float(s1.sum()), float(data.sum()),
+                               rtol=1e-5)
+
+
+def test_drizzle_kernel_pixels_off_grid():
+    """Pixels mapping outside the output deposit nothing (no wraparound)."""
+    data = jnp.ones((16, 128), jnp.float32)
+    yy, xx = np.mgrid[0:16, 0:128].astype(np.float32)
+    gx = jnp.asarray(xx - 60.0)  # left half maps off-grid
+    gy = jnp.asarray(yy + 2.0)
+    s, w = drizzle_deposit_pallas(data, None, gx, gy, (32, 128),
+                                  interpret=True)
+    s2, w2 = drizzle_deposit(data, None, gx, gy, (32, 128))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=1e-5)
