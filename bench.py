@@ -114,30 +114,39 @@ def bench_cpu_reference(refs, imgs, n_pairs=40):
 def _dev_time_per_iter(make_loop, iters=(1, 21)):
     """Honest device time per iteration.
 
-    Runs the op in a *dependent* ``lax.fori_loop`` (each iteration's
-    input is perturbed by the previous output) inside one jit, syncs
-    once, and differences two loop lengths. This defeats both dispatch
-    pipelining and result caching in remoted/tunneled runtimes, and
-    subtracts the fixed dispatch/sync latency — naive per-call timing
-    with repeated identical arguments reports fantasy numbers there.
+    ``make_loop(k)`` must return a one-scalar-argument function running
+    the op k times in a *dependent* ``lax.fori_loop`` that folds both the
+    scalar and the previous iteration's output into the next input.
+
+    Three defenses, all required on remoted/tunneled runtimes where
+    naive timing reports fantasy numbers:
+    - dependent loop inside ONE jit → defeats dispatch pipelining and
+      measures device compute, not per-call relay round-trips;
+    - differencing two loop lengths → subtracts fixed dispatch/sync cost;
+    - a DISTINCT scalar argument on every invocation → defeats
+      result-caching of repeated identical calls.
     """
     import jax
+    import numpy as _np
 
     fs = {k: jax.jit(make_loop(k)) for k in iters}
-    for k in iters:
-        jax.block_until_ready(fs[k]())  # compile + warm
-    best = None
+    seed = 0.0
+    for k in iters:  # compile + warm
+        jax.block_until_ready(fs[k](_np.float32(seed)))
+        seed += 1.0
+    deltas = []
     for _ in range(3):
         ts = {}
         for k in iters:
+            arg = _np.float32(seed)
+            seed += 1.0
             t0 = time.perf_counter()
-            jax.block_until_ready(fs[k]())
+            jax.block_until_ready(fs[k](arg))
             ts[k] = time.perf_counter() - t0
         k0, k1 = iters
-        dt = (ts[k1] - ts[k0]) / (k1 - k0)
-        if dt > 0 and (best is None or dt < best):
-            best = dt
-    return best if best is not None else ts[k1] / k1
+        deltas.append((ts[k1] - ts[k0]) / (k1 - k0))
+    pos = sorted(d for d in deltas if d > 0)
+    return pos[len(pos) // 2] if pos else ts[k1] / k1
 
 
 def bench_tpu(refs, imgs, dxs, dys):
@@ -154,23 +163,79 @@ def bench_tpu(refs, imgs, dxs, dys):
     jax.block_until_ready(out)
 
     def make_loop(k):
-        def run():
+        def run(seed):
             def body(_, carry):
                 s, _ = carry
+                # constant offset: numerically visible, NCC-invariant
                 d = find_displacement(
-                    r_j + s * 1e-30, i_j, cc_type="NCC", usfac=10,
-                    fit_type="gaussian")
+                    r_j + (s * 1e-12 + seed * 1e-6), i_j, cc_type="NCC",
+                    usfac=10, fit_type="gaussian")
                 return (jnp.sum(d.dx), d.dx[0])
             return jax.lax.fori_loop(
                 0, k, body, (jnp.float32(0), jnp.float32(0)))[1]
         return run
 
-    dt = _dev_time_per_iter(make_loop)
+    dt = _dev_time_per_iter(make_loop, iters=(1, 101))
     ex = np.asarray(out.dx) - dxs
     ey = np.asarray(out.dy) - dys
     rmse_mpix = 1e3 * float(np.sqrt(np.mean(ex**2 + ey**2)))
     dxy = np.stack([np.asarray(out.dx), np.asarray(out.dy)], 1)
     return refs.shape[0] / dt, rmse_mpix, dxy
+
+
+def bench_kernels():
+    """Pallas blot/drizzle kernel throughput (TPU only; see SURVEY §2a).
+
+    Runs AFTER every pure-XLA compile in this process — on the tunneled
+    runtime the first XLA compile issued after a Mosaic compile stalls
+    for minutes (see .claude/skills/verify/SKILL.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    from subpixal_tpu.kernels.blot import sample_cutouts_pallas
+    from subpixal_tpu.kernels.drizzle import drizzle_deposit_pallas
+
+    rng = np.random.default_rng(3)
+    H = W = 1024
+    img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    B, h, w = 500, 64, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx = jnp.asarray((xx[None] + rng.uniform(3, W - 80, B)[:, None, None]
+                      ).astype(np.float32))
+    cy = jnp.asarray((yy[None] + rng.uniform(3, H - 80, B)[:, None, None]
+                      ).astype(np.float32))
+    gx = jnp.asarray(np.mgrid[0:H, 0:W][1].astype(np.float32) + 0.3)
+    gy = jnp.asarray(np.mgrid[0:H, 0:W][0].astype(np.float32) + 0.2)
+
+    def blot_loop(k):
+        def run(seed):
+            def body(_, s):
+                v, _ok = sample_cutouts_pallas(
+                    img, cx + (s * 1e-20 + seed * 1e-6), cy,
+                    interp="poly5", tile=(80, 128))
+                return jnp.sum(v) * 1e-12
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return run
+
+    def driz_loop(k):
+        def run(seed):
+            def body(_, s):
+                sci, _w = drizzle_deposit_pallas(
+                    img, None, gx + (s * 1e-20 + seed * 1e-6), gy,
+                    (H, W), tile=(16, 136))
+                return jnp.sum(sci) * 1e-12
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return run
+
+    dt_b = _dev_time_per_iter(blot_loop, iters=(1, 11))
+    dt_d = _dev_time_per_iter(driz_loop, iters=(1, 11))
+    return {
+        "pallas_blot_poly5_mpix_per_s": round(B * h * w / dt_b / 1e6, 1),
+        "pallas_drizzle_mpix_per_s": round(H * W / dt_d / 1e6, 1),
+    }
 
 
 def main():
@@ -182,6 +247,7 @@ def main():
     n = cpu_dxy.shape[0]
     vs_ref = 1e3 * float(
         np.sqrt(np.mean(np.sum((tpu_dxy[:n] - cpu_dxy) ** 2, axis=1))))
+    extras = bench_kernels()  # pallas sections last (compile-order rule)
     import jax
 
     print(json.dumps({
@@ -195,6 +261,7 @@ def main():
         "shift_rmse_vs_truth_mpix": round(rmse_mpix, 4),
         "shift_rmse_vs_reference_mpix": round(vs_ref, 4),
         "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 
