@@ -239,8 +239,19 @@ def bench_kernels():
 
 
 def main():
+    import os
+
+    trace_dir = os.environ.get("SUBPIXAL_TPU_TRACE")
+    if trace_dir:  # SURVEY §5 tracing hook: perfetto/xplane dump
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
     refs, imgs, dxs, dys = make_workload()
     tpu_ccs, rmse_mpix, tpu_dxy = bench_tpu(refs, imgs, dxs, dys)
+    if trace_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     cpu_ccs, cpu_dxy = bench_cpu_reference(refs, imgs)
     # BASELINE metric "shift RMSE vs reference": same data, TPU vs the
     # reference algorithm's own measurements (data noise cancels).

@@ -157,8 +157,8 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         h, w = cut_shape
 
         # ---- 1. re-drizzle all exposures with current corrections ----
-        def deposit(e):
-            px, py = _affine_apply_grid(Ms[e], ts[e], dri_px[e], dri_py[e])
+        def deposit(Ms_, ts_, e):
+            px, py = _affine_apply_grid(Ms_[e], ts_[e], dri_px[e], dri_py[e])
             if pallas:
                 from .kernels.drizzle import drizzle_deposit_pallas
 
@@ -173,51 +173,96 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 kernel=cfg.kernel,
             )
 
-        sci_acc = jnp.zeros(out_shape, jnp.float32)
-        wht_acc = jnp.zeros(out_shape, jnp.float32)
-        for e in range(E):  # static unroll; E is small
-            s, wgt = deposit(e)
-            sci_acc = sci_acc + s
-            wht_acc = wht_acc + wgt
-        drz = drizzle_combine(sci_acc, wht_acc)
+        def drizzle_all(Ms_, ts_):
+            sci_acc = jnp.zeros(out_shape, jnp.float32)
+            wht_acc = jnp.zeros(out_shape, jnp.float32)
+            for e in range(E):  # static unroll; E is small
+                s, wgt = deposit(Ms_, ts_, e)
+                sci_acc = sci_acc + s
+                wht_acc = wht_acc + wgt
+            return drizzle_combine(sci_acc, wht_acc)
 
-        # ---- 2. blot reference onto every cutout grid ----
-        bpx, bpy = _affine_apply_grid(
-            Ms[:, None, None, None], ts[:, None, None, None],
-            cut_px, cut_py,
-        )  # (E,N,h,w)
-        flat_x = bpx.reshape(E * N, h, w)
-        flat_y = bpy.reshape(E * N, h, w)
-        if pallas:
-            from .kernels.blot import sample_cutouts_pallas
+        def blot_cutouts(drz, flat_x, flat_y):
+            if pallas:
+                from .kernels.blot import sample_cutouts_pallas
 
-            blot_vals, blot_ok = sample_cutouts_pallas(
-                drz, flat_x, flat_y, interp=interp,
-                tile=blot_tile or (128, 128))
-        else:
-            blot_vals, blot_ok = jax.vmap(
+                return sample_cutouts_pallas(
+                    drz, flat_x, flat_y, interp=interp,
+                    tile=blot_tile or (128, 128))
+            return jax.vmap(
                 lambda x, y: sample_image(drz, x, y, interp=interp)
             )(flat_x, flat_y)
-        blotted = blot_vals.reshape(E, N, h, w)
-        blot_valid = blot_ok.reshape(E, N, h, w)
 
-        img = img_cut
-        msk = img_msk & blot_valid
-        if cfg.combine_seg_mask:
-            img = img * seg_cut
-            blotted = blotted * seg_cut
+        def measure(drz, Ms_, ts_, sel):
+            """Displacements of exposures ``sel`` (static list) vs ``drz``."""
+            k = len(sel)
+            idx = jnp.asarray(sel)
+            bpx, bpy = _affine_apply_grid(
+                Ms_[idx][:, None, None, None], ts_[idx][:, None, None, None],
+                cut_px[idx], cut_py[idx],
+            )  # (k,N,h,w)
+            flat_x = bpx.reshape(k * N, h, w)
+            flat_y = bpy.reshape(k * N, h, w)
+            blot_vals, blot_ok = blot_cutouts(drz, flat_x, flat_y)
+            blotted = blot_vals.reshape(k, N, h, w)
+            blot_valid = blot_ok.reshape(k, N, h, w)
 
-        # ---- 3. batched displacement measurement ----
-        d = find_displacement(
-            blotted.reshape(E * N, h, w), img.reshape(E * N, h, w),
-            cc_type=cfg.cc_type, usfac=cfg.usfac,
-            peak_fit_box=cfg.peak_fit_box, fit_type=cfg.fit_type,
-            ref_mask=msk.reshape(E * N, h, w),
-            img_mask=msk.reshape(E * N, h, w),
-        )
-        dxy = jnp.stack([d.dx, d.dy], axis=-1).reshape(E, N, 2)
-        meas_ok = d.fit_ok.reshape(E, N)
-        peak = d.peak.reshape(E, N)
+            img = img_cut[idx]
+            msk = img_msk[idx] & blot_valid
+            seg = seg_cut[idx]
+            if cfg.combine_seg_mask:
+                img = img * seg
+                blotted = blotted * seg
+
+            d = find_displacement(
+                blotted.reshape(k * N, h, w), img.reshape(k * N, h, w),
+                cc_type=cfg.cc_type, usfac=cfg.usfac,
+                peak_fit_box=cfg.peak_fit_box, fit_type=cfg.fit_type,
+                ref_mask=msk.reshape(k * N, h, w),
+                img_mask=msk.reshape(k * N, h, w),
+            )
+            dxy = jnp.stack([d.dx, d.dy], axis=-1).reshape(k, N, 2)
+            return dxy, d.fit_ok.reshape(k, N), d.peak.reshape(k, N)
+
+        if cfg.wcsupdate == "otf" and E > 1:
+            # update-as-you-go (reference non-'batch' mode, SURVEY §3.1):
+            # after fitting each exposure the reference image is rebuilt
+            # with its correction applied, so later exposures align
+            # against already-corrected ones. The Pallas drizzle makes
+            # the per-exposure rebuild affordable.
+            dxy_l, ok_l, pk_l = [], [], []
+            cur_M, cur_t = Ms, ts
+            for e in range(E):
+                drz = drizzle_all(cur_M, cur_t)
+                dxy_e, ok_e, pk_e = measure(drz, cur_M, cur_t, [e])
+                dxy_l.append(dxy_e[0])
+                ok_l.append(ok_e[0])
+                pk_l.append(pk_e[0])
+                # provisional single-exposure fit to update the state
+                # before the next exposure is measured
+                MJ_e = jnp.einsum("ij,njk->nik", cur_M[e], jac[e],
+                                  precision=_P)
+                duv_e = jnp.einsum("nik,nk->ni", MJ_e, dxy_e[0],
+                                   precision=_P)
+                w_e = (src_valid[e] & ok_e[0] & (pk_e[0] > 0)
+                       ).astype(jnp.float32)
+                if cfg.use_weights:
+                    w_e = w_e * src_w[e]
+                fit_e = iter_linear_fit(
+                    xy0[e] + duv_e, xy0[e], wxy=w_e, fitgeom=fitgeom,
+                    nclip=cfg.nclip, sigma=cfg.sigma)
+                newMe = jnp.einsum("ij,jk->ik", fit_e.matrix, cur_M[e],
+                                   precision=_P)
+                newte = jnp.einsum("ij,j->i", fit_e.matrix, cur_t[e],
+                                   precision=_P) + fit_e.shift
+                cur_M = cur_M.at[e].set(newMe)
+                cur_t = cur_t.at[e].set(newte)
+            dxy = jnp.stack(dxy_l)
+            meas_ok = jnp.stack(ok_l)
+            peak = jnp.stack(pk_l)
+        else:
+            drz = drizzle_all(Ms, ts)
+            dxy, meas_ok, peak = measure(drz, Ms, ts, list(range(E)))
 
         # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
         # Displacement in ref-frame pixels: duv = (M_e @ J_{e,n}) @ d_{e,n}.

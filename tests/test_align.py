@@ -143,3 +143,20 @@ def test_too_few_sources_raises():
     exps = [Exposure(data, make_wcs((32, 32)), name="e0")]
     with pytest.raises(ValueError):
         align_images(resample=Drizzle(exps), min_sources=3)
+
+
+def test_wcsupdate_otf_matches_batch():
+    """'otf' (update-as-you-go) mode recovers the same planted shifts as
+    'batch' (reference wcsupdate semantics, SURVEY §3.1)."""
+    err = np.array([(0.0, 0.0), (1.1, -0.6), (-0.8, 0.4)])
+    exps, _, _, _ = planted_scene(n_exp=3, shift_err=err)
+    res = align_images(
+        resample=Drizzle(exps, pixfrac=1.0),
+        fitgeom="shift", wcsupdate="otf", max_iterations=8,
+        eps_shift=0.004, usfac=1, fit_type="gaussian", min_sources=5,
+    )
+    assert res.converged
+    rel = res.shifts - res.shifts[0]
+    rel_true = err - err[0]
+    resid = np.abs(rel - rel_true).max()
+    assert resid < 0.01, f"otf relative shift error {resid*1e3:.2f} mpix"
