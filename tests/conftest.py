@@ -22,3 +22,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# SURVEY §5 "race detection / sanitizers": CI can run the whole suite with
+# NaN trapping and/or x64 on to catch dtype bugs —
+#   SUBPIXAL_TPU_DEBUG_NANS=1 SUBPIXAL_TPU_X64=1 pytest tests/
+if os.environ.get("SUBPIXAL_TPU_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+if os.environ.get("SUBPIXAL_TPU_X64"):
+    jax.config.update("jax_enable_x64", True)
