@@ -97,6 +97,7 @@ class ImageAlignInfo:
     rmse: float
     mae: float
     nmatches: int
+    iter_s: float = 0.0  # wall time of this device iteration (+fetch)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -133,6 +134,21 @@ def _affine_apply_grid(M, t, gx, gy):
     nx = M[..., 0, 0] * gx + M[..., 0, 1] * gy + t[..., 0]
     ny = M[..., 1, 0] * gx + M[..., 1, 1] * gy + t[..., 1]
     return nx, ny
+
+
+_STEP_CACHE: dict = {}
+
+
+def _build_step_cached(*key):
+    """jit-compiled steps keyed on their static configuration, so repeated
+    ``align_images`` calls with the same geometry reuse one compilation
+    (a fresh closure per call would otherwise recompile every time —
+    tens of seconds on TPU)."""
+    if key not in _STEP_CACHE:
+        if len(_STEP_CACHE) > 32:  # bound the cache
+            _STEP_CACHE.clear()
+        _STEP_CACHE[key] = _build_step(*key)
+    return _STEP_CACHE[key]
 
 
 def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
@@ -524,9 +540,9 @@ def align_images(
                                reach=reach, margin=4) for e in range(E)]
         driz_tile = (max(t[0] for t in tiles), max(t[1] for t in tiles))
 
-    step = _build_step(cfg, out_shape, cut_shape, cfg.interp, cfg.fitgeom,
-                       dri_ratio, pallas=pallas, blot_tile=blot_tile,
-                       driz_tile=driz_tile)
+    step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
+                              cfg.fitgeom, dri_ratio, pallas, blot_tile,
+                              driz_tile)
 
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
     ts = jnp.zeros((E, 2), jnp.float32)
@@ -539,11 +555,13 @@ def align_images(
     converged = False
     n_iter = 0
     for it in range(cfg.max_iterations):
+        t_it = time.time()
         with jax.named_scope("align_step"):
             Ms, ts, info = step(Ms, ts, *args)
         n_iter = it + 1
         G_t = np.asarray(info["G_t"])
         G_M = np.asarray(info["G_M"])
+        iter_s = time.time() - t_it  # includes the host fetch (true sync)
         recs = [
             ImageAlignInfo(
                 name=exps[e].name, iteration=it,
@@ -553,6 +571,7 @@ def align_images(
                 rmse=float(np.asarray(info["rmse"])[e]),
                 mae=float(np.asarray(info["mae"])[e]),
                 nmatches=int(np.asarray(info["nmatches"])[e]),
+                iter_s=iter_s,
             )
             for e in range(E)
         ]

@@ -110,9 +110,11 @@ def _band_matrix_t(l0: jax.Array, t: jax.Array, interp: str,
 def _blot_kernel(origins_ref, x_ref, y_ref, image_ref, out_ref,
                  tile_ref, sem, *, interp: str, Th: int, Tw: int):
     b = pl.program_id(0)
-    # origins are pre-aligned to the (8, 128) memory tiling by the caller
-    oy = pl.multiple_of(origins_ref[b, 0], 8)
-    ox = pl.multiple_of(origins_ref[b, 1], 128)
+    # origins are pre-aligned to the (8, 128) memory tiling by the caller;
+    # shape (2, B): SMEM pads the lane (last) dim to 128, so the batch
+    # must NOT be the leading dim or B*128 words would blow the 1MB SMEM
+    oy = pl.multiple_of(origins_ref[0, b], 8)
+    ox = pl.multiple_of(origins_ref[1, b], 128)
 
     # HBM -> VMEM tile for this cutout's bbox
     dma = pltpu.make_async_copy(
@@ -209,7 +211,7 @@ def sample_cutouts_pallas(
     xmin = jnp.floor(jnp.min(x, axis=(1, 2))).astype(jnp.int32) + lo
     oy = jnp.clip((ymin // 8) * 8, 0, Hp - Th)
     ox = jnp.clip((xmin // 128) * 128, 0, Wp - Tw)
-    origins = jnp.stack([oy, ox], axis=1)  # (B, 2) int32
+    origins = jnp.stack([oy, ox], axis=0)  # (2, B) int32 (SMEM-friendly)
 
     # (B, 1, Pp): unit sublane axis keeps the block shape legal (the
     # lane dim Pp is a 128-multiple; leading dims are blocked to 1)

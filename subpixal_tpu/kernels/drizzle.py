@@ -118,9 +118,10 @@ def _driz_kernel(origins_ref, data_ref, wht_ref, x_ref, y_ref,
                  kernel: str, half: float, sigma: float,
                  Th: int, Tw: int):
     g = pl.program_id(0)
-    # origins are pre-aligned to the (8, 128) memory tiling by the caller
-    oy = pl.multiple_of(origins_ref[g, 0], 8)
-    ox = pl.multiple_of(origins_ref[g, 1], 128)
+    # origins are pre-aligned to the (8, 128) memory tiling by the caller;
+    # shape (2, nblocks) keeps the SMEM lane padding off the batch dim
+    oy = pl.multiple_of(origins_ref[0, g], 8)
+    ox = pl.multiple_of(origins_ref[1, g], 128)
 
     # fetch the current accumulator tiles (input-aliased to the outputs,
     # so grid step i reads what steps < i wrote — sequential, race-free)
@@ -265,7 +266,7 @@ def drizzle_deposit_pallas(
     ox = jnp.clip(
         (jnp.floor(xmin - reach - 0.5).astype(jnp.int32) // 128) * 128,
         0, Wop - Tw)
-    origins = jnp.stack([oy, ox], axis=1)
+    origins = jnp.stack([oy, ox], axis=0)  # (2, nblocks), SMEM-friendly
 
     # out-of-grid pixels need no masking: their centers lie outside every
     # tile, so each per-axis overlap is exactly zero
