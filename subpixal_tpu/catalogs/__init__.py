@@ -110,6 +110,78 @@ def sigma_clipped_stats(data: np.ndarray, sigma: float = 3.0,
     return float(np.mean(d)), float(np.median(d)), float(np.std(d))
 
 
+def _deblend(img: np.ndarray, labels: np.ndarray, n: int,
+             threshold: float, nthresh: int, mincont: float,
+             connectivity: int) -> tuple[np.ndarray, int]:
+    """Multi-threshold deblending of merged components.
+
+    SExtractor-style semantics (DEBLEND_NTHRESH / DEBLEND_MINCONT): for
+    each component, scan ``nthresh`` exponentially spaced thresholds
+    between the detection threshold and the component peak; where the
+    component splits into >=2 sub-components that each carry more than
+    ``mincont`` of the total flux, those become separate objects, and
+    every remaining component pixel is assigned to the nearest surviving
+    seed's flux-weighted centroid. Returns a relabeled segmentation.
+    """
+    out = labels.astype(np.int32).copy()
+    next_id = n + 1
+    stats = component_stats(labels, img - np.float32(threshold), n)
+    for comp in range(1, n + 1):
+        peak = float(stats["peak"][comp - 1]) + threshold
+        if peak <= threshold or stats["area"][comp - 1] < 4:
+            continue
+        y0 = int(stats["ymin"][comp - 1])
+        y1 = int(stats["ymax"][comp - 1]) + 1
+        x0 = int(stats["xmin"][comp - 1])
+        x1 = int(stats["xmax"][comp - 1]) + 1
+        sub = img[y0:y1, x0:x1]
+        inside = out[y0:y1, x0:x1] == comp
+        total = float(np.sum((sub - threshold)[inside]))
+        if total <= 0:
+            continue
+        # cheap pre-check: a single local maximum can never deblend
+        p = np.pad(sub, 1, constant_values=-np.inf)
+        mx = sub
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    mx = np.maximum(
+                        mx, p[1 + dy:p.shape[0] - 1 + dy,
+                              1 + dx:p.shape[1] - 1 + dx])
+        if np.count_nonzero((sub >= mx) & inside) <= 1:
+            continue
+        # exponential threshold ladder (skip level 0 = original)
+        levels = threshold * np.power(peak / threshold,
+                                      np.arange(1, nthresh) / nthresh)
+        best_seeds = None
+        for lev in levels:
+            det = inside & (sub > lev)
+            if not det.any():
+                break
+            sl, ns = label_components(det, connectivity=connectivity)
+            if ns < 2:
+                continue
+            st = component_stats(sl, sub - np.float32(threshold), ns)
+            frac = st["flux"] / total
+            good = frac > mincont
+            if good.sum() >= 2:
+                best_seeds = (st["cx"][good], st["cy"][good])
+                # keep scanning: higher levels can separate closer pairs,
+                # and the LAST split found uses the tightest seeds
+        if best_seeds is None:
+            continue
+        sx, sy = best_seeds
+        yy, xx = np.nonzero(inside)
+        d2 = ((xx[:, None] - sx[None, :]) ** 2
+              + (yy[:, None] - sy[None, :]) ** 2)
+        owner = np.argmin(d2, axis=1)
+        ids = np.concatenate([[comp],
+                              np.arange(next_id, next_id + len(sx) - 1)])
+        next_id += len(sx) - 1
+        out[y0 + yy, x0 + xx] = ids[owner]
+    return out, next_id - 1
+
+
 def find_sources(
     image: np.ndarray,
     threshold: float | None = None,
@@ -117,13 +189,18 @@ def find_sources(
     npixels: int = 5,
     connectivity: int = 8,
     mask: np.ndarray | None = None,
+    deblend: bool = True,
+    deblend_nthresh: int = 32,
+    deblend_cont: float = 0.005,
 ) -> tuple[Table, np.ndarray]:
-    """Detect sources: threshold -> label -> measure.
+    """Detect sources: threshold -> label -> deblend -> measure.
 
     The SExtractor-replacement detection path (SURVEY §2a "JAX source
     finder: threshold + connected-component labeling + windowed
     centroid/flux"). Labeling runs in native C++; measurements come from
-    single-pass native moments.
+    single-pass native moments; merged neighbors are separated by
+    SExtractor-style multi-threshold deblending (``deblend_nthresh`` /
+    ``deblend_cont`` mirror DEBLEND_NTHRESH / DEBLEND_MINCONT).
 
     Returns (catalog Table, segmentation int32 image). Catalog columns:
     ``id`` (segment label), ``x``/``y`` (0-based flux-weighted centroids),
@@ -137,6 +214,10 @@ def find_sources(
     if mask is not None:
         det &= ~np.asarray(mask, bool)
     labels, n = label_components(det, connectivity=connectivity)
+    if deblend and n > 0:
+        labels, n = _deblend(img, labels, n, float(threshold),
+                             int(deblend_nthresh), float(deblend_cont),
+                             connectivity)
     if n == 0:
         empty = Table({k: np.zeros(0) for k in
                        ("id", "x", "y", "flux", "area", "peak",

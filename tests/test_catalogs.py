@@ -125,3 +125,43 @@ def test_sigma_clipped_stats_rejects_sources():
     mean, med, std = sigma_clipped_stats(data)
     assert abs(med - 5.0) < 0.1
     assert abs(std - 1.0) < 0.1
+
+
+def test_find_sources_deblends_merged_pair():
+    """Two overlapping Gaussians whose footprints merge at the detection
+    threshold must be separated by the multi-threshold deblender
+    (SExtractor DEBLEND_NTHRESH/DEBLEND_MINCONT semantics)."""
+    import numpy as np
+    from subpixal_tpu.catalogs import find_sources
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (100 * np.exp(-((xx - 28) ** 2 + (yy - 32) ** 2) / (2 * 2.5**2))
+           + 80 * np.exp(-((xx - 38) ** 2 + (yy - 32) ** 2) / (2 * 2.5**2)))
+    rng = np.random.default_rng(0)
+    img = (img + rng.normal(0, 0.05, img.shape)).astype(np.float32)
+
+    cat_noD, seg_noD = find_sources(img, threshold=1.0, deblend=False)
+    assert len(cat_noD) == 1  # merged at threshold
+
+    cat, seg = find_sources(img, threshold=1.0, deblend=True)
+    assert len(cat) == 2
+    xs = np.sort(np.asarray(cat["x"]))
+    assert abs(xs[0] - 28) < 1.0 and abs(xs[1] - 38) < 1.0
+    # segmentation ids match catalog ids and split the pair
+    ids = set(np.unique(np.asarray(seg))) - {0}
+    assert ids == set(int(i) for i in cat["id"])
+
+
+def test_find_sources_deblend_keeps_isolated():
+    """Isolated sources are untouched by deblending."""
+    import numpy as np
+    from subpixal_tpu.catalogs import find_sources
+
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float64)
+    img = np.zeros((96, 96))
+    for cx, cy in [(20, 20), (70, 25), (40, 70)]:
+        img += 50 * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 2.0**2))
+    img = img.astype(np.float32)
+    c1, _ = find_sources(img, threshold=0.5, deblend=False)
+    c2, _ = find_sources(img, threshold=0.5, deblend=True)
+    assert len(c1) == len(c2) == 3
