@@ -122,6 +122,8 @@ class AlignResult:
     converged: bool
     n_iterations: int
     drizzle: Drizzle | None = None
+    setup_s: float = 0.0  # host setup wall time (WCS pixmaps, cutouts)
+    setup_breakdown: dict | None = None  # per-stage setup seconds
 
 
 def _affine_apply_pts(M, t, pts):
@@ -397,13 +399,22 @@ def align_images(
     if not exps:
         raise ValueError("no exposures to align")
 
+    setup_breakdown: dict[str, float] = {}
+
+    def _mark(name, t0, _bd=setup_breakdown):
+        _bd[name] = _bd.get(name, 0.0) + (time.time() - t0)
+        return time.time()
+
     with jax.named_scope("align_setup"):
         t_setup = time.time()
+        t = t_setup
         # -- initial reference image ------------------------------------ #
         resample.execute()
+        t = _mark("resample_execute", t)
         drz_sci = resample.output_sci
         ref_wcs = resample.output_wcs
         out_shape = resample.output_shape
+        t = _mark("output_sci", t)
 
         # -- catalog + segmentation on the reference --------------------- #
         if catalogs is None:
@@ -414,6 +425,7 @@ def align_images(
             catalog_obj = catalogs
         cat = catalog_obj.catalog
         seg = catalog_obj.segmentation
+        t = _mark("catalog", t)
         if seg is None:
             seg = np.zeros(out_shape, np.int32)
         if len(cat) < cfg.min_sources:
@@ -427,6 +439,7 @@ def align_images(
         )
         if len(prim) < cfg.min_sources:
             raise ValueError("too few usable primary cutouts")
+        t = _mark("primary_cutouts", t)
 
         # -- static cutout shape ----------------------------------------- #
         if cfg.cutout_shape is None:
@@ -471,9 +484,11 @@ def align_images(
                 exp_wht[e] = exp.weight
             H, W = exp.data.shape
             # full-frame pixmap for drizzle (f64 -> f32)
+            t = time.time()
             px, py = compute_pixmap(exp.wcs, ref_wcs, (H, W))
             dri_px[e] = px
             dri_py[e] = py
+            t = _mark("frame_pixmaps", t)
             # predicted source positions in this exposure
             sx, sy = exp.wcs.world_to_pixel(ra_cat, dec_cat)
             inside = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
@@ -481,22 +496,22 @@ def align_images(
             # cutout windows (fixed for all iterations)
             bx = np.round(sx).astype(int) - w // 2
             by = np.round(sy).astype(int) - h // 2
-            # per-cutout pixmaps into the ref frame + Jacobians
+            # per-cutout pixmaps into the ref frame + Jacobians — one
+            # batched (N, h, w) WCS evaluation per exposure (a Python
+            # loop over N costs seconds at catalog scale)
             yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-            for n in range(N):
-                gx = xx + bx[n]
-                gy = yy + by[n]
-                ra, dec = exp.wcs.pixel_to_world(gx, gy)
-                rx, ry = ref_wcs.world_to_pixel(ra, dec)
-                cut_px[e, n] = rx
-                cut_py[e, n] = ry
-                cy, cx2 = h // 2, w // 2
-                jac[e, n] = [
-                    [(rx[cy, cx2 + 1] - rx[cy, cx2 - 1]) / 2.0,
-                     (rx[cy + 1, cx2] - rx[cy - 1, cx2]) / 2.0],
-                    [(ry[cy, cx2 + 1] - ry[cy, cx2 - 1]) / 2.0,
-                     (ry[cy + 1, cx2] - ry[cy - 1, cx2]) / 2.0],
-                ]
+            gx = xx[None] + bx[:, None, None]
+            gy = yy[None] + by[:, None, None]
+            ra, dec = exp.wcs.pixel_to_world(gx, gy)
+            rx, ry = ref_wcs.world_to_pixel(ra, dec)
+            cut_px[e] = rx
+            cut_py[e] = ry
+            cy, cx2 = h // 2, w // 2
+            jac[e, :, 0, 0] = (rx[:, cy, cx2 + 1] - rx[:, cy, cx2 - 1]) / 2.0
+            jac[e, :, 0, 1] = (rx[:, cy + 1, cx2] - rx[:, cy - 1, cx2]) / 2.0
+            jac[e, :, 1, 0] = (ry[:, cy, cx2 + 1] - ry[:, cy, cx2 - 1]) / 2.0
+            jac[e, :, 1, 1] = (ry[:, cy + 1, cx2] - ry[:, cy - 1, cx2]) / 2.0
+            t = _mark("cutout_pixmaps", t)
             # initial predictions in the ref frame = catalog positions
             # (the WCS roundtrip exposure->sky->ref is the identity there)
             xy0[e] = xy_cat.astype(np.float32)
@@ -506,6 +521,7 @@ def align_images(
                     np.stack([sx, sy], 1), jnp.float32), cut_shape)
             img_cut[e] = np.asarray(cb.data)
             img_msk[e] = np.asarray(cb.mask)
+            t = _mark("extract_cutouts", t)
             # per-source segmentation mask on the cutout grid: sample the
             # ref-frame segmentation at the initial pixmap (nearest) and
             # keep only this source's footprint
@@ -515,6 +531,7 @@ def align_images(
             sseg = np.asarray(sseg)
             seg_cut[e] = (np.abs(sseg - src_ids[:, None, None]) < 0.5
                           ).astype(np.float32)
+            t = _mark("seg_sample", t)
 
         dri_ratio = float(np.mean([exp.wcs.pscale for exp in exps])
                           / ref_wcs.pscale)
@@ -534,7 +551,10 @@ def align_images(
         # the sub-pixel affine corrections applied on device)
         ey = float((cut_py.max(axis=(2, 3)) - cut_py.min(axis=(2, 3))).max())
         ex = float((cut_px.max(axis=(2, 3)) - cut_px.min(axis=(2, 3))).max())
-        blot_tile = (int(np.ceil(ey)) + 12, int(np.ceil(ex)) + 12)
+        # quantized to the kernel's (8, 128) rounding -> better step-cache
+        # and Pallas-compile reuse across similar scenes
+        blot_tile = (int(np.ceil((np.ceil(ey) + 12) / 8) * 8),
+                     int(np.ceil((np.ceil(ex) + 12) / 128) * 128))
         reach = 0.5 * cfg.pixfrac * dri_ratio + 0.1
         tiles = [required_tile(dri_px[e], dri_py[e], wht=exp_wht[e],
                                reach=reach, margin=4) for e in range(E)]
@@ -603,5 +623,5 @@ def align_images(
     return AlignResult(
         exposures=out_exps, matrices=Ms_np, shifts=ts_np,
         history=hist, converged=converged, n_iterations=n_iter,
-        drizzle=final,
+        drizzle=final, setup_s=setup_s, setup_breakdown=setup_breakdown,
     )

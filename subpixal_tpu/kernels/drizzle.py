@@ -87,8 +87,12 @@ def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
     anyb = lb.any(1)
     ey = float(np.max(ey, initial=0.0, where=anyb))
     ex = float(np.max(ex, initial=0.0, where=anyb))
-    return (int(math.ceil(ey + 2 * reach + 1)) + margin,
-            int(math.ceil(ex + 2 * reach + 1)) + margin)
+    # quantize to the kernel's (8, 128) tile rounding so near-identical
+    # geometries (e.g. dithered exposures of one visit) share one static
+    # tile — and therefore ONE Pallas compilation, not one per exposure
+    th = int(math.ceil(ey + 2 * reach + 1)) + margin
+    tw = int(math.ceil(ex + 2 * reach + 1)) + margin
+    return (-(-th // 8) * 8, -(-tw // 128) * 128)
 
 
 def _overlap_matrix_t(pos: jax.Array, width: int, kernel: str,

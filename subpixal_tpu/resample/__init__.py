@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.drizzle import drizzle_combine, drizzle_deposit
@@ -142,6 +143,21 @@ class Drizzle(Resample):
         self._sci_acc = None  # device arrays
         self._wht_acc = None
         self._per_exp: dict[str, tuple] = {}  # name -> (sci_dep, wht_dep)
+        self._combine_warm = False
+
+    def _warm_combine(self):
+        """Compile the XLA combine BEFORE any Pallas deposit runs.
+
+        On tunneled TPU runtimes the first pure-XLA compile issued after
+        a Mosaic (Pallas) compile can stall for minutes (see
+        .claude/skills/verify/SKILL.md); compiling the tiny combine
+        up-front (~1s) sidesteps that for ``output_sci``.
+        """
+        if self._combine_warm or self._oshape is None:
+            return
+        z = jnp.zeros(self._oshape, jnp.float32)
+        jax.block_until_ready(drizzle_combine(z, z))
+        self._combine_warm = True
 
     # -- setup ----------------------------------------------------------- #
     def _ensure_output_grid(self):
@@ -191,6 +207,7 @@ class Drizzle(Resample):
     def execute(self) -> None:
         """(Re)drizzle the full stack; caches per-exposure deposits."""
         self._ensure_output_grid()
+        self._warm_combine()
         Ho, Wo = self._oshape
         sci = jnp.zeros((Ho, Wo), jnp.float32)
         wht = jnp.zeros((Ho, Wo), jnp.float32)
@@ -206,6 +223,7 @@ class Drizzle(Resample):
         """Add one exposure's contribution (the reference's fast add path,
         SURVEY §3.2)."""
         self._ensure_output_grid()
+        self._warm_combine()
         if self._sci_acc is None:
             Ho, Wo = self._oshape
             self._sci_acc = jnp.zeros((Ho, Wo), jnp.float32)
