@@ -160,3 +160,17 @@ def test_wcsupdate_otf_matches_batch():
     rel_true = err - err[0]
     resid = np.abs(rel - rel_true).max()
     assert resid < 0.01, f"otf relative shift error {resid*1e3:.2f} mpix"
+
+
+def test_result_observability_fields():
+    """AlignResult exposes setup timings and per-iteration wall times."""
+    exps, _, _, _ = planted_scene(n_exp=2, shift_err=[(0, 0), (0.5, -0.4)])
+    res = align_images(
+        resample=Drizzle(exps), fitgeom="shift", max_iterations=2,
+        eps_shift=0.0, usfac=1, min_sources=5,
+    )
+    assert res.setup_s > 0
+    assert set(res.setup_breakdown) >= {
+        "resample_execute", "catalog", "primary_cutouts",
+        "frame_pixmaps", "cutout_pixmaps", "extract_cutouts"}
+    assert all(recs[0].iter_s > 0 for recs in res.history)
