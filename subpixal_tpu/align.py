@@ -141,15 +141,24 @@ def _affine_apply_grid(M, t, gx, gy):
 _STEP_CACHE: dict = {}
 
 
-def _build_step_cached(*key):
+def _build_step_cached(cfg: "AlignConfig", *rest):
     """jit-compiled steps keyed on their static configuration, so repeated
     ``align_images`` calls with the same geometry reuse one compilation
     (a fresh closure per call would otherwise recompile every time —
-    tens of seconds on TPU)."""
+    tens of seconds on TPU).
+
+    Host-only knobs that never enter the traced step (iteration caps,
+    convergence threshold, history policy, source-count floor) are
+    normalized out of the key so changing them cannot force a recompile.
+    """
+    key_cfg = dataclasses.replace(
+        cfg, max_iterations=0, eps_shift=0.0, history="all",
+        min_sources=0, use_pallas=False)  # `pallas` bool is in `rest`
+    key = (key_cfg,) + rest
     if key not in _STEP_CACHE:
         if len(_STEP_CACHE) > 32:  # bound the cache
             _STEP_CACHE.clear()
-        _STEP_CACHE[key] = _build_step(*key)
+        _STEP_CACHE[key] = _build_step(cfg, *rest)
     return _STEP_CACHE[key]
 
 
@@ -248,17 +257,18 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             # with its correction applied, so later exposures align
             # against already-corrected ones. The Pallas drizzle makes
             # the per-exposure rebuild affordable.
-            dxy_l, ok_l, pk_l = [], [], []
+            uv_l, w_l, fit_l = [], [], []
             cur_M, cur_t = Ms, ts
             for e in range(E):
                 drz = drizzle_all(cur_M, cur_t)
                 dxy_e, ok_e, pk_e = measure(drz, cur_M, cur_t, [e])
-                dxy_l.append(dxy_e[0])
-                ok_l.append(ok_e[0])
-                pk_l.append(pk_e[0])
-                # provisional single-exposure fit to update the state
-                # before the next exposure is measured
-                MJ_e = jnp.einsum("ij,njk->nik", cur_M[e], jac[e],
+                # fit this exposure and update the state before the next
+                # exposure is measured. NOTE: the state at measurement
+                # time for exposure e is still the iteration-start
+                # (Ms[e], ts[e]) — only OTHER exposures' updates have
+                # affected the reference image — so these fits ARE the
+                # iteration's per-exposure fits (no re-fit needed below).
+                MJ_e = jnp.einsum("ij,njk->nik", Ms[e], jac[e],
                                   precision=_P)
                 duv_e = jnp.einsum("nik,nk->ni", MJ_e, dxy_e[0],
                                    precision=_P)
@@ -269,51 +279,60 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 fit_e = iter_linear_fit(
                     xy0[e] + duv_e, xy0[e], wxy=w_e, fitgeom=fitgeom,
                     nclip=cfg.nclip, sigma=cfg.sigma)
-                newMe = jnp.einsum("ij,jk->ik", fit_e.matrix, cur_M[e],
+                newMe = jnp.einsum("ij,jk->ik", fit_e.matrix, Ms[e],
                                    precision=_P)
-                newte = jnp.einsum("ij,j->i", fit_e.matrix, cur_t[e],
+                newte = jnp.einsum("ij,j->i", fit_e.matrix, ts[e],
                                    precision=_P) + fit_e.shift
                 cur_M = cur_M.at[e].set(newMe)
                 cur_t = cur_t.at[e].set(newte)
-            dxy = jnp.stack(dxy_l)
-            meas_ok = jnp.stack(ok_l)
-            peak = jnp.stack(pk_l)
+                uv_l.append(xy0[e] + duv_e)
+                w_l.append(w_e)
+                fit_l.append(fit_e)
+            uv = jnp.stack(uv_l)
+            wgt = jnp.stack(w_l)
+            from .ops.fit import LinearFitResult
+
+            fit = LinearFitResult(*(jnp.stack(parts) for parts in
+                                    zip(*fit_l)))
+            newM, newt = cur_M, cur_t
         else:
             drz = drizzle_all(Ms, ts)
             dxy, meas_ok, peak = measure(drz, Ms, ts, list(range(E)))
 
-        # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
-        # Displacement in ref-frame pixels: duv = (M_e @ J_{e,n}) @ d_{e,n}.
-        # Exact identity: (measured ref position of the actual source)
-        # minus (its position in the CURRENT drizzled reference) equals
-        # duv — independent of where the drz frame itself sits. Fitting
-        # G: (q + duv) -> q with q approximated by the fixed catalog
-        # positions xy0 therefore has the true fixed point d=0 => G=I;
-        # any small error in the q estimate only perturbs the (tiny)
-        # matrix part through leverage, never the shift (for which it
-        # cancels exactly). Using a MOVING target like F_e(xy0) instead
-        # introduces a common-mode drift of the whole frame — seen as a
-        # never-converging shared shift.
-        MJ = jnp.einsum("eij,enjk->enik", Ms, jac, precision=_P)
-        duv = jnp.einsum("enik,enk->eni", MJ, dxy, precision=_P)
-        uv = xy0 + duv   # measured positions (up to the common q estimate)
+            # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
+            # Displacement in ref-frame px: duv = (M_e @ J_{e,n}) @ d_{e,n}.
+            # Exact identity: (measured ref position of the actual source)
+            # minus (its position in the CURRENT drizzled reference) equals
+            # duv — independent of where the drz frame itself sits. Fitting
+            # G: (q + duv) -> q with q approximated by the fixed catalog
+            # positions xy0 therefore has the true fixed point d=0 => G=I;
+            # any small error in the q estimate only perturbs the (tiny)
+            # matrix part through leverage, never the shift (for which it
+            # cancels exactly). Using a MOVING target like F_e(xy0) instead
+            # introduces a common-mode drift of the whole frame — seen as a
+            # never-converging shared shift.
+            MJ = jnp.einsum("eij,enjk->enik", Ms, jac, precision=_P)
+            duv = jnp.einsum("enik,enk->eni", MJ, dxy, precision=_P)
+            uv = xy0 + duv   # measured positions (up to the q estimate)
 
-        wgt = src_valid & meas_ok & (peak > 0)
-        wgt = wgt.astype(jnp.float32)
-        if cfg.use_weights:
-            wgt = wgt * src_w
+            wgt = src_valid & meas_ok & (peak > 0)
+            wgt = wgt.astype(jnp.float32)
+            if cfg.use_weights:
+                wgt = wgt * src_w
 
-        # Incremental correction G maps MEASURED positions back onto the
-        # reference positions; the updated exposure map is F' = G∘F.
-        fit = jax.vmap(
-            lambda a, b, ww: iter_linear_fit(
-                a, b, wxy=ww, fitgeom=fitgeom,
-                nclip=cfg.nclip, sigma=cfg.sigma)
-        )(uv, xy0, wgt)
+            # Incremental correction G maps MEASURED positions back onto
+            # the reference positions; the updated map is F' = G∘F.
+            fit = jax.vmap(
+                lambda a, b, ww: iter_linear_fit(
+                    a, b, wxy=ww, fitgeom=fitgeom,
+                    nclip=cfg.nclip, sigma=cfg.sigma)
+            )(uv, xy0, wgt)
+
+            G_M, G_t = fit.matrix, fit.shift
+            newM = jnp.einsum("eij,ejk->eik", G_M, Ms, precision=_P)
+            newt = jnp.einsum("eij,ej->ei", G_M, ts, precision=_P) + G_t
 
         G_M, G_t = fit.matrix, fit.shift
-        newM = jnp.einsum("eij,ejk->eik", G_M, Ms, precision=_P)
-        newt = jnp.einsum("eij,ej->ei", G_M, ts, precision=_P) + G_t
 
         # Convergence metric: max over exposures of the rms incremental
         # source motion |G(uv) - uv| (the reference's eps_shift test, made
@@ -394,7 +413,7 @@ def align_images(
         if exposures is None:
             raise ValueError("provide `resample` (Drizzle) or `exposures`")
         resample = Drizzle(list(exposures), pixfrac=cfg.pixfrac,
-                           kernel=cfg.kernel)
+                           kernel=cfg.kernel, use_pallas=cfg.use_pallas)
     exps = list(resample.exposures)
     if not exps:
         raise ValueError("no exposures to align")
@@ -619,7 +638,8 @@ def align_images(
                                  exptime=exp.exptime, name=exp.name))
 
     final = Drizzle(out_exps, output_wcs=ref_wcs, output_shape=out_shape,
-                    pixfrac=cfg.pixfrac, kernel=cfg.kernel)
+                    pixfrac=cfg.pixfrac, kernel=cfg.kernel,
+                    use_pallas=cfg.use_pallas)
     return AlignResult(
         exposures=out_exps, matrices=Ms_np, shifts=ts_np,
         history=hist, converged=converged, n_iterations=n_iter,

@@ -150,10 +150,18 @@ def _deblend(img: np.ndarray, labels: np.ndarray, n: int,
                               1 + dx:p.shape[1] - 1 + dx])
         if np.count_nonzero((sub >= mx) & inside) <= 1:
             continue
-        # exponential threshold ladder (skip level 0 = original)
-        levels = threshold * np.power(peak / threshold,
-                                      np.arange(1, nthresh) / nthresh)
+        # exponential threshold ladder (skip level 0 = original).
+        # SExtractor's ratio ladder needs threshold > 0; for zero/negative
+        # detection thresholds (legal here: background-subtracted images)
+        # use an exponentially spaced additive ladder over the same span.
+        steps = np.arange(1, nthresh) / nthresh
+        if threshold > 0:
+            levels = threshold * np.power(peak / threshold, steps)
+        else:
+            frac = np.expm1(4.0 * steps) / np.expm1(4.0)
+            levels = threshold + (peak - threshold) * frac
         best_seeds = None
+        best_n = 1
         for lev in levels:
             det = inside & (sub > lev)
             if not det.any():
@@ -164,10 +172,14 @@ def _deblend(img: np.ndarray, labels: np.ndarray, n: int,
             st = component_stats(sl, sub - np.float32(threshold), ns)
             frac = st["flux"] / total
             good = frac > mincont
-            if good.sum() >= 2:
+            # SExtractor keeps every branch that passes mincont at ANY
+            # level: prefer the split with the MOST surviving children
+            # (ties -> the higher level, whose seeds are tighter). Taking
+            # simply the last level would merge away faint children that
+            # drop below high levels.
+            if good.sum() >= max(2, best_n):
                 best_seeds = (st["cx"][good], st["cy"][good])
-                # keep scanning: higher levels can separate closer pairs,
-                # and the LAST split found uses the tightest seeds
+                best_n = int(good.sum())
         if best_seeds is None:
             continue
         sx, sy = best_seeds

@@ -143,16 +143,12 @@ def _us_dft_kernel(s0: jax.Array, tfrac: jax.Array, nfreq: int, period: int):
 
 
 def _us_phase_diag(s0: jax.Array, nfreq: int, period: int) -> jax.Array:
-    """Per-cutout diagonal phase ``D[b, u] = exp(+2πi f_u s0_b / P)``.
-
-    Exact int32 modular reduction keeps float32 sufficient (see
-    :func:`_us_dft_kernel`).
+    """Per-cutout diagonal phase ``D[b, u] = exp(+2πi f_u s0_b / P)`` —
+    :func:`_us_dft_kernel` at zero fractional offset (one shared int32
+    modular-reduction implementation for the numerics-critical phases).
     """
-    f = jnp.fft.fftfreq(period) * period
-    f = jnp.round(f).astype(jnp.int32)[:nfreq]
-    ph = jnp.mod(f[None, :] * s0[:, None].astype(jnp.int32), period)
-    ang = (2.0 * jnp.pi / period) * ph.astype(jnp.float32)
-    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    return _us_dft_kernel(s0, jnp.zeros((1,), jnp.float32), nfreq,
+                          period)[:, 0, :]
 
 
 def _upsampled_correlation(

@@ -108,11 +108,23 @@ def _extract_box(data: jax.Array, iy: jax.Array, ix: jax.Array, k: int):
              == jnp.arange(h, dtype=r0.dtype)[None, None, :])  # (B, k, h)
     sel_c = (c0[:, None, None] + ki[None, :, None]
              == jnp.arange(w, dtype=c0.dtype)[None, None, :])  # (B, k, w)
-    # box[b, i, j] = sum_{r, c} sel_r[b,i,r] data[b,r,c] sel_c[b,j,c]
-    tmp = jnp.einsum("bir,brc->bic", sel_r.astype(dt), data,
-                     precision=jax.lax.Precision.HIGHEST)
-    box = jnp.einsum("bjc,bic->bij", sel_c.astype(dt), tmp,
-                     precision=jax.lax.Precision.HIGHEST)
+    # box[b, i, j] = sum_{r, c} sel_r[b,i,r] data[b,r,c] sel_c[b,j,c].
+    # Non-finite pixels must be zeroed first (0 * nan = nan, so one bad
+    # pixel ANYWHERE in the surface would otherwise poison every box);
+    # they are re-poisoned below only where they fall INSIDE a box —
+    # exactly the dynamic_slice semantics (NaN in box -> fit falls back).
+    finite = jnp.isfinite(data)
+    safe = jnp.where(finite, data, jnp.zeros((), dt))
+    P = jax.lax.Precision.HIGHEST
+    sr = sel_r.astype(dt)
+    sc = sel_c.astype(dt)
+    tmp = jnp.einsum("bir,brc->bic", sr, safe, precision=P)
+    box = jnp.einsum("bjc,bic->bij", sc, tmp, precision=P)
+    bad = jnp.einsum(
+        "bjc,bic->bij", sc,
+        jnp.einsum("bir,brc->bic", sr, (~finite).astype(dt), precision=P),
+        precision=P)
+    box = jnp.where(bad > 0, jnp.nan, box)
     return box, r0, c0
 
 

@@ -165,3 +165,35 @@ def test_find_sources_deblend_keeps_isolated():
     c1, _ = find_sources(img, threshold=0.5, deblend=False)
     c2, _ = find_sources(img, threshold=0.5, deblend=True)
     assert len(c1) == len(c2) == 3
+
+
+def test_find_sources_deblend_zero_threshold():
+    """threshold<=0 (background-subtracted images) must not crash the
+    deblender (ratio ladder undefined; falls back to additive ladder)."""
+    import numpy as np
+    from subpixal_tpu.catalogs import find_sources
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (100 * np.exp(-((xx - 28) ** 2 + (yy - 32) ** 2) / (2 * 2.5**2))
+           + 80 * np.exp(-((xx - 38) ** 2 + (yy - 32) ** 2) / (2 * 2.5**2))
+           - 0.5).astype(np.float32)
+    for thr in (0.0, -0.2):
+        cat, _ = find_sources(img, threshold=thr, deblend=True)
+        assert len(cat) >= 2
+
+
+def test_find_sources_deblend_keeps_faint_child():
+    """A faint companion above deblend_cont must survive even though it
+    drops below the high threshold levels (most-children split wins,
+    not the last level's)."""
+    import numpy as np
+    from subpixal_tpu.catalogs import find_sources
+
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float64)
+    img = (100 * np.exp(-((xx - 36) ** 2 + (yy - 48) ** 2) / (2 * 2.5**2))
+           + 95 * np.exp(-((xx - 60) ** 2 + (yy - 48) ** 2) / (2 * 2.5**2))
+           + 10 * np.exp(-((xx - 48) ** 2 + (yy - 60) ** 2) / (2 * 2.5**2)))
+    img = img.astype(np.float32)
+    cat, _ = find_sources(img, threshold=1.0, deblend=True,
+                          deblend_cont=0.005)
+    assert len(cat) == 3, f"expected 3 deblended sources, got {len(cat)}"

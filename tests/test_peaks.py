@@ -96,3 +96,30 @@ def test_search_box_restricts_argmax():
 def test_small_fit_box_rejected():
     with pytest.raises(ValueError):
         find_peak(jnp.zeros((9, 9)), peak_fit_box=2)
+
+
+def test_find_peak_nan_outside_box_is_harmless():
+    """A non-finite pixel far from the peak must not poison the fit box
+    (the one-hot extraction zeroes it); one inside the box falls back to
+    the integer argmax, like the reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from subpixal_tpu.ops.peaks import find_peak
+
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+    img = np.exp(-((xx - 16.3) ** 2 + (yy - 15.6) ** 2) / 6.0)
+    img = img.astype(np.float32)
+
+    far = img.copy()
+    far[2, 2] = np.nan
+    mask = np.isfinite(far)  # NaNs must be masked for the argmax search
+    r = find_peak(jnp.asarray(far[None]), peak_fit_box=5,
+                  mask=jnp.asarray(mask[None]))
+    assert bool(r.fit_ok[0])
+    assert abs(float(r.x[0]) - 16.3) < 0.05
+    assert abs(float(r.y[0]) - 15.6) < 0.05
+
+    near = img.copy()
+    near[15, 16] = np.nan  # inside the fit box around the argmax
+    r2 = find_peak(jnp.asarray(near[None]), peak_fit_box=5)
+    assert not bool(r2.fit_ok[0])  # integer-argmax fallback
