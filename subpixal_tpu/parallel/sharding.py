@@ -189,6 +189,8 @@ def make_sharded_align_step(
     nclip: int = 3,
     sigma: float = 3.0,
     interp: str = "poly5",
+    use_pallas: bool | str = False,
+    blot_tile: tuple[int, int] = (128, 128),
 ):
     """Build the full multi-chip align iteration (BASELINE config 5).
 
@@ -212,6 +214,9 @@ def make_sharded_align_step(
     axis = mesh.axis_names[0]
     E = int(n_frames)
     _HP = jax.lax.Precision.HIGHEST
+    from ..kernels import use_pallas as _use_pallas
+
+    pallas = _use_pallas(use_pallas)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -229,8 +234,16 @@ def make_sharded_align_step(
               + Mi[:, 0, 1, None, None] * cut_py + ti[:, 0, None, None])
         by = (Mi[:, 1, 0, None, None] * cut_px
               + Mi[:, 1, 1, None, None] * cut_py + ti[:, 1, None, None])
-        blotted, ok = jax.vmap(
-            lambda x, y: sample_image(drz, x, y, interp=interp))(bx, by)
+        if pallas:
+            # per-device MXU blot kernel on the local cutout shard
+            from ..kernels.blot import sample_cutouts_pallas
+
+            blotted, ok = sample_cutouts_pallas(
+                drz, bx, by, interp=interp, tile=blot_tile)
+        else:
+            blotted, ok = jax.vmap(
+                lambda x, y: sample_image(drz, x, y, interp=interp)
+            )(bx, by)
         m = msk & ok
         d = find_displacement(
             blotted, img, cc_type=cc_type, usfac=usfac,
