@@ -34,13 +34,28 @@ def compute_pixmap(
     """Map every pixel of a ``shape`` grid in ``from_wcs``'s frame (offset
     by ``blc`` = (y0, x0)) to pixel coordinates in ``to_wcs``'s frame.
 
-    Returns float64 arrays (x_to, y_to) of shape ``shape``.
+    The composition goes pixel -> tangent (linear CD + SIP), then an
+    **exact 3x3 homography** between the two gnomonic tangent planes
+    (:func:`subpixal_tpu.wcs.wcs.tangent_homography` — no per-pixel
+    spherical trig), then tangent -> pixel. Returns float64 arrays
+    (x_to, y_to) of shape ``shape``.
     """
+    from .wcs.wcs import tangent_homography
+
     h, w = shape
     y0, x0 = blc
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    ra, dec = from_wcs.pixel_to_world(xx + x0, yy + y0)
-    xt, yt = to_wcs.world_to_pixel(ra, dec)
+    xi, eta = from_wcs.pixel_to_tangent(xx + x0, yy + y0)  # degrees
+    M = tangent_homography(from_wcs.crval, to_wcs.crval)
+    d2r = np.pi / 180.0
+    x = xi * d2r
+    y = eta * d2r
+    w0 = M[0, 0] + M[0, 1] * x + M[0, 2] * y
+    w1 = M[1, 0] + M[1, 1] * x + M[1, 2] * y
+    w2 = M[2, 0] + M[2, 1] * x + M[2, 2] * y
+    xi2 = (w1 / w0) / d2r
+    eta2 = (w2 / w0) / d2r
+    xt, yt = to_wcs.tangent_to_pixel(xi2, eta2)
     return np.asarray(xt), np.asarray(yt)
 
 

@@ -123,3 +123,27 @@ def test_apply_tangent_affine_corrects_planted_error():
     ra_w, dec_w = wrong.pixel_to_world(x, y)
     pwx, pwy = ref.world_to_pixel(ra_w, dec_w)
     assert np.abs(pwx - ptx).max() > 0.1
+
+
+def test_tangent_homography_matches_spherical_roundtrip():
+    """Gnomonic->gnomonic reprojection via the 3x3 homography is exact
+    (pixel-level agreement with the full spherical round trip)."""
+    import numpy as np
+    from subpixal_tpu.wcs.wcs import TanWCS
+    from subpixal_tpu.blot import compute_pixmap
+
+    ps = 0.05 / 3600
+    a = np.zeros((3, 3)); a[2, 0] = 1e-7; a[0, 2] = -5e-8
+    b = np.zeros((3, 3)); b[1, 1] = 8e-8
+    w1 = TanWCS(crpix=np.array([64., 64.]), crval=np.array([150., 2.]),
+                cd=np.array([[-ps, 1e-8], [1e-8, ps]]), a=a, b=b)
+    w2 = TanWCS(crpix=np.array([60., 70.]),
+                crval=np.array([150.002, 2.001]),
+                cd=np.array([[-ps, 0], [0, ps]]))
+    h, w = 96, 80
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    ra, dec = w1.pixel_to_world(xx, yy)
+    xo, yo = w2.world_to_pixel(ra, dec)
+    px, py = compute_pixmap(w1, w2, (h, w))
+    np.testing.assert_allclose(px, xo, atol=1e-8)
+    np.testing.assert_allclose(py, yo, atol=1e-8)
