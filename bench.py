@@ -241,16 +241,14 @@ def bench_kernels():
 def main():
     import os
 
+    import jax
+
     trace_dir = os.environ.get("SUBPIXAL_TPU_TRACE")
     if trace_dir:  # SURVEY §5 tracing hook: perfetto/xplane dump
-        import jax
-
         jax.profiler.start_trace(trace_dir)
     refs, imgs, dxs, dys = make_workload()
     tpu_ccs, rmse_mpix, tpu_dxy = bench_tpu(refs, imgs, dxs, dys)
     if trace_dir:
-        import jax
-
         jax.profiler.stop_trace()
     cpu_ccs, cpu_dxy = bench_cpu_reference(refs, imgs)
     # BASELINE metric "shift RMSE vs reference": same data, TPU vs the
@@ -259,7 +257,6 @@ def main():
     vs_ref = 1e3 * float(
         np.sqrt(np.mean(np.sum((tpu_dxy[:n] - cpu_dxy) ** 2, axis=1))))
     extras = bench_kernels()  # pallas sections last (compile-order rule)
-    import jax
 
     print(json.dumps({
         "metric": "batched cutout cross-correlations/sec "

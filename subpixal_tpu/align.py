@@ -220,13 +220,25 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 lambda x, y: sample_image(drz, x, y, interp=interp)
             )(flat_x, flat_y)
 
-        def measure(drz, Ms_, ts_, sel):
-            """Displacements of exposures ``sel`` (static list) vs ``drz``."""
-            k = len(sel)
-            idx = jnp.asarray(sel)
+        def measure(drz, Ms_, ts_, sel=None):
+            """Displacements of exposures ``sel`` vs ``drz``.
+
+            ``sel=None`` measures all exposures without the (pointless)
+            identity gathers a full index selection would emit."""
+            if sel is None:
+                k = E
+                Mi, ti = Ms_, ts_
+                cpx, cpy = cut_px, cut_py
+                img, mk0, seg = img_cut, img_msk, seg_cut
+            else:
+                k = len(sel)
+                idx = jnp.asarray(sel)
+                Mi, ti = Ms_[idx], ts_[idx]
+                cpx, cpy = cut_px[idx], cut_py[idx]
+                img, mk0, seg = img_cut[idx], img_msk[idx], seg_cut[idx]
             bpx, bpy = _affine_apply_grid(
-                Ms_[idx][:, None, None, None], ts_[idx][:, None, None, None],
-                cut_px[idx], cut_py[idx],
+                Mi[:, None, None, None], ti[:, None, None, None],
+                cpx, cpy,
             )  # (k,N,h,w)
             flat_x = bpx.reshape(k * N, h, w)
             flat_y = bpy.reshape(k * N, h, w)
@@ -234,9 +246,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             blotted = blot_vals.reshape(k, N, h, w)
             blot_valid = blot_ok.reshape(k, N, h, w)
 
-            img = img_cut[idx]
-            msk = img_msk[idx] & blot_valid
-            seg = seg_cut[idx]
+            msk = mk0 & blot_valid
             if cfg.combine_seg_mask:
                 img = img * seg
                 blotted = blotted * seg
@@ -297,7 +307,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             newM, newt = cur_M, cur_t
         else:
             drz = drizzle_all(Ms, ts)
-            dxy, meas_ok, peak = measure(drz, Ms, ts, list(range(E)))
+            dxy, meas_ok, peak = measure(drz, Ms, ts)
 
             # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
             # Displacement in ref-frame px: duv = (M_e @ J_{e,n}) @ d_{e,n}.

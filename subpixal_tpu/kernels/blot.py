@@ -41,17 +41,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.interp import INTERP_TAPS
+from ..ops.interp import INTERP_OFFSETS, INTERP_TAPS
+
+from ._common import round_up as _round_up
 
 __all__ = ["sample_cutouts_pallas"]
 
-_OFFSETS = {
-    "linear": (0, 1),
-    "poly3": (-1, 0, 1, 2),
-    "spline3": (-1, 0, 1, 2),
-    "poly5": (-2, -1, 0, 1, 2, 3),
-    "sinc": (-2, -1, 0, 1, 2, 3),
-}
+_OFFSETS = INTERP_OFFSETS  # single source of truth (ops.interp)
 
 
 def _tap_weight(t: jax.Array, interp: str, i: int) -> jax.Array:
@@ -139,10 +135,6 @@ def _blot_kernel(origins_ref, x_ref, y_ref, image_ref, out_ref,
     )
     # horizontal pass on the VPU
     out_ref[0] = jnp.sum(G * Axt, axis=0, keepdims=True)
-
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
 
 
 @functools.partial(

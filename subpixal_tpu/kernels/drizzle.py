@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import round_up as _round_up
+
 __all__ = ["drizzle_deposit_pallas", "required_tile"]
 
 
@@ -167,10 +169,6 @@ def _driz_kernel(origins_ref, data_ref, wht_ref, x_ref, y_ref,
     out_w.start()
     out_s.wait()
     out_w.wait()
-
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
 
 
 @functools.partial(

@@ -27,16 +27,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample_image", "INTERP_TAPS"]
+__all__ = ["sample_image", "INTERP_TAPS", "INTERP_OFFSETS"]
 
-INTERP_TAPS = {
-    "nearest": 1,
-    "linear": 2,
-    "poly3": 4,
-    "spline3": 4,
-    "poly5": 6,
-    "sinc": 6,
+#: integer tap offsets of each separable interpolant (consecutive); the
+#: single source of truth shared with the Pallas kernel in
+#: :mod:`subpixal_tpu.kernels.blot`
+INTERP_OFFSETS = {
+    "nearest": (0,),
+    "linear": (0, 1),
+    "poly3": (-1, 0, 1, 2),
+    "spline3": (-1, 0, 1, 2),
+    "poly5": (-2, -1, 0, 1, 2, 3),
+    "sinc": (-2, -1, 0, 1, 2, 3),
 }
+
+INTERP_TAPS = {k: len(v) for k, v in INTERP_OFFSETS.items()}
 
 
 def _lagrange_weights(t: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
@@ -71,22 +76,18 @@ def _lanczos_weights(t: jax.Array, offsets: tuple[int, ...], a: int = 3):
 
 def _axis_weights(t: jax.Array, interp: str) -> tuple[jax.Array, tuple[int, ...]]:
     """Per-axis taps weights for fractional coordinate part ``t`` in [0,1)."""
+    if interp not in INTERP_OFFSETS:
+        raise ValueError(
+            f"unknown interp: {interp!r} "
+            f"(expected one of {sorted(INTERP_TAPS)})")
+    offs = INTERP_OFFSETS[interp]
     if interp == "nearest":
-        return jnp.ones(t.shape + (1,), t.dtype), (0,)
+        return jnp.ones(t.shape + (1,), t.dtype), offs
     if interp == "linear":
-        return jnp.stack([1.0 - t, t], axis=-1), (0, 1)
-    if interp in ("poly3", "spline3"):
-        offs = (-1, 0, 1, 2)
-        return _lagrange_weights(t, offs), offs
-    if interp == "poly5":
-        offs = (-2, -1, 0, 1, 2, 3)
-        return _lagrange_weights(t, offs), offs
+        return jnp.stack([1.0 - t, t], axis=-1), offs
     if interp == "sinc":
-        offs = (-2, -1, 0, 1, 2, 3)
         return _lanczos_weights(t, offs), offs
-    raise ValueError(
-        f"unknown interp: {interp!r} (expected one of {sorted(INTERP_TAPS)})"
-    )
+    return _lagrange_weights(t, offs), offs
 
 
 def sample_image(
