@@ -243,6 +243,9 @@ def main():
 
     import jax
 
+    from subpixal_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     trace_dir = os.environ.get("SUBPIXAL_TPU_TRACE")
     if trace_dir:  # SURVEY §5 tracing hook: perfetto/xplane dump
         jax.profiler.start_trace(trace_dir)

@@ -8,7 +8,31 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["parse_file_name", "py2round"]
+__all__ = ["parse_file_name", "py2round", "enable_compilation_cache"]
+
+
+def enable_compilation_cache(path: str | None = None,
+                             min_compile_secs: float = 0.5) -> str:
+    """Turn on JAX's persistent compilation cache.
+
+    First compiles of the jitted align step / kernels cost 10–80 s on
+    TPU; with the cache they are served from disk on every subsequent
+    process (verified to work through remote-compile tunnels). Called by
+    ``bench.py``, ``__graft_entry__`` and the test suite; library users
+    should call it once at startup.
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "subpixal_tpu_xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return path
 
 _EXT_RE = re.compile(r"^(?P<file>.+?)(?:\[(?P<ext>[^\]]+)\])?$")
 

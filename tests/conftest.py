@@ -30,3 +30,9 @@ if os.environ.get("SUBPIXAL_TPU_DEBUG_NANS"):
     jax.config.update("jax_debug_nans", True)
 if os.environ.get("SUBPIXAL_TPU_X64"):
     jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: most of the suite's runtime is jit
+# compiles; repeated runs are served from disk
+from subpixal_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
