@@ -82,6 +82,13 @@ class AlignConfig:
     kernel: str = "square"
     min_sources: int = 3
     use_pallas: bool | str = "auto"  # Pallas blot/drizzle kernels on TPU
+    # run the WHOLE fixed-point iteration on device (lax.while_loop with
+    # preallocated history buffers; one host sync total). Measured on
+    # v5e: the while-loop body pessimizes the Pallas drizzle's buffer
+    # aliasing (~330 vs 103 ms/iter on an 8-frame scene), so the host
+    # loop is the default; flip on where per-iteration dispatch latency
+    # dominates (very high-latency tunnels, tiny scenes).
+    device_loop: bool | str = False
 
 
 @dataclasses.dataclass
@@ -371,6 +378,59 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
     return jax.jit(step)
 
 
+_LOOP_CACHE: dict = {}
+
+
+def _build_device_loop(step, max_iterations: int, E: int, cache_key=None):
+    """Wrap a step into an on-device ``lax.while_loop`` fixed point.
+
+    The host loop pays a relay/dispatch round trip per iteration (tens of
+    ms on tunneled TPU runtimes); this runs every iteration on device,
+    records the per-iteration fit info into preallocated history buffers
+    and syncs with the host exactly once. Returns
+    ``loop(Ms, ts, eps, *args) -> (Ms, ts, n_iter, hist-dict)``.
+    """
+    if cache_key is not None and cache_key in _LOOP_CACHE:
+        return _LOOP_CACHE[cache_key][1]
+    T = int(max_iterations)
+
+    def loop(Ms, ts, eps, *args):
+        hist = dict(
+            G_M=jnp.zeros((T, E, 2, 2), jnp.float32),
+            G_t=jnp.zeros((T, E, 2), jnp.float32),
+            rms=jnp.zeros((T, E, 2), jnp.float32),
+            rmse=jnp.zeros((T, E), jnp.float32),
+            mae=jnp.zeros((T, E), jnp.float32),
+            nmatches=jnp.zeros((T, E), jnp.int32),
+            max_shift=jnp.zeros((T,), jnp.float32),
+        )
+
+        def cond(c):
+            it, _, _, _, done = c
+            return (it < T) & ~done
+
+        def body(c):
+            it, Ms_, ts_, h, _ = c
+            M2, t2, info = step(Ms_, ts_, *args)
+            h = {k: h[k].at[it].set(jnp.asarray(info[k], h[k].dtype))
+                 for k in h}
+            done = info["max_shift"] < eps
+            return (it + 1, M2, t2, h, done)
+
+        it, Ms_f, ts_f, hist, done = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), Ms, ts, hist, jnp.bool_(False)))
+        return Ms_f, ts_f, it, done, hist
+
+    out = jax.jit(loop)
+    if cache_key is not None:
+        if len(_LOOP_CACHE) > 32:
+            _LOOP_CACHE.clear()
+        # hold the step too: cache keys include id(step), which must not
+        # be recycled by the GC while its loop entry is alive
+        _LOOP_CACHE[cache_key] = (step, out)
+    return out
+
+
 def align_images(
     catalogs: ImageCatalog | Sequence[ImageCatalog] | None = None,
     resample: Drizzle | None = None,
@@ -600,41 +660,73 @@ def align_images(
         cut_px, cut_py, img_cut, img_msk, seg_cut, jac, xy0,
         flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
 
-    hist: list[list[ImageAlignInfo]] = []
-    converged = False
-    n_iter = 0
-    for it in range(cfg.max_iterations):
-        t_it = time.time()
-        with jax.named_scope("align_step"):
-            Ms, ts, info = step(Ms, ts, *args)
-        n_iter = it + 1
-        G_t = np.asarray(info["G_t"])
-        G_M = np.asarray(info["G_M"])
-        iter_s = time.time() - t_it  # includes the host fetch (true sync)
-        recs = [
+    def _make_recs(it, G_M, G_t, rms, rmse, mae, nmatches, iter_s):
+        return [
             ImageAlignInfo(
                 name=exps[e].name, iteration=it,
                 shift=tuple(map(float, G_t[e])),
                 matrix=tuple(tuple(map(float, row)) for row in G_M[e]),
-                rms=tuple(map(float, np.asarray(info["rms"])[e])),
-                rmse=float(np.asarray(info["rmse"])[e]),
-                mae=float(np.asarray(info["mae"])[e]),
-                nmatches=int(np.asarray(info["nmatches"])[e]),
+                rms=tuple(map(float, rms[e])),
+                rmse=float(rmse[e]),
+                mae=float(mae[e]),
+                nmatches=int(nmatches[e]),
                 iter_s=iter_s,
             )
             for e in range(E)
         ]
-        if cfg.history == "all" or not hist:
-            hist.append(recs)
-        else:
-            hist[-1] = recs
-        if verbose:
-            for r in recs:
-                print(r.to_json())
-        max_shift = float(np.asarray(info["max_shift"]))
-        if max_shift < cfg.eps_shift:
-            converged = True
-            break
+
+    hist: list[list[ImageAlignInfo]] = []
+    converged = False
+    n_iter = 0
+    dev_loop = (not verbose) if cfg.device_loop == "auto" \
+        else bool(cfg.device_loop)
+    dev_loop = dev_loop and not verbose
+    if dev_loop:
+        # one device program runs the whole fixed point; single host sync
+        loop = _build_device_loop(
+            step, cfg.max_iterations, E,
+            cache_key=("loop", cfg.max_iterations, E, id(step)))
+        t_it = time.time()
+        with jax.named_scope("align_loop"):
+            Ms, ts, it_dev, done, dhist = loop(
+                Ms, ts, jnp.float32(cfg.eps_shift), *args)
+        n_iter = int(np.asarray(it_dev))
+        converged = bool(np.asarray(done))
+        iter_s = (time.time() - t_it) / max(n_iter, 1)
+        h_np = {k: np.asarray(v) for k, v in dhist.items()}
+        for it in range(n_iter):
+            recs = _make_recs(
+                it, h_np["G_M"][it], h_np["G_t"][it], h_np["rms"][it],
+                h_np["rmse"][it], h_np["mae"][it], h_np["nmatches"][it],
+                iter_s)
+            if cfg.history == "all" or not hist:
+                hist.append(recs)
+            else:
+                hist[-1] = recs
+    else:
+        for it in range(cfg.max_iterations):
+            t_it = time.time()
+            with jax.named_scope("align_step"):
+                Ms, ts, info = step(Ms, ts, *args)
+            n_iter = it + 1
+            G_t = np.asarray(info["G_t"])
+            G_M = np.asarray(info["G_M"])
+            iter_s = time.time() - t_it  # includes the fetch (true sync)
+            recs = _make_recs(
+                it, G_M, G_t, np.asarray(info["rms"]),
+                np.asarray(info["rmse"]), np.asarray(info["mae"]),
+                np.asarray(info["nmatches"]), iter_s)
+            if cfg.history == "all" or not hist:
+                hist.append(recs)
+            else:
+                hist[-1] = recs
+            if verbose:
+                for r in recs:
+                    print(r.to_json())
+            max_shift = float(np.asarray(info["max_shift"]))
+            if max_shift < cfg.eps_shift:
+                converged = True
+                break
 
     # ------------------------------------------------------------------ #
     # write corrections back into WCSs (host)

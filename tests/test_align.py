@@ -174,3 +174,31 @@ def test_result_observability_fields():
         "resample_execute", "catalog", "primary_cutouts",
         "frame_pixmaps", "cutout_pixmaps", "extract_cutouts"}
     assert all(recs[0].iter_s > 0 for recs in res.history)
+
+
+def test_device_loop_matches_host_loop():
+    """The on-device while_loop fixed point gives the same corrections
+    and history as the host loop."""
+    err = np.array([(0.0, 0.0), (0.9, -0.5)])
+    exps, _, _, _ = planted_scene(n_exp=2, shift_err=err)
+
+    def run(device_loop):
+        es = [Exposure(e.data.copy(), e.wcs.copy(), name=e.name)
+              for e in exps]
+        return align_images(
+            resample=Drizzle(es), fitgeom="shift", max_iterations=6,
+            eps_shift=0.004, usfac=1, fit_type="gaussian", min_sources=5,
+            device_loop=device_loop,
+        )
+
+    r_dev = run(True)
+    r_host = run(False)
+    assert r_dev.converged == r_host.converged
+    assert r_dev.n_iterations == r_host.n_iterations
+    np.testing.assert_allclose(r_dev.shifts, r_host.shifts, atol=1e-5)
+    np.testing.assert_allclose(r_dev.matrices, r_host.matrices, atol=1e-7)
+    assert len(r_dev.history) == len(r_host.history)
+    for recs_d, recs_h in zip(r_dev.history, r_host.history):
+        for d, h in zip(recs_d, recs_h):
+            assert d.nmatches == h.nmatches
+            np.testing.assert_allclose(d.shift, h.shift, atol=1e-5)
