@@ -17,6 +17,7 @@ cached so ``add_image``/``drop_image`` are O(1 exposure), not O(stack).
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence
 
 import numpy as np
@@ -261,6 +262,95 @@ class Drizzle(Resample):
         return np.asarray(
             drizzle_combine(self._sci_acc, self._wht_acc, fill=self.fillval)
         )
+
+    @property
+    def output_ctx(self) -> np.ndarray:
+        """Context map: bit e set where exposure e contributed weight
+        (parity with AstroDrizzle's CTX product)."""
+        if self._sci_acc is None:
+            self.execute()
+        Ho, Wo = self._oshape
+        ctx = np.zeros((Ho, Wo), np.int64)
+        for e, exp in enumerate(self.exposures):
+            dep = self._per_exp.get(exp.name)
+            if dep is not None:
+                ctx |= (np.asarray(dep[1]) > 0).astype(np.int64) << e
+        return ctx
+
+    def reject_cr(self, snr: float = 4.0, scale: float = 1.2,
+                  interp: str = "linear") -> list[np.ndarray]:
+        """Cosmic-ray rejection against the median-combined stack.
+
+        The AstroDrizzle ``driz_cr`` capability (SURVEY §3.2 "CR
+        rejection"), TPU-style: each exposure's resampled plane is
+        median-combined on the output grid (robust to single-exposure
+        CRs); the median is blotted back onto each exposure's distorted
+        frame; pixels with ``|data - blot| > snr·sigma + scale·deriv``
+        (deriv = local gradient of the blotted image, absorbing
+        interpolation error at sharp sources) are flagged, their weights
+        zeroed, and the stack re-drizzled.
+
+        Returns the per-exposure boolean CR masks (True = rejected).
+        Requires >= 3 exposures for a meaningful median.
+        """
+        import jax.numpy as jnp
+
+        from ..blot import compute_pixmap
+        from ..ops.interp import sample_image
+
+        if len(self.exposures) < 3:
+            raise ValueError("CR rejection needs >= 3 exposures")
+        if self._sci_acc is None:
+            self.execute()
+        Ho, Wo = self._oshape
+
+        # masked median of the per-exposure resampled planes
+        planes = np.full((len(self.exposures), Ho, Wo), np.nan, np.float32)
+        for e, exp in enumerate(self.exposures):
+            s, w = self._per_exp[exp.name]
+            s = np.asarray(s)
+            w = np.asarray(w)
+            good = w > 0
+            planes[e][good] = s[good] / w[good]
+        with warnings.catch_warnings():
+            # pixels covered by no exposure are all-NaN -> fillval
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = np.nanmedian(planes, axis=0)
+        med = np.nan_to_num(med, nan=float(self.fillval))
+        med_j = jnp.asarray(med, jnp.float32)
+
+        masks: list[np.ndarray] = []
+        for exp in self.exposures:
+            px, py = compute_pixmap(exp.wcs, self._owcs, exp.data.shape)
+            blot, ok = sample_image(med_j, jnp.asarray(px, jnp.float32),
+                                    jnp.asarray(py, jnp.float32),
+                                    interp=interp)
+            blot = np.asarray(blot)
+            ok = np.asarray(ok)
+            # local gradient of the blotted model (driz_cr's derivative
+            # image): max abs difference to the 4 neighbors
+            p = np.pad(blot, 1, mode="edge")
+            deriv = np.maximum.reduce([
+                np.abs(blot - p[:-2, 1:-1]), np.abs(blot - p[2:, 1:-1]),
+                np.abs(blot - p[1:-1, :-2]), np.abs(blot - p[1:-1, 2:]),
+            ])
+            resid = exp.data - blot
+            sel = ok & (np.abs(resid) < np.inf)
+            sig = float(np.std(resid[sel])) if sel.any() else 0.0
+            # robust sigma: clip once around the bulk
+            if sel.any():
+                r = resid[sel]
+                med_r = np.median(r)
+                mad = np.median(np.abs(r - med_r)) * 1.4826
+                sig = float(mad) if mad > 0 else sig
+            cr = ok & (np.abs(resid) > snr * sig + scale * deriv)
+            masks.append(cr)
+            wht = (np.ones_like(exp.data) if exp.weight is None
+                   else exp.weight.copy())
+            wht[cr] = 0.0
+            exp.weight = wht
+        self.execute()  # re-drizzle with CRs removed
+        return masks
 
     @property
     def output_wht(self) -> np.ndarray:

@@ -158,3 +158,60 @@ def test_fractional_offset_centroid_preserved(frac):
     cy = (s * yy).sum() / s.sum()
     assert cx == pytest.approx(8 + frac, abs=1e-5)
     assert cy == pytest.approx(8 + frac / 2, abs=1e-5)
+
+
+def _dithered_exposures(n=3, shape=(56, 60), noise=0.02, seed=1):
+    """n dithered exposures of one synthetic star field."""
+    rng = np.random.default_rng(seed)
+    stars = [(15.0, 18.0), (40.0, 22.0), (28.0, 44.0)]
+    exps = []
+    for e in range(n):
+        dx, dy = rng.uniform(-2, 2, 2)
+        # crpix shifted by (dx, dy) -> a fixed sky point lands at
+        # pixel + (dx, dy): render stars there so the stack is aligned
+        wcs = make_wcs((shape[1] / 2 + dx, shape[0] / 2 + dy))
+        img = rng.normal(0, noise, shape).astype(np.float32)
+        for x0, y0 in stars:
+            img += gauss(*shape, x0 + dx, y0 + dy, s=1.8, amp=30.0)
+        exps.append(Exposure(img, wcs, name=f"d{e}"))
+    return exps
+
+
+def test_output_ctx_bitmask():
+    """Context map: bit e set exactly where exposure e deposited weight."""
+    exps = _dithered_exposures(n=2)
+    d = Drizzle(exps)
+    d.execute()
+    ctx = d.output_ctx
+    for e, exp in enumerate(exps):
+        w = np.asarray(d._per_exp[exp.name][1])
+        np.testing.assert_array_equal((ctx >> e) & 1, (w > 0).astype(int))
+
+
+def test_reject_cr_removes_planted_hits():
+    """Planted cosmic rays in single exposures are flagged against the
+    median stack and removed from the combined product (driz_cr parity)."""
+    rng = np.random.default_rng(8)
+    exps = _dithered_exposures(n=4, noise=0.01, seed=3)
+    # plant bright single-exposure hits well inside the frame
+    hits = [(20, 30), (40, 15), (11, 44)]
+    for k, (y, x) in enumerate(hits):
+        exps[k % len(exps)].data[y, x] += 500.0
+    d = Drizzle(exps)
+    d.execute()
+    masks = d.reject_cr(snr=5.0)
+    for k, (y, x) in enumerate(hits):
+        assert masks[k % len(exps)][y, x], f"CR at {(y, x)} not flagged"
+    # false-positive rate stays tiny
+    fp = sum(m.sum() for m in masks) - len(hits)
+    assert fp < 0.001 * exps[0].data.size * len(exps)
+    # combined product no longer carries the hits
+    sci = d.output_sci
+    wcs0 = exps[0].wcs
+    for k, (y, x) in enumerate(hits):
+        e = exps[k % len(exps)]
+        ra, dec = e.wcs.pixel_to_world(np.array([float(x)]),
+                                       np.array([float(y)]))
+        ox, oy = d.output_wcs.world_to_pixel(ra, dec)
+        v = sci[int(round(float(oy))), int(round(float(ox)))]
+        assert v < 100.0, f"CR flux leaked into the stack at {(y, x)}: {v}"
