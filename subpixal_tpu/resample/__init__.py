@@ -27,7 +27,30 @@ import jax.numpy as jnp
 from ..ops.drizzle import drizzle_combine, drizzle_deposit
 from ..wcs.wcs import TanWCS
 
-__all__ = ["Resample", "Drizzle", "Exposure", "make_output_wcs"]
+__all__ = ["Resample", "Drizzle", "Exposure", "make_output_wcs",
+           "make_static_mask"]
+
+
+def make_static_mask(exposures: "Sequence[Exposure]",
+                     nsigma: float = 4.0) -> np.ndarray:
+    """Static bad-pixel mask in the DETECTOR frame (True = bad).
+
+    The AstroDrizzle "static mask" stage: pixels that sit consistently
+    low relative to each exposure's own sky statistics across the whole
+    stack are detector defects (dead/hot-subtracted pixels), flagged
+    once and excluded from every deposit. A defect is low in EVERY
+    exposure, so the pixel-wise MAXIMUM of the sky-subtracted normalized
+    stack must still sit below -nsigma; a transient low pixel (noise,
+    one bad readout) has a normal value in some exposure and escapes.
+    """
+    from ..catalogs import sigma_clipped_stats
+
+    stack = []
+    for exp in exposures:
+        _, med, std = sigma_clipped_stats(exp.data)
+        stack.append((exp.data - med) / max(std, 1e-12))
+    hi = np.max(np.stack(stack), axis=0)
+    return hi < -float(nsigma)
 
 
 class Exposure:
@@ -276,6 +299,43 @@ class Drizzle(Resample):
             if dep is not None:
                 ctx |= (np.asarray(dep[1]) > 0).astype(np.int64) << e
         return ctx
+
+    def match_sky(self, subtract: bool = True) -> np.ndarray:
+        """Per-exposure sky estimation / matching (AstroDrizzle's sky
+        stage, SURVEY §3.2).
+
+        Estimates each exposure's sky as the sigma-clipped median of its
+        pixels and, when ``subtract``, removes it in place so the
+        combine is background-consistent (otherwise only returns the
+        estimates). Returns the per-exposure sky values.
+        """
+        from ..catalogs import sigma_clipped_stats
+
+        skies = np.zeros(len(self.exposures))
+        for e, exp in enumerate(self.exposures):
+            _, med, _ = sigma_clipped_stats(exp.data)
+            skies[e] = med
+        if subtract:
+            for exp, sky in zip(self.exposures, skies):
+                exp.data = exp.data - np.float32(sky)
+            # cached deposits are stale now
+            self._per_exp.clear()
+            self._sci_acc = self._wht_acc = None
+        return skies
+
+    def apply_static_mask(self, nsigma: float = 4.0) -> np.ndarray:
+        """Build the stack's static bad-pixel mask and zero its weight
+        in every exposure (AstroDrizzle's static-mask stage)."""
+        mask = make_static_mask(self.exposures, nsigma=nsigma)
+        if mask.any():
+            for exp in self.exposures:
+                wht = (np.ones_like(exp.data) if exp.weight is None
+                       else exp.weight.copy())
+                wht[mask] = 0.0
+                exp.weight = wht
+            self._per_exp.clear()
+            self._sci_acc = self._wht_acc = None
+        return mask
 
     def reject_cr(self, snr: float = 4.0, scale: float = 1.2,
                   interp: str = "linear") -> list[np.ndarray]:

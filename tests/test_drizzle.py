@@ -213,5 +213,41 @@ def test_reject_cr_removes_planted_hits():
         ra, dec = e.wcs.pixel_to_world(np.array([float(x)]),
                                        np.array([float(y)]))
         ox, oy = d.output_wcs.world_to_pixel(ra, dec)
-        v = sci[int(round(float(oy))), int(round(float(ox)))]
+        v = sci[int(round(float(oy[0]))), int(round(float(ox[0])))]
         assert v < 100.0, f"CR flux leaked into the stack at {(y, x)}: {v}"
+
+
+def test_match_sky_equalizes_backgrounds():
+    """Per-exposure sky offsets are estimated and removed before combine."""
+    exps = _dithered_exposures(n=3, noise=0.02)
+    offsets = [0.7, -0.3, 1.5]
+    for exp, off in zip(exps, offsets):
+        exp.data = exp.data + np.float32(off)
+    d = Drizzle(exps)
+    skies = d.match_sky()
+    np.testing.assert_allclose(skies, offsets, atol=0.05)
+    # after subtraction the re-estimated skies are ~0
+    np.testing.assert_allclose(d.match_sky(subtract=False), 0.0, atol=0.05)
+
+
+def test_static_mask_flags_dead_pixels():
+    """Pixels consistently low across the whole stack are detector
+    defects; transient lows are not flagged."""
+    exps = _dithered_exposures(n=4, noise=0.05)
+    dead = [(7, 9), (33, 41)]
+    for exp in exps:
+        for y, x in dead:
+            exp.data[y, x] = -5.0  # defect: low in EVERY exposure
+    exps[0].data[20, 20] = -5.0  # transient: low in one exposure only
+    from subpixal_tpu.resample import make_static_mask
+
+    mask = make_static_mask(exps)
+    for y, x in dead:
+        assert mask[y, x]
+    assert not mask[20, 20]
+    d = Drizzle(exps)
+    m2 = d.apply_static_mask()
+    np.testing.assert_array_equal(m2, mask)
+    d.execute()
+    for y, x in dead:
+        assert np.asarray(d._per_exp[exps[0].name][1])[y, x] >= 0  # runs
