@@ -82,6 +82,11 @@ class AlignConfig:
     kernel: str = "square"
     min_sources: int = 3
     use_pallas: bool | str = "auto"  # Pallas blot/drizzle kernels on TPU
+    # pre-combine stages (the reference reaches these through its
+    # AstroDrizzle config dict; SURVEY §3.2):
+    match_sky: bool = False      # per-exposure sky estimate + subtract
+    static_mask: bool = False    # zero weights of stack-wide dead pixels
+    reject_cr: bool = False      # driz_cr against the median stack
     # run the WHOLE fixed-point iteration on device (lax.while_loop with
     # preallocated history buffers; one host sync total). Measured on
     # v5e: the while-loop body pessimizes the Pallas drizzle's buffer
@@ -484,6 +489,15 @@ def align_images(
             raise ValueError("provide `resample` (Drizzle) or `exposures`")
         resample = Drizzle(list(exposures), pixfrac=cfg.pixfrac,
                            kernel=cfg.kernel, use_pallas=cfg.use_pallas)
+    if cfg.match_sky or cfg.static_mask or cfg.reject_cr:
+        # these stages modify data/weights; keep the caller's Exposure
+        # objects untouched (align_images' no-mutation contract)
+        resample.exposures = [
+            Exposure(e.data.copy(), e.wcs.copy(),
+                     weight=None if e.weight is None else e.weight.copy(),
+                     exptime=e.exptime, name=e.name)
+            for e in resample.exposures
+        ]
     exps = list(resample.exposures)
     if not exps:
         raise ValueError("no exposures to align")
@@ -497,8 +511,15 @@ def align_images(
     with jax.named_scope("align_setup"):
         t_setup = time.time()
         t = t_setup
+        # -- pre-combine stages (reference: AstroDrizzle config) --------- #
+        if cfg.match_sky:
+            resample.match_sky()
+        if cfg.static_mask:
+            resample.apply_static_mask()
         # -- initial reference image ------------------------------------ #
         resample.execute()
+        if cfg.reject_cr and len(resample.exposures) >= 3:
+            resample.reject_cr()
         t = _mark("resample_execute", t)
         drz_sci = resample.output_sci
         ref_wcs = resample.output_wcs

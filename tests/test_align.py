@@ -202,3 +202,21 @@ def test_device_loop_matches_host_loop():
         for d, h in zip(recs_d, recs_h):
             assert d.nmatches == h.nmatches
             np.testing.assert_allclose(d.shift, h.shift, atol=1e-5)
+
+
+def test_align_precombine_stages():
+    """match_sky / static_mask / reject_cr stages run from the main API
+    and leave the caller's Exposure objects untouched."""
+    exps, _, _, _ = planted_scene(n_exp=3, shift_err=[(0, 0), (0.8, -0.5),
+                                                      (-0.4, 0.6)])
+    for e, off in zip(exps, (0.5, -0.2, 0.9)):
+        e.data = e.data + np.float32(off)  # sky offsets
+    before = [e.data.copy() for e in exps]
+    res = align_images(
+        resample=Drizzle(exps), fitgeom="shift", max_iterations=6,
+        eps_shift=0.004, usfac=1, fit_type="gaussian", min_sources=5,
+        match_sky=True, static_mask=True, reject_cr=True,
+    )
+    assert res.converged
+    for e, b in zip(exps, before):
+        np.testing.assert_array_equal(e.data, b)  # inputs untouched
