@@ -48,7 +48,8 @@ from .ops.cutouts import extract_cutouts
 from .ops.drizzle import drizzle_combine, drizzle_deposit
 from .ops.fit import iter_linear_fit
 from .ops.interp import sample_image
-from .resample import Drizzle, Exposure
+from .resample import (Drizzle, Exposure, exposure_pixel_weight,
+                       exposure_rate_data)
 from .wcs.wcs import TanWCS, apply_tangent_affine
 
 __all__ = ["align_images", "AlignConfig", "AlignResult", "ImageAlignInfo"]
@@ -80,6 +81,8 @@ class AlignConfig:
     cutout_shape: tuple[int, int] | None = None
     pixfrac: float = 1.0
     kernel: str = "square"
+    wht_type: str = "exptime"  # Drizzle final_wht_type (EXP/IVM/ERR)
+    skymethod: str = "match"   # match_sky: 'match' | 'localmin'
     min_sources: int = 3
     use_pallas: bool | str = "auto"  # Pallas blot/drizzle kernels on TPU
     # pre-combine stages (the reference reaches these through its
@@ -165,12 +168,17 @@ def _build_step_cached(cfg: "AlignConfig", *rest):
     """
     key_cfg = dataclasses.replace(
         cfg, max_iterations=0, eps_shift=0.0, history="all",
-        min_sources=0, use_pallas=False)  # `pallas` bool is in `rest`
+        min_sources=0, use_pallas=False,  # `pallas` bool is in `rest`
+        wht_type="", skymethod="", match_sky=False, static_mask=False,
+        reject_cr=False, device_loop=False, cutout_shape=None)
     key = (key_cfg,) + rest
     if key not in _STEP_CACHE:
-        if len(_STEP_CACHE) > 32:  # bound the cache
-            _STEP_CACHE.clear()
+        if len(_STEP_CACHE) > 32:  # bound the cache: evict oldest (LRU),
+            # never clear() — the 33rd geometry must not recompile all 32
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
         _STEP_CACHE[key] = _build_step(cfg, *rest)
+    else:
+        _STEP_CACHE[key] = _STEP_CACHE.pop(key)  # refresh LRU order
     return _STEP_CACHE[key]
 
 
@@ -488,16 +496,12 @@ def align_images(
         if exposures is None:
             raise ValueError("provide `resample` (Drizzle) or `exposures`")
         resample = Drizzle(list(exposures), pixfrac=cfg.pixfrac,
-                           kernel=cfg.kernel, use_pallas=cfg.use_pallas)
+                           kernel=cfg.kernel, use_pallas=cfg.use_pallas,
+                           wht_type=cfg.wht_type)
     if cfg.match_sky or cfg.static_mask or cfg.reject_cr:
         # these stages modify data/weights; keep the caller's Exposure
         # objects untouched (align_images' no-mutation contract)
-        resample.exposures = [
-            Exposure(e.data.copy(), e.wcs.copy(),
-                     weight=None if e.weight is None else e.weight.copy(),
-                     exptime=e.exptime, name=e.name)
-            for e in resample.exposures
-        ]
+        resample.exposures = [e.copy() for e in resample.exposures]
     exps = list(resample.exposures)
     if not exps:
         raise ValueError("no exposures to align")
@@ -513,7 +517,7 @@ def align_images(
         t = t_setup
         # -- pre-combine stages (reference: AstroDrizzle config) --------- #
         if cfg.match_sky:
-            resample.match_sky()
+            resample.match_sky(skymethod=cfg.skymethod)
         if cfg.static_mask:
             resample.apply_static_mask()
         # -- initial reference image ------------------------------------ #
@@ -585,13 +589,18 @@ def align_images(
         ra_cat, dec_cat = ref_wcs.pixel_to_world(xy_cat[:, 0], xy_cat[:, 1])
         seg_f = np.asarray(seg, np.float32)
 
+        wht_type = getattr(resample, "wht_type", "exptime")
         for e, exp in enumerate(exps):
             if exp.data.shape != exps[0].data.shape:
                 raise ValueError("all exposures must share one shape "
                                  "(pad on ingest)")
-            exp_data[e] = exp.data
-            if exp.weight is not None:
-                exp_wht[e] = exp.weight
+            # rate-units data + wht_type statistical weights so the
+            # in-loop re-drizzle matches Drizzle's combine semantics
+            # (mixed-exptime / counts-units stacks combine correctly)
+            data_r = exposure_rate_data(exp)
+            exp_data[e] = data_r
+            base_w, mask_w = exposure_pixel_weight(exp, wht_type)
+            exp_wht[e] = base_w if mask_w is None else base_w * mask_w
             H, W = exp.data.shape
             # full-frame pixmap for drizzle (f64 -> f32)
             t = time.time()
@@ -625,9 +634,11 @@ def align_images(
             # initial predictions in the ref frame = catalog positions
             # (the WCS roundtrip exposure->sky->ref is the identity there)
             xy0[e] = xy_cat.astype(np.float32)
-            # extract the (static) image cutouts on device
+            # extract the (static) image cutouts on device — rate units,
+            # so the correlation compares like-with-like vs the blotted
+            # (rate) reference even for plain 'CC'
             cb = extract_cutouts(
-                jnp.asarray(exp.data), jnp.asarray(
+                jnp.asarray(data_r), jnp.asarray(
                     np.stack([sx, sy], 1), jnp.float32), cut_shape)
             img_cut[e] = np.asarray(cb.data)
             img_msk[e] = np.asarray(cb.mask)
@@ -701,16 +712,28 @@ def align_images(
     n_iter = 0
     dev_loop = (not verbose) if cfg.device_loop == "auto" \
         else bool(cfg.device_loop)
+    if dev_loop and verbose:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "device_loop=True is incompatible with verbose per-iteration "
+            "printing (the loop runs as one device program); falling back "
+            "to the host loop", stacklevel=2)
     dev_loop = dev_loop and not verbose
     if dev_loop:
         # one device program runs the whole fixed point; single host sync
         loop = _build_device_loop(
             step, cfg.max_iterations, E,
             cache_key=("loop", cfg.max_iterations, E, id(step)))
+        # compile ahead of time so the one-time compile is reported in
+        # setup_breakdown, not averaged into every iteration's iter_s
+        eps_j = jnp.float32(cfg.eps_shift)
+        t_c = time.time()
+        compiled = loop.lower(Ms, ts, eps_j, *args).compile()
+        setup_breakdown["loop_compile"] = time.time() - t_c
         t_it = time.time()
         with jax.named_scope("align_loop"):
-            Ms, ts, it_dev, done, dhist = loop(
-                Ms, ts, jnp.float32(cfg.eps_shift), *args)
+            Ms, ts, it_dev, done, dhist = compiled(Ms, ts, eps_j, *args)
         n_iter = int(np.asarray(it_dev))
         converged = bool(np.asarray(done))
         iter_s = (time.time() - t_it) / max(n_iter, 1)
@@ -758,11 +781,14 @@ def align_images(
     for e, exp in enumerate(exps):
         new_wcs = apply_tangent_affine(exp.wcs, ref_wcs, Ms_np[e], ts_np[e])
         out_exps.append(Exposure(exp.data, new_wcs, weight=exp.weight,
-                                 exptime=exp.exptime, name=exp.name))
+                                 exptime=exp.exptime, name=exp.name,
+                                 data_units=exp.data_units, err=exp.err,
+                                 ivm=exp.ivm))
 
     final = Drizzle(out_exps, output_wcs=ref_wcs, output_shape=out_shape,
                     pixfrac=cfg.pixfrac, kernel=cfg.kernel,
-                    use_pallas=cfg.use_pallas)
+                    use_pallas=cfg.use_pallas,
+                    wht_type=getattr(resample, "wht_type", "exptime"))
     return AlignResult(
         exposures=out_exps, matrices=Ms_np, shifts=ts_np,
         history=hist, converged=converged, n_iterations=n_iter,

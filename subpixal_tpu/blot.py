@@ -66,11 +66,13 @@ def blot_image(
     interp: str = "poly5",
     expout: float = 1.0,
     fill: float = 0.0,
+    sinscl: float = 1.0,
 ):
     """Sample ``ref_data`` at pixmap coordinates (device gather).
 
-    ``expout`` rescales output flux for exposure-time units (parity with
-    ``do_blot``'s expout handling). Returns (blotted, valid_mask).
+    ``expout`` rescales output flux for exposure-time units and
+    ``sinscl`` scales the sinc interpolant (parity with ``do_blot``'s
+    expout/sinscl handling). Returns (blotted, valid_mask).
     """
     vals, valid = sample_image(
         jnp.asarray(ref_data, jnp.float32),
@@ -78,6 +80,7 @@ def blot_image(
         jnp.asarray(pixmap_y, jnp.float32),
         interp=interp,
         fill=fill,
+        sinscl=sinscl,
     )
     if expout != 1.0:
         vals = vals * jnp.float32(expout)
@@ -85,14 +88,22 @@ def blot_image(
 
 
 def blot_cutout(source_cutout, image_cutout, interp: str = "poly5",
-                expout: float | None = None):
+                expout: float | None = None, sinscl: float = 1.0):
     """Blot a reference-frame cutout onto an exposure cutout's grid.
 
-    Parity: reference ``blot.blot_cutout(source_cutout, image, ...)``.
-    Both arguments are :class:`subpixal_tpu.cutout.Cutout` objects; the
-    source (primary/reference) cutout's data is interpolated onto the
-    image cutout's pixel grid using their WCSs. Returns a new Cutout in
-    the image cutout's frame.
+    Parity: reference ``blot.blot_cutout(source_cutout, image,
+    interp='poly5', sinscl=1.0)``. Both arguments are
+    :class:`subpixal_tpu.cutout.Cutout` objects; the source
+    (primary/reference) cutout's data is interpolated onto the image
+    cutout's pixel grid using their WCSs. Returns a new Cutout in the
+    image cutout's frame.
+
+    ``expout``: output exposure-time scaling (``do_blot``'s expout).
+    When None it is DERIVED from the units: a rate-units source blotted
+    onto a counts-units image cutout is multiplied by the image's
+    exptime so the pair is unit-consistent (and vice versa divided).
+    ``sinscl`` scales the sinc interpolant's kernel width (only used by
+    ``interp='sinc'``).
     """
     from .cutout import Cutout  # local import to avoid cycle
 
@@ -100,9 +111,21 @@ def blot_cutout(source_cutout, image_cutout, interp: str = "poly5",
         image_cutout.wcs, source_cutout.wcs,
         image_cutout.data.shape, blc=(0, 0),
     )
-    scale = 1.0 if expout is None else float(expout)
+    if expout is None:
+        src_u = getattr(source_cutout, "data_units", "rate")
+        img_u = getattr(image_cutout, "data_units", "rate")
+        if src_u == "rate" and img_u == "counts":
+            scale = float(image_cutout.exptime)
+        elif src_u == "counts" and img_u == "rate":
+            scale = 1.0 / max(float(source_cutout.exptime), 1e-30)
+        else:
+            scale = 1.0
+        out_units = img_u
+    else:
+        scale = float(expout)
+        out_units = source_cutout.data_units
     vals, valid = blot_image(source_cutout.data, px, py, interp=interp,
-                             expout=scale)
+                             expout=scale, sinscl=sinscl)
     return Cutout(
         data=np.asarray(vals),
         wcs=image_cutout.wcs.copy(),
@@ -110,5 +133,5 @@ def blot_cutout(source_cutout, image_cutout, interp: str = "poly5",
         src_pos=image_cutout.src_pos,
         mask=np.asarray(valid) & np.asarray(image_cutout.mask, bool),
         exptime=image_cutout.exptime,
-        data_units=source_cutout.data_units,
+        data_units=out_units,
     )

@@ -58,23 +58,30 @@ def _lagrange_weights(t: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     return jnp.stack(ws, axis=-1)
 
 
-def _lanczos_weights(t: jax.Array, offsets: tuple[int, ...], a: int = 3):
+def _lanczos_weights(t: jax.Array, offsets: tuple[int, ...], a: int = 3,
+                     sinscl: float = 1.0):
+    """Windowed-sinc weights. ``sinscl`` scales the sinc's argument (the
+    reference ``do_blot(..., sinscl=)`` knob): >1 widens the main lobe,
+    low-pass filtering the interpolant; the a-tap window is unchanged."""
+
     def lanczos(x):
-        px = jnp.pi * x
-        # sinc(x) * sinc(x/a), guarded at 0
-        small = jnp.abs(x) < 1e-7
-        val = jnp.where(
-            small,
-            1.0,
-            a * jnp.sin(px) * jnp.sin(px / a) / jnp.maximum(px * px, 1e-30),
-        )
-        return jnp.where(jnp.abs(x) >= a, 0.0, val)
+        xs = x / sinscl
+        pxs = jnp.pi * xs
+        pw = jnp.pi * x / a
+        small_s = jnp.abs(xs) < 1e-7
+        small_w = jnp.abs(x) < 1e-7
+        sinc_main = jnp.where(
+            small_s, 1.0, jnp.sin(pxs) / jnp.where(small_s, 1.0, pxs))
+        sinc_win = jnp.where(
+            small_w, 1.0, jnp.sin(pw) / jnp.where(small_w, 1.0, pw))
+        return jnp.where(jnp.abs(x) >= a, 0.0, sinc_main * sinc_win)
 
     ws = jnp.stack([lanczos(t - o) for o in offsets], axis=-1)
     return ws / jnp.sum(ws, axis=-1, keepdims=True)
 
 
-def _axis_weights(t: jax.Array, interp: str) -> tuple[jax.Array, tuple[int, ...]]:
+def _axis_weights(t: jax.Array, interp: str,
+                  sinscl: float = 1.0) -> tuple[jax.Array, tuple[int, ...]]:
     """Per-axis taps weights for fractional coordinate part ``t`` in [0,1)."""
     if interp not in INTERP_OFFSETS:
         raise ValueError(
@@ -86,7 +93,7 @@ def _axis_weights(t: jax.Array, interp: str) -> tuple[jax.Array, tuple[int, ...]
     if interp == "linear":
         return jnp.stack([1.0 - t, t], axis=-1), offs
     if interp == "sinc":
-        return _lanczos_weights(t, offs), offs
+        return _lanczos_weights(t, offs, sinscl=sinscl), offs
     return _lagrange_weights(t, offs), offs
 
 
@@ -96,12 +103,14 @@ def sample_image(
     y: jax.Array,
     interp: str = "poly5",
     fill: float = 0.0,
+    sinscl: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample ``image`` at float coordinates (x, y) (0-based, x=column).
 
     Returns ``(values, valid)`` with the shapes of ``x``; ``valid`` is
     False where the interpolation footprint left the image (those values
-    are ``fill``).
+    are ``fill``). ``sinscl`` scales the sinc interpolant's kernel
+    (``interp='sinc'`` only; reference ``do_blot`` kwarg).
     """
     H, W = image.shape
     x = jnp.asarray(x, jnp.float32)
@@ -120,8 +129,8 @@ def sample_image(
     y0 = jnp.floor(y)
     tx = x - x0
     ty = y - y0
-    wx, offs = _axis_weights(tx, interp)
-    wy, _ = _axis_weights(ty, interp)
+    wx, offs = _axis_weights(tx, interp, sinscl=sinscl)
+    wy, _ = _axis_weights(ty, interp, sinscl=sinscl)
     xi0 = x0.astype(jnp.int32)
     yi0 = y0.astype(jnp.int32)
 

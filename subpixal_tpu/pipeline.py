@@ -40,8 +40,15 @@ def load_exposures(
     image_fnames: Sequence[str],
     ext=("SCI", 1),
     wht_ext=None,
+    err_ext=None,
 ) -> list[Exposure]:
-    """Read FITS exposures (``"file.fits[sci,1]"`` specs supported)."""
+    """Read FITS exposures (``"file.fits[sci,1]"`` specs supported).
+
+    Data units are inferred from BUNIT (HST convention: 'ELECTRONS' /
+    'COUNTS' = counts-type *_flt data, anything per-second = rate);
+    EXPTIME is read from the SCI or primary header. ``err_ext`` loads a
+    per-pixel error extension for ``Drizzle(wht_type='error')``.
+    """
     exps = []
     for spec in image_fnames:
         fname, fext = parse_file_name(spec)
@@ -58,9 +65,21 @@ def load_exposures(
                 weight = np.asarray(hdul[wht_ext].data, np.float32)
             except KeyError:
                 pass
-        exptime = float(hdu.header.get("EXPTIME", 1.0))
+        err = None
+        if err_ext is not None:
+            try:
+                err = np.asarray(hdul[err_ext].data, np.float32)
+            except KeyError:
+                pass
+        exptime = float(hdu.header.get(
+            "EXPTIME", hdul[0].header.get("EXPTIME", 1.0)))
+        bunit = str(hdu.header.get("BUNIT", "")).upper()
+        counts = bool(bunit) and "/S" not in bunit and "S-1" not in bunit \
+            and bunit not in ("UNITLESS",)
         exps.append(Exposure(np.asarray(hdu.data, np.float32), wcs,
-                             weight=weight, exptime=exptime, name=spec))
+                             weight=weight, exptime=exptime, name=spec,
+                             data_units="counts" if counts else "rate",
+                             err=err))
     return exps
 
 

@@ -28,7 +28,8 @@ from ..ops.drizzle import drizzle_combine, drizzle_deposit
 from ..wcs.wcs import TanWCS
 
 __all__ = ["Resample", "Drizzle", "Exposure", "make_output_wcs",
-           "make_static_mask"]
+           "make_static_mask", "exposure_rate_data",
+           "exposure_pixel_weight"]
 
 
 def make_static_mask(exposures: "Sequence[Exposure]",
@@ -54,18 +55,100 @@ def make_static_mask(exposures: "Sequence[Exposure]",
 
 
 class Exposure:
-    """One input exposure: science data + weight + WCS (+ metadata)."""
+    """One input exposure: science data + weight + WCS (+ metadata).
+
+    ``data_units`` follows the reference's ``Cutout.data_units`` semantics
+    (SURVEY §2 #3): ``'rate'`` (counts/s, HST *_flc-style) or ``'counts'``
+    (raw counts, *_flt-style); counts data is converted to rate with
+    ``exptime`` before combination. ``err`` / ``ivm`` are optional
+    per-pixel error / inverse-variance maps in the SAME units as ``data``,
+    consumed by ``Drizzle(wht_type='error'|'ivm')`` (the AstroDrizzle
+    ``final_wht_type`` ERR/IVM modes).
+    """
 
     def __init__(self, data, wcs: TanWCS, weight=None, exptime: float = 1.0,
-                 name: str = ""):
+                 name: str = "", data_units: str = "rate", err=None,
+                 ivm=None):
+        if data_units not in ("rate", "counts"):
+            raise ValueError(f"data_units must be 'rate' or 'counts', "
+                             f"got {data_units!r}")
         self.data = np.asarray(data, np.float32)
         self.wcs = wcs
         self.weight = None if weight is None else np.asarray(weight, np.float32)
         self.exptime = float(exptime)
+        self.data_units = data_units
+        self.err = None if err is None else np.asarray(err, np.float32)
+        self.ivm = None if ivm is None else np.asarray(ivm, np.float32)
         self.name = name or f"exposure@{id(self):x}"
+
+    def copy(self) -> "Exposure":
+        return Exposure(
+            self.data.copy(), self.wcs.copy(),
+            weight=None if self.weight is None else self.weight.copy(),
+            exptime=self.exptime, name=self.name,
+            data_units=self.data_units,
+            err=None if self.err is None else self.err.copy(),
+            ivm=None if self.ivm is None else self.ivm.copy(),
+        )
 
     def __repr__(self):
         return f"Exposure({self.name!r}, shape={self.data.shape})"
+
+
+def exposure_rate_data(exp: "Exposure") -> np.ndarray:
+    """Exposure science data converted to rate units (counts/s).
+
+    The counts↔rate handling the reference reaches through
+    ``Cutout.data_units`` / AstroDrizzle input units: 'counts' data is
+    divided by ``exptime`` so every exposure combines in common units.
+    """
+    if exp.data_units == "counts":
+        return exp.data / np.float32(max(exp.exptime, 1e-30))
+    return exp.data
+
+
+def exposure_pixel_weight(exp: "Exposure",
+                          wht_type: str = "exptime") -> tuple:
+    """(base, mask): statistical deposit weight for one exposure.
+
+    ``base`` is the per-pixel (or scalar, when uniform) inverse-variance
+    weight of the exposure's RATE image; ``mask`` is the user/bad-pixel
+    weight (``exp.weight``, may be None). Parity with AstroDrizzle's
+    ``final_wht_type`` (SURVEY §3.2):
+
+    - ``'exptime'`` (EXP, default): w = exptime — optimal for
+      Poisson-dominated data (var(rate) ∝ rate / t).
+    - ``'ivm'``: w = exp.ivm, the inverse variance of ``data`` in its own
+      units (converted to rate-units variance when data is in counts).
+    - ``'error'`` (ERR): w = 1 / err², from the per-pixel error array.
+    - ``'uniform'``: w = 1 (round-1 behavior).
+    """
+    t = max(float(exp.exptime), 1e-30)
+    if wht_type in ("exptime", "exp"):
+        base = t
+    elif wht_type == "uniform":
+        base = 1.0
+    elif wht_type == "ivm":
+        if exp.ivm is None:
+            raise ValueError(f"wht_type='ivm' but exposure {exp.name!r} "
+                             "has no ivm array")
+        ivm = np.asarray(exp.ivm, np.float32)
+        # var(rate) = var(counts) / t^2  ->  ivm_rate = ivm_counts * t^2
+        base = ivm * np.float32(t * t) if exp.data_units == "counts" else ivm
+    elif wht_type in ("error", "err"):
+        if exp.err is None:
+            raise ValueError(f"wht_type='error' but exposure {exp.name!r} "
+                             "has no err array")
+        err = np.asarray(exp.err, np.float64)
+        if exp.data_units == "counts":
+            err = err / t
+        with np.errstate(divide="ignore", invalid="ignore"):
+            base = np.where(err > 0, 1.0 / (err * err), 0.0
+                            ).astype(np.float32)
+    else:
+        raise ValueError(f"unknown wht_type: {wht_type!r} (expected "
+                         "'exptime' | 'ivm' | 'error' | 'uniform')")
+    return base, exp.weight
 
 
 def make_output_wcs(wcs_list: Sequence[TanWCS],
@@ -145,7 +228,11 @@ class Drizzle(Resample):
 
     Parameters mirror the knobs the reference forwards to AstroDrizzle:
     ``pixfrac``, ``kernel``, ``fillval``, output pixel scale (via
-    ``pscale`` / ``pscale_ratio``).
+    ``pscale`` / ``pscale_ratio``), and the final weighting mode
+    ``wht_type`` ('exptime' | 'ivm' | 'error' | 'uniform' — AstroDrizzle
+    ``final_wht_type`` EXP/IVM/ERR). Exposures in 'counts' units are
+    converted to rate with their exptimes; ``output_sci`` is always in
+    rate units (cps), the AstroDrizzle default.
     """
 
     def __init__(self, exposures: Sequence[Exposure] | None = None,
@@ -154,7 +241,8 @@ class Drizzle(Resample):
                  pixfrac: float = 1.0, kernel: str = "square",
                  fillval: float = 0.0, pscale: float | None = None,
                  pscale_ratio: float = 1.0,
-                 use_pallas: bool | str = "auto"):
+                 use_pallas: bool | str = "auto",
+                 wht_type: str = "exptime"):
         self.exposures: list[Exposure] = list(exposures or [])
         self.pixfrac = float(pixfrac)
         self.kernel = kernel
@@ -162,6 +250,7 @@ class Drizzle(Resample):
         self.pscale = pscale
         self.pscale_ratio = float(pscale_ratio)
         self.use_pallas = use_pallas
+        self.wht_type = wht_type
         self._owcs = output_wcs
         self._oshape = output_shape
         self._sci_acc = None  # device arrays
@@ -203,7 +292,16 @@ class Drizzle(Resample):
         H, W = exp.data.shape
         px, py = compute_pixmap(exp.wcs, self._owcs, (H, W))
         ratio = exp.wcs.pscale / self._owcs.pscale
-        wht = None if exp.weight is None else jnp.asarray(exp.weight)
+        data = exposure_rate_data(exp)
+        base, mask = exposure_pixel_weight(exp, self.wht_type)
+        # scalar base weights scale the (linear) deposit afterwards, so
+        # the mask-only / no-weight fast paths stay array-free
+        scale = 1.0
+        if np.isscalar(base) or np.ndim(base) == 0:
+            scale, wht = float(base), mask
+        else:
+            wht = base if mask is None else base * mask
+        wht_j = None if wht is None else jnp.asarray(wht, jnp.float32)
         if _use_pallas(self.use_pallas):
             # MXU matmul-deposit kernel; tile sized exactly from the
             # concrete host pixmap (SURVEY §2a/§7)
@@ -213,19 +311,24 @@ class Drizzle(Resample):
                      "point": 0.51,
                      "gaussian": 2.5 * self.pixfrac * ratio / 2.3548,
                      }[self.kernel]
-            tile = required_tile(px, py, wht=exp.weight, reach=reach)
-            return drizzle_deposit_pallas(
-                jnp.asarray(exp.data), wht,
+            tile = required_tile(px, py, wht=wht, reach=reach)
+            s, w = drizzle_deposit_pallas(
+                jnp.asarray(data), wht_j,
                 jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
                 self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
                 kernel=self.kernel, tile=tile,
             )
-        return drizzle_deposit(
-            jnp.asarray(exp.data), wht,
-            jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
-            self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
-            kernel=self.kernel,
-        )
+        else:
+            s, w = drizzle_deposit(
+                jnp.asarray(data), wht_j,
+                jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
+                self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
+                kernel=self.kernel,
+            )
+        if scale != 1.0:
+            s = s * jnp.float32(scale)
+            w = w * jnp.float32(scale)
+        return s, w
 
     # -- public API ------------------------------------------------------ #
     def execute(self) -> None:
@@ -289,34 +392,55 @@ class Drizzle(Resample):
     @property
     def output_ctx(self) -> np.ndarray:
         """Context map: bit e set where exposure e contributed weight
-        (parity with AstroDrizzle's CTX product)."""
+        (parity with AstroDrizzle's CTX product).
+
+        Like AstroDrizzle's multi-plane CTX format, stacks with more than
+        32 exposures roll into extra 32-bit planes: the result is
+        (Ho, Wo) int32 for <= 32 exposures, else (nplanes, Ho, Wo) with
+        exposure e in plane e // 32, bit e % 32.
+        """
         if self._sci_acc is None:
             self.execute()
         Ho, Wo = self._oshape
-        ctx = np.zeros((Ho, Wo), np.int64)
+        nplanes = max(1, -(-len(self.exposures) // 32))
+        ctx = np.zeros((nplanes, Ho, Wo), np.uint32)
         for e, exp in enumerate(self.exposures):
             dep = self._per_exp.get(exp.name)
             if dep is not None:
-                ctx |= (np.asarray(dep[1]) > 0).astype(np.int64) << e
-        return ctx
+                plane, bit = divmod(e, 32)
+                ctx[plane] |= (np.asarray(dep[1]) > 0).astype(np.uint32) << np.uint32(bit)
+        ctx = ctx.view(np.int32)
+        return ctx[0] if nplanes == 1 else ctx
 
-    def match_sky(self, subtract: bool = True) -> np.ndarray:
+    def match_sky(self, subtract: bool = True,
+                  skymethod: str = "match") -> np.ndarray:
         """Per-exposure sky estimation / matching (AstroDrizzle's sky
         stage, SURVEY §3.2).
 
         Estimates each exposure's sky as the sigma-clipped median of its
-        pixels and, when ``subtract``, removes it in place so the
-        combine is background-consistent (otherwise only returns the
-        estimates). Returns the per-exposure sky values.
+        pixels (in the exposure's own data units) and, when ``subtract``,
+        removes it in place so the combine is background-consistent.
+
+        ``skymethod`` (AstroDrizzle ``skymethod`` semantics):
+
+        - ``'match'`` (default): equalize backgrounds ACROSS exposures —
+          subtract ``sky_e - min(sky)``, keeping the common sky level in
+          the data (real diffuse background survives into the product).
+        - ``'localmin'``: subtract each exposure's absolute sky estimate.
+
+        Returns the per-exposure sky estimates (before differencing).
         """
         from ..catalogs import sigma_clipped_stats
 
+        if skymethod not in ("match", "localmin"):
+            raise ValueError(f"unknown skymethod: {skymethod!r}")
         skies = np.zeros(len(self.exposures))
         for e, exp in enumerate(self.exposures):
             _, med, _ = sigma_clipped_stats(exp.data)
             skies[e] = med
-        if subtract:
-            for exp, sky in zip(self.exposures, skies):
+        if subtract and len(self.exposures):
+            sub = skies - skies.min() if skymethod == "match" else skies
+            for exp, sky in zip(self.exposures, sub):
                 exp.data = exp.data - np.float32(sky)
             # cached deposits are stale now
             self._per_exp.clear()
@@ -394,8 +518,15 @@ class Drizzle(Resample):
                 np.abs(blot - p[:-2, 1:-1]), np.abs(blot - p[2:, 1:-1]),
                 np.abs(blot - p[1:-1, :-2]), np.abs(blot - p[1:-1, 2:]),
             ])
-            resid = exp.data - blot
+            # residuals in RATE units (blot of the combined product is in
+            # rate; counts exposures are converted before differencing)
+            resid = exposure_rate_data(exp) - blot
+            # noise estimate from weight>0 pixels only: zero-weight
+            # (already-rejected / masked) pixels must not feed the sigma
+            # that gates CR flagging
             sel = ok & (np.abs(resid) < np.inf)
+            if exp.weight is not None:
+                sel = sel & (exp.weight > 0)
             sig = float(np.std(resid[sel])) if sel.any() else 0.0
             # robust sigma: clip once around the bulk
             if sel.any():
@@ -427,3 +558,8 @@ class Drizzle(Resample):
     def output_shape(self) -> tuple[int, int]:
         self._ensure_output_grid()
         return self._oshape
+
+    @property
+    def texptime(self) -> float:
+        """Total exposure time of the stack (AstroDrizzle's TEXPTIME)."""
+        return float(sum(e.exptime for e in self.exposures))

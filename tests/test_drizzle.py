@@ -218,7 +218,9 @@ def test_reject_cr_removes_planted_hits():
 
 
 def test_match_sky_equalizes_backgrounds():
-    """Per-exposure sky offsets are estimated and removed before combine."""
+    """skymethod='match' (default): backgrounds are EQUALIZED across
+    exposures but the common sky level survives into the data (reference
+    skymethod='match' semantics — real diffuse background is kept)."""
     exps = _dithered_exposures(n=3, noise=0.02)
     offsets = [0.7, -0.3, 1.5]
     for exp, off in zip(exps, offsets):
@@ -226,7 +228,20 @@ def test_match_sky_equalizes_backgrounds():
     d = Drizzle(exps)
     skies = d.match_sky()
     np.testing.assert_allclose(skies, offsets, atol=0.05)
-    # after subtraction the re-estimated skies are ~0
+    # after matching, every exposure sits at the common (minimum) sky
+    np.testing.assert_allclose(d.match_sky(subtract=False),
+                               min(offsets), atol=0.05)
+
+
+def test_match_sky_localmin_subtracts_absolute_sky():
+    """skymethod='localmin': each exposure's absolute sky is removed."""
+    exps = _dithered_exposures(n=3, noise=0.02)
+    offsets = [0.7, -0.3, 1.5]
+    for exp, off in zip(exps, offsets):
+        exp.data = exp.data + np.float32(off)
+    d = Drizzle(exps)
+    skies = d.match_sky(skymethod="localmin")
+    np.testing.assert_allclose(skies, offsets, atol=0.05)
     np.testing.assert_allclose(d.match_sky(subtract=False), 0.0, atol=0.05)
 
 
