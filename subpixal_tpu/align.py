@@ -76,6 +76,9 @@ class AlignConfig:
     # TPU-build knobs (no reference counterpart):
     usfac: int = 1
     peak_fit_box: int = 5
+    # coarse-peak confinement around zero lag (reference
+    # find_peak(peak_search_box='fitbox'); None = whole surface)
+    peak_search_box: int | str | tuple | None = None
     fit_type: str = "quadratic"
     interp: str = "poly5"
     cutout_shape: tuple[int, int] | None = None
@@ -277,6 +280,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 peak_fit_box=cfg.peak_fit_box, fit_type=cfg.fit_type,
                 ref_mask=msk.reshape(k * N, h, w),
                 img_mask=msk.reshape(k * N, h, w),
+                peak_search_box=cfg.peak_search_box,
             )
             dxy = jnp.stack([d.dx, d.dy], axis=-1).reshape(k, N, 2)
             return dxy, d.fit_ok.reshape(k, N), d.peak.reshape(k, N)

@@ -35,7 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .peaks import find_peak
+from .peaks import find_peak, normalize_search_box
 
 __all__ = ["cross_correlate", "find_displacement", "Displacement"]
 
@@ -221,6 +221,7 @@ def find_displacement(
     fit_type: str = "quadratic",
     ref_mask: jax.Array | None = None,
     img_mask: jax.Array | None = None,
+    peak_search_box=None,
 ) -> Displacement:
     """Measure the subpixel displacement of ``img`` relative to ``ref``.
 
@@ -239,6 +240,16 @@ def find_displacement(
     ref_mask, img_mask
         Optional validity masks (True = valid), e.g. segmentation masks
         (reference ``combine_seg_mask=True`` behavior) or cutout padding.
+    peak_search_box : None | 'all' | 'fitbox' | int | (r0, r1, c0, c1)
+        Confine the COARSE argmax on the centered correlation surface
+        (reference ``find_peak(peak_search_box='fitbox')`` semantics,
+        SURVEY §2 #5): 'fitbox' searches only a ``peak_fit_box``-sized
+        window around ZERO lag, so a far alias/noise peak cannot outvote
+        the true near-zero peak on low-SNR cutouts. An int gives the
+        window side in pixels of lag; a 4-tuple gives explicit (row,
+        col) bounds on the fftshifted surface. Default None searches the
+        whole surface (the round-1 behavior; the reference defaults to
+        'fitbox' — pass that for strict parity).
 
     Returns
     -------
@@ -257,13 +268,24 @@ def find_displacement(
     cc_s = jnp.fft.fftshift(cc, axes=(-2, -1))
 
     if usfac <= 1:
-        pk = find_peak(cc_s, peak_fit_box=peak_fit_box, fit_type=fit_type)
+        pk = find_peak(cc_s, peak_fit_box=peak_fit_box, fit_type=fit_type,
+                       peak_search_box=peak_search_box)
         dx = pk.x - W // 2
         dy = pk.y - H // 2
         res = Displacement(dx=dx, dy=dy, peak=pk.value, fit_ok=pk.fit_ok)
     else:
-        # Coarse integer shift from the plain surface.
-        flat = jnp.argmax(cc_s.reshape(B, -1), axis=-1)
+        # Coarse integer shift from the plain surface (optionally confined
+        # to the search box around zero lag).
+        search = cc_s
+        bounds = normalize_search_box(peak_search_box, H, W, peak_fit_box)
+        if bounds is not None:
+            r0, r1, c0, c1 = bounds
+            rows = jnp.arange(H)[None, :, None]
+            cols = jnp.arange(W)[None, None, :]
+            inside = ((rows >= r0) & (rows < r1)
+                      & (cols >= c0) & (cols < c1))
+            search = jnp.where(inside, search, -jnp.inf)
+        flat = jnp.argmax(search.reshape(B, -1), axis=-1)
         s0y = (flat // W).astype(jnp.int32) - H // 2
         s0x = (flat % W).astype(jnp.int32) - W // 2
         # Window: cover ±0.5 coarse pixels (= usfac upsampled px) + fit box.

@@ -189,10 +189,37 @@ def _solve_spd_small(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
+def normalize_search_box(
+    peak_search_box, H: int, W: int, peak_fit_box: int,
+) -> tuple[int, int, int, int] | None:
+    """Resolve the reference's ``peak_search_box`` forms to static bounds.
+
+    Accepted forms (parity with reference ``centroid.find_peak``):
+    ``None`` / ``'all'`` — the whole surface; ``'fitbox'`` — a
+    ``peak_fit_box``-sized window centered on the surface center (for a
+    centered correlation surface: around ZERO lag, confining the coarse
+    argmax near zero shift); an ``int`` side; or explicit
+    ``(r0, r1, c0, c1)`` bounds. Returns bounds or None.
+    """
+    if peak_search_box is None or peak_search_box == "all":
+        return None
+    if peak_search_box == "fitbox":
+        s = int(peak_fit_box)
+    elif isinstance(peak_search_box, (int, np.integer)):
+        s = int(peak_search_box)
+    else:
+        r0, r1, c0, c1 = peak_search_box
+        return (int(r0), int(r1), int(c0), int(c1))
+    s = max(min(s, H, W), 1)
+    r0 = H // 2 - s // 2
+    c0 = W // 2 - s // 2
+    return (r0, r0 + s, c0, c0 + s)
+
+
 def find_peak(
     data: jax.Array,
     peak_fit_box: int = 5,
-    peak_search_box: tuple[int, int, int, int] | None = None,
+    peak_search_box=None,
     mask: jax.Array | None = None,
     fit_type: str = "quadratic",
 ) -> PeakFitResult:
@@ -205,10 +232,11 @@ def find_peak(
     peak_fit_box : int
         Side of the square box, centered on the argmax, over which the
         quadratic surface is fit (reference default 5).
-    peak_search_box : (r0, r1, c0, c1), optional
-        Restrict the argmax search to ``data[:, r0:r1, c0:c1]`` (static
-        bounds). ``None`` searches the full surface. This is the fixed-shape
-        analogue of the reference's ``peak_search_box``.
+    peak_search_box : None | 'all' | 'fitbox' | int | (r0, r1, c0, c1)
+        Restrict the argmax search (static bounds; see
+        :func:`normalize_search_box` — the fixed-shape analogue of the
+        reference's ``peak_search_box``). ``None`` searches the full
+        surface.
     mask : optional bool/float array broadcastable to ``data``
         True/nonzero = valid pixel. Invalid pixels are excluded from both
         the argmax and the fit (weighted fit path).
@@ -240,8 +268,9 @@ def find_peak(
     search = data
     if valid is not None:
         search = jnp.where(valid, search, -jnp.inf)
-    if peak_search_box is not None:
-        r0, r1, c0, c1 = peak_search_box
+    bounds = normalize_search_box(peak_search_box, H, W, k)
+    if bounds is not None:
+        r0, r1, c0, c1 = bounds
         rows = jnp.arange(H)[None, :, None]
         cols = jnp.arange(W)[None, None, :]
         inside = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)

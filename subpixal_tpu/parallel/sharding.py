@@ -121,6 +121,7 @@ def sharded_measure_and_fit(
     fitgeom: str = "general",
     nclip: int = 3,
     sigma: float = 3.0,
+    peak_search_box=None,
 ) -> tuple[Displacement, LinearFitResult]:
     """One SPMD alignment measurement for ONE exposure (or jointly for a
     stack flattened over (exposure, source)).
@@ -159,7 +160,7 @@ def sharded_measure_and_fit(
         d = find_displacement(
             bl, im, cc_type=cc_type, usfac=usfac,
             peak_fit_box=peak_fit_box, fit_type=fit_type,
-            ref_mask=mk, img_mask=mk,
+            ref_mask=mk, img_mask=mk, peak_search_box=peak_search_box,
         )
         dxy = jnp.stack([d.dx, d.dy], axis=-1)
         duv = jnp.einsum("nik,nk->ni", J, dxy,
@@ -188,6 +189,7 @@ def make_sharded_align_step(
     fitgeom: str = "general",
     nclip: int = 3,
     sigma: float = 3.0,
+    peak_search_box=None,
     interp: str = "poly5",
     use_pallas: bool | str = False,
     blot_tile: tuple[int, int] = (128, 128),
@@ -248,7 +250,7 @@ def make_sharded_align_step(
         d = find_displacement(
             blotted, img, cc_type=cc_type, usfac=usfac,
             peak_fit_box=peak_fit_box, fit_type=fit_type,
-            ref_mask=m, img_mask=m,
+            ref_mask=m, img_mask=m, peak_search_box=peak_search_box,
         )
         dxy = jnp.stack([d.dx, d.dy], axis=-1)
         MJ = jnp.einsum("nij,njk->nik", Mi, jac, precision=_HP)

@@ -132,3 +132,55 @@ def test_mask_aware_ncc():
 def test_shape_mismatch_raises():
     with pytest.raises(ValueError):
         find_displacement(jnp.zeros((32, 32)), jnp.zeros((64, 64)))
+
+
+def _alias_pair(h=64, w=64, dx=0.3, dy=-0.2, noise=0.03, seed=3):
+    """Low-SNR pair where a FAR alias peak beats the true near-zero peak
+    globally: the faint common source is at the center, but each frame
+    carries a different bright contaminant whose cross-term correlates
+    strongest at a large lag."""
+    rng = np.random.default_rng(seed)
+    ref = gauss_star(h, w, 32, 32, amp=1.0)
+    ref = ref + gauss_star(h, w, 10, 12, amp=6.0)          # contaminant A
+    img = gauss_star(h, w, 32 + dx, 32 + dy, amp=1.0)
+    img = img + gauss_star(h, w, 52, 47, amp=6.0)          # contaminant B
+    ref = ref + rng.normal(0, noise, (h, w))
+    img = img + rng.normal(0, noise, (h, w))
+    return jnp.asarray(ref, jnp.float32), jnp.asarray(img, jnp.float32)
+
+
+@pytest.mark.parametrize("usfac", [1, 8])
+def test_peak_search_box_rejects_far_alias(usfac):
+    """VERDICT r1 item 3: a far alias peak wins the global argmax, but the
+    'fitbox'-confined search recovers the planted near-zero shift
+    (reference find_peak(peak_search_box='fitbox') semantics)."""
+    dx, dy = 0.3, -0.2
+    ref, img = _alias_pair(dx=dx, dy=dy)
+    # global search: the bright-contaminant cross-term wins at large lag
+    d_glob = find_displacement(ref, img, cc_type="NCC", usfac=usfac)
+    assert np.hypot(float(d_glob.dx) - dx, float(d_glob.dy) - dy) > 5.0
+    # confined search: the true near-zero peak is the only candidate
+    d_box = find_displacement(ref, img, cc_type="NCC", usfac=usfac,
+                              peak_search_box="fitbox")
+    assert abs(float(d_box.dx) - dx) < 0.1
+    assert abs(float(d_box.dy) - dy) < 0.1
+
+
+def test_peak_search_box_int_and_tuple_forms():
+    ref, img = shifted_pair(dx=1.3, dy=-0.75)
+    for psb in (9, (32 - 4, 32 + 5, 32 - 4, 32 + 5), "all", None):
+        d = find_displacement(ref, img, peak_search_box=psb, usfac=4)
+        assert abs(float(d.dx) - 1.3) < 0.02, psb
+        assert abs(float(d.dy) + 0.75) < 0.02, psb
+
+
+def test_normalize_search_box_forms():
+    from subpixal_tpu.ops.peaks import normalize_search_box
+
+    assert normalize_search_box(None, 64, 64, 5) is None
+    assert normalize_search_box("all", 64, 64, 5) is None
+    assert normalize_search_box("fitbox", 64, 64, 5) == (30, 35, 30, 35)
+    assert normalize_search_box(9, 64, 64, 5) == (28, 37, 28, 37)
+    assert normalize_search_box((1, 2, 3, 4), 64, 64, 5) == (1, 2, 3, 4)
+    # oversized boxes clamp to the surface
+    assert normalize_search_box(200, 16, 16, 5) == (0, 16, 0, 16)
