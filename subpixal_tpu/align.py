@@ -82,6 +82,7 @@ class AlignConfig:
     fit_type: str = "quadratic"
     interp: str = "poly5"
     cutout_shape: tuple[int, int] | None = None
+    max_cut_size: int = 128  # cap on the auto-sized static cutout shape
     pixfrac: float = 1.0
     kernel: str = "square"
     wht_type: str = "exptime"  # Drizzle final_wht_type (EXP/IVM/ERR)
@@ -116,6 +117,10 @@ class ImageAlignInfo:
     mae: float
     nmatches: int
     iter_s: float = 0.0  # wall time of this device iteration (+fetch)
+    # pixels the Pallas kernels' static tiles missed this iteration
+    # (nonzero = corrections exceeded the tile margin; sources were
+    # dropped from the fit that the XLA path would have measured)
+    escaped: int = 0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -142,6 +147,9 @@ class AlignResult:
     drizzle: Drizzle | None = None
     setup_s: float = 0.0  # host setup wall time (WCS pixmaps, cutouts)
     setup_breakdown: dict | None = None  # per-stage setup seconds
+    # src ids whose footprints exceeded the static cutout shape and were
+    # measured on centered crops (empty = none truncated)
+    truncated_sources: list[int] = dataclasses.field(default_factory=list)
 
 
 def _affine_apply_pts(M, t, pts):
@@ -207,6 +215,10 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         h, w = cut_shape
 
         # ---- 1. re-drizzle all exposures with current corrections ----
+        # Pallas kernels also report tile-ESCAPE counts (pixels their
+        # static tiles missed that the XLA path would have processed) so
+        # a correction larger than the tile margin warns instead of
+        # silently dropping sources (VERDICT r1 weak #2 / ADVICE #5).
         def deposit(Ms_, ts_, e):
             px, py = _affine_apply_grid(Ms_[e], ts_[e], dri_px[e], dri_py[e])
             if pallas:
@@ -216,21 +228,25 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                     exp_data[e], exp_wht[e], px, py, out_shape,
                     pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
                     kernel=cfg.kernel, tile=driz_tile,
+                    return_escaped=True,
                 )
-            return drizzle_deposit(
+            s, wgt = drizzle_deposit(
                 exp_data[e], exp_wht[e], px, py, out_shape,
                 pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
                 kernel=cfg.kernel,
             )
+            return s, wgt, jnp.int32(0)
 
         def drizzle_all(Ms_, ts_):
             sci_acc = jnp.zeros(out_shape, jnp.float32)
             wht_acc = jnp.zeros(out_shape, jnp.float32)
+            esc = []
             for e in range(E):  # static unroll; E is small
-                s, wgt = deposit(Ms_, ts_, e)
+                s, wgt, es = deposit(Ms_, ts_, e)
                 sci_acc = sci_acc + s
                 wht_acc = wht_acc + wgt
-            return drizzle_combine(sci_acc, wht_acc)
+                esc.append(es)
+            return drizzle_combine(sci_acc, wht_acc), jnp.stack(esc)
 
         def blot_cutouts(drz, flat_x, flat_y):
             if pallas:
@@ -238,10 +254,11 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
 
                 return sample_cutouts_pallas(
                     drz, flat_x, flat_y, interp=interp,
-                    tile=blot_tile or (128, 128))
-            return jax.vmap(
+                    tile=blot_tile or (128, 128), return_escaped=True)
+            vals, ok = jax.vmap(
                 lambda x, y: sample_image(drz, x, y, interp=interp)
             )(flat_x, flat_y)
+            return vals, ok, jnp.zeros(flat_x.shape[0], jnp.int32)
 
         def measure(drz, Ms_, ts_, sel=None):
             """Displacements of exposures ``sel`` vs ``drz``.
@@ -265,9 +282,10 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             )  # (k,N,h,w)
             flat_x = bpx.reshape(k * N, h, w)
             flat_y = bpy.reshape(k * N, h, w)
-            blot_vals, blot_ok = blot_cutouts(drz, flat_x, flat_y)
+            blot_vals, blot_ok, blot_esc = blot_cutouts(drz, flat_x, flat_y)
             blotted = blot_vals.reshape(k, N, h, w)
             blot_valid = blot_ok.reshape(k, N, h, w)
+            esc_e = jnp.sum(blot_esc.reshape(k, N), axis=1)  # (k,)
 
             msk = mk0 & blot_valid
             if cfg.combine_seg_mask:
@@ -283,7 +301,8 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 peak_search_box=cfg.peak_search_box,
             )
             dxy = jnp.stack([d.dx, d.dy], axis=-1).reshape(k, N, 2)
-            return dxy, d.fit_ok.reshape(k, N), d.peak.reshape(k, N)
+            return (dxy, d.fit_ok.reshape(k, N), d.peak.reshape(k, N),
+                    esc_e)
 
         if cfg.wcsupdate == "otf" and E > 1:
             # update-as-you-go (reference non-'batch' mode, SURVEY §3.1):
@@ -291,11 +310,12 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             # with its correction applied, so later exposures align
             # against already-corrected ones. The Pallas drizzle makes
             # the per-exposure rebuild affordable.
-            uv_l, w_l, fit_l = [], [], []
+            uv_l, w_l, fit_l, esc_l = [], [], [], []
             cur_M, cur_t = Ms, ts
             for e in range(E):
-                drz = drizzle_all(cur_M, cur_t)
-                dxy_e, ok_e, pk_e = measure(drz, cur_M, cur_t, [e])
+                drz, driz_esc = drizzle_all(cur_M, cur_t)
+                dxy_e, ok_e, pk_e, esc_e = measure(drz, cur_M, cur_t, [e])
+                esc_l.append(esc_e[0] + driz_esc[e])
                 # fit this exposure and update the state before the next
                 # exposure is measured. NOTE: the state at measurement
                 # time for exposure e is still the iteration-start
@@ -329,9 +349,11 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             fit = LinearFitResult(*(jnp.stack(parts) for parts in
                                     zip(*fit_l)))
             newM, newt = cur_M, cur_t
+            escaped = jnp.stack(esc_l)
         else:
-            drz = drizzle_all(Ms, ts)
-            dxy, meas_ok, peak = measure(drz, Ms, ts)
+            drz, driz_esc = drizzle_all(Ms, ts)
+            dxy, meas_ok, peak, blot_esc = measure(drz, Ms, ts)
+            escaped = driz_esc + blot_esc
 
             # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
             # Displacement in ref-frame px: duv = (M_e @ J_{e,n}) @ d_{e,n}.
@@ -388,7 +410,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
 
         info = dict(
             G_M=G_M, G_t=G_t, rms=fit.rms, rmse=fit.rmse, mae=fit.mae,
-            nmatches=fit.nmatches, max_shift=max_shift,
+            nmatches=fit.nmatches, max_shift=max_shift, escaped=escaped,
         )
         return newM, newt, info
 
@@ -420,6 +442,7 @@ def _build_device_loop(step, max_iterations: int, E: int, cache_key=None):
             mae=jnp.zeros((T, E), jnp.float32),
             nmatches=jnp.zeros((T, E), jnp.int32),
             max_shift=jnp.zeros((T,), jnp.float32),
+            escaped=jnp.zeros((T, E), jnp.int32),
         )
 
         def cond(c):
@@ -564,10 +587,26 @@ def align_images(
             mh = max(c.data.shape[0] for c in prim)
             mw = max(c.data.shape[1] for c in prim)
             s = int(np.ceil(max(mh + 4, mw + 4, 16) / 8) * 8)
-            cut_shape = (min(s, 128), min(s, 128))
+            cut_shape = (min(s, cfg.max_cut_size),
+                         min(s, cfg.max_cut_size))
         else:
             cut_shape = cfg.cutout_shape
         h, w = cut_shape
+        # sources whose segmentation footprint exceeds the static cutout
+        # are measured on a centered crop (the reference sizes cutouts to
+        # the footprint — record + warn instead of truncating silently)
+        truncated = [c.src_id for c in prim
+                     if c.data.shape[0] > h or c.data.shape[1] > w]
+        if truncated:
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"{len(truncated)} source footprint(s) exceed the static "
+                f"cutout shape {cut_shape} and are measured on centered "
+                f"crops (src ids: {truncated[:10]}"
+                f"{'...' if len(truncated) > 10 else ''}); pass a larger "
+                "cutout_shape / max_cut_size to use the full footprints",
+                stacklevel=2)
         N = len(prim)
         E = len(exps)
 
@@ -673,13 +712,18 @@ def align_images(
         from .kernels.drizzle import required_tile
 
         # exact static tiles from the concrete setup pixmaps (+margin for
-        # the sub-pixel affine corrections applied on device)
+        # the affine corrections applied on device; the margin scales
+        # with the cutout extent so large initial WCS errors — which
+        # produce correction shifts of a few percent of the frame — stay
+        # inside the tile; a breach is now DETECTED at runtime via the
+        # kernels' escape counters and warned, never silent)
         ey = float((cut_py.max(axis=(2, 3)) - cut_py.min(axis=(2, 3))).max())
         ex = float((cut_px.max(axis=(2, 3)) - cut_px.min(axis=(2, 3))).max())
+        margin = max(12, int(max(h, w) // 4))
         # quantized to the kernel's (8, 128) rounding -> better step-cache
         # and Pallas-compile reuse across similar scenes
-        blot_tile = (int(np.ceil((np.ceil(ey) + 12) / 8) * 8),
-                     int(np.ceil((np.ceil(ex) + 12) / 128) * 128))
+        blot_tile = (int(np.ceil((np.ceil(ey) + margin) / 8) * 8),
+                     int(np.ceil((np.ceil(ex) + margin) / 128) * 128))
         reach = 0.5 * cfg.pixfrac * dri_ratio + 0.1
         tiles = [required_tile(dri_px[e], dri_py[e], wht=exp_wht[e],
                                reach=reach, margin=4) for e in range(E)]
@@ -696,7 +740,23 @@ def align_images(
         cut_px, cut_py, img_cut, img_msk, seg_cut, jac, xy0,
         flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
 
-    def _make_recs(it, G_M, G_t, rms, rmse, mae, nmatches, iter_s):
+    _esc_warned = [False]
+
+    def _make_recs(it, G_M, G_t, rms, rmse, mae, nmatches, iter_s,
+                   escaped=None):
+        esc = (np.zeros(E, np.int64) if escaped is None
+               else np.asarray(escaped).reshape(E))
+        if esc.any() and not _esc_warned[0]:
+            _esc_warned[0] = True
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"Pallas kernel tiles missed {int(esc.sum())} pixels at "
+                f"iteration {it} (per exposure: {esc.tolist()}): the "
+                "applied WCS corrections exceed the static tile margin, "
+                "so some sources were dropped from the fit. Increase the "
+                "tile margin / cutout padding or set use_pallas=False.",
+                stacklevel=3)
         return [
             ImageAlignInfo(
                 name=exps[e].name, iteration=it,
@@ -707,6 +767,7 @@ def align_images(
                 mae=float(mae[e]),
                 nmatches=int(nmatches[e]),
                 iter_s=iter_s,
+                escaped=int(esc[e]),
             )
             for e in range(E)
         ]
@@ -746,7 +807,7 @@ def align_images(
             recs = _make_recs(
                 it, h_np["G_M"][it], h_np["G_t"][it], h_np["rms"][it],
                 h_np["rmse"][it], h_np["mae"][it], h_np["nmatches"][it],
-                iter_s)
+                iter_s, h_np["escaped"][it])
             if cfg.history == "all" or not hist:
                 hist.append(recs)
             else:
@@ -763,7 +824,8 @@ def align_images(
             recs = _make_recs(
                 it, G_M, G_t, np.asarray(info["rms"]),
                 np.asarray(info["rmse"]), np.asarray(info["mae"]),
-                np.asarray(info["nmatches"]), iter_s)
+                np.asarray(info["nmatches"]), iter_s,
+                np.asarray(info["escaped"]))
             if cfg.history == "all" or not hist:
                 hist.append(recs)
             else:
@@ -797,4 +859,5 @@ def align_images(
         exposures=out_exps, matrices=Ms_np, shifts=ts_np,
         history=hist, converged=converged, n_iterations=n_iter,
         drizzle=final, setup_s=setup_s, setup_breakdown=setup_breakdown,
+        truncated_sources=truncated,
     )
