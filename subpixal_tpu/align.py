@@ -221,7 +221,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         # silently dropping sources (VERDICT r1 weak #2 / ADVICE #5).
         def deposit(Ms_, ts_, e):
             px, py = _affine_apply_grid(Ms_[e], ts_[e], dri_px[e], dri_py[e])
-            if pallas:
+            if pallas and cfg.kernel != "tophat":  # tophat: not separable
                 from .kernels.drizzle import drizzle_deposit_pallas
 
                 return drizzle_deposit_pallas(
@@ -710,6 +710,7 @@ def align_images(
     blot_tile = driz_tile = None
     if pallas:
         from .kernels.drizzle import required_tile
+        from .ops.drizzle import kernel_reach
 
         # exact static tiles from the concrete setup pixmaps (+margin for
         # the affine corrections applied on device; the margin scales
@@ -724,7 +725,7 @@ def align_images(
         # and Pallas-compile reuse across similar scenes
         blot_tile = (int(np.ceil((np.ceil(ey) + margin) / 8) * 8),
                      int(np.ceil((np.ceil(ex) + margin) / 128) * 128))
-        reach = 0.5 * cfg.pixfrac * dri_ratio + 0.1
+        reach = kernel_reach(cfg.kernel, cfg.pixfrac, dri_ratio) + 0.1
         tiles = [required_tile(dri_px[e], dri_py[e], wht=exp_wht[e],
                                reach=reach, margin=4) for e in range(E)]
         driz_tile = (max(t[0] for t in tiles), max(t[1] for t in tiles))

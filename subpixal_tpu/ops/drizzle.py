@@ -16,8 +16,12 @@ semantics for the locally-axis-aligned case (the 'square' kernel with a
 rotated Jacobian differs at the few-1e-3 level per pixel; the align loop's
 difference images are insensitive to this).
 
-Supported kernels: ``square`` (area overlap, = 'turbo'), ``point`` (all
-mass to the nearest output cell), ``gaussian`` (Gaussian cloud-in-cell).
+Supported kernels (the AstroDrizzle kernel set, SURVEY §2 #7 / VERDICT r1
+item 8): ``square`` / ``turbo`` (area overlap; drizzlepac's 'turbo' is the
+axis-aligned square, which is exactly this formulation), ``point`` (all
+mass to the nearest output cell), ``gaussian`` (Gaussian cloud-in-cell,
+truncated at 2.5 sigma), ``lanczos2`` / ``lanczos3`` (separable windowed-
+sinc), ``tophat`` (uniform within a circular radius).
 """
 
 from __future__ import annotations
@@ -27,7 +31,42 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["drizzle_deposit", "drizzle_combine"]
+__all__ = ["drizzle_deposit", "drizzle_combine", "kernel_reach",
+           "DRIZZLE_KERNELS"]
+
+#: supported deposit kernels (drizzlepac parity set)
+DRIZZLE_KERNELS = ("square", "turbo", "point", "gaussian",
+                   "lanczos2", "lanczos3", "tophat")
+
+
+def kernel_reach(kernel: str, pixfrac: float, pscale_ratio: float) -> float:
+    """Deposit window half-extent (output pixels) of ``kernel``."""
+    half = 0.5 * float(pixfrac) * float(pscale_ratio)
+    s = max(float(pixfrac) * float(pscale_ratio), 1e-3)
+    if kernel in ("square", "turbo"):
+        return half
+    if kernel == "point":
+        return 0.51
+    if kernel == "gaussian":
+        return 2.5 * s / 2.3548
+    if kernel == "lanczos2":
+        return 2.0 * s
+    if kernel == "lanczos3":
+        return 3.0 * s
+    if kernel == "tophat":
+        return half
+    raise ValueError(f"unknown kernel: {kernel!r} "
+                     f"(expected one of {DRIZZLE_KERNELS})")
+
+
+def _lanczos1d(u: jax.Array, a: float) -> jax.Array:
+    """lanczos_a(u) = sinc(u)·sinc(u/a) on |u| < a, 0 outside."""
+    pu = jnp.pi * u
+    small = jnp.abs(u) < 1e-7
+    val = jnp.where(
+        small, 1.0,
+        a * jnp.sin(pu) * jnp.sin(pu / a) / jnp.maximum(pu * pu, 1e-30))
+    return jnp.where(jnp.abs(u) >= a, 0.0, val)
 
 
 def drizzle_deposit(
@@ -53,7 +92,8 @@ def drizzle_deposit(
     pixfrac : drizzle pixel "droplet" shrink factor (reference default 1).
     pscale_ratio : input pixel size in units of output pixels (e.g. 2.0
         when drizzling onto a 2x finer grid).
-    kernel : 'square' | 'point' | 'gaussian'.
+    kernel : one of :data:`DRIZZLE_KERNELS` ('square' | 'turbo' |
+        'point' | 'gaussian' | 'lanczos2' | 'lanczos3' | 'tophat').
 
     Returns
     -------
@@ -83,17 +123,9 @@ def drizzle_deposit(
         return sci[:-1].reshape(Ho, Wo), wht[:-1].reshape(Ho, Wo)
 
     half = 0.5 * float(pixfrac) * float(pscale_ratio)
-    if kernel == "gaussian":
-        # Gaussian cloud with FWHM = pixfrac*pscale_ratio, truncated at the
-        # static window; sigma in output pixels.
-        sigma = max(float(pixfrac) * float(pscale_ratio), 1e-3) / 2.3548
-        reach = 2.5 * sigma
-    elif kernel == "square":
-        reach = half
-    else:
-        raise ValueError(
-            f"unknown kernel: {kernel!r} (expected 'square'|'point'|'gaussian')"
-        )
+    s = max(float(pixfrac) * float(pscale_ratio), 1e-3)
+    sigma = s / 2.3548  # Gaussian: FWHM = pixfrac * pscale_ratio
+    reach = kernel_reach(kernel, pixfrac, pscale_ratio)
 
     # Static candidate window: cell c covers [c-0.5, c+0.5], so the
     # leftmost cell intersecting [xo-reach, xo+reach] is
@@ -109,7 +141,7 @@ def drizzle_deposit(
         cy = c0y + dy
         for dx in range(K):
             cx = c0x + dx
-            if kernel == "square":
+            if kernel in ("square", "turbo"):
                 # overlap of [xo-half, xo+half] with cell [cx-0.5, cx+0.5]
                 ox = (jnp.minimum(xo + half, cx + 0.5)
                       - jnp.maximum(xo - half, cx - 0.5))
@@ -117,9 +149,16 @@ def drizzle_deposit(
                       - jnp.maximum(yo - half, cy - 0.5))
                 a = (jnp.maximum(ox, 0.0) * jnp.maximum(oy, 0.0)
                      / (4.0 * half * half))
-            else:  # gaussian
+            elif kernel == "gaussian":
                 r2 = (cx - xo) ** 2 + (cy - yo) ** 2
                 a = jnp.exp(-0.5 * r2 / (sigma * sigma))
+            elif kernel in ("lanczos2", "lanczos3"):
+                la = 2.0 if kernel == "lanczos2" else 3.0
+                a = (_lanczos1d((cx - xo) / s, la)
+                     * _lanczos1d((cy - yo) / s, la))
+            else:  # tophat: uniform within a circular radius `half`
+                r2 = (cx - xo) ** 2 + (cy - yo) ** 2
+                a = (r2 <= half * half).astype(jnp.float32)
             valid = (cx >= 0) & (cx < Wo) & (cy >= 0) & (cy < Ho) & (w > 0)
             flat = jnp.where(valid, cy * Wo + cx, Ho * Wo)
             wa = jnp.where(valid, w * a, 0.0)

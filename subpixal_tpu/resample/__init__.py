@@ -302,15 +302,14 @@ class Drizzle(Resample):
         else:
             wht = base if mask is None else base * mask
         wht_j = None if wht is None else jnp.asarray(wht, jnp.float32)
-        if _use_pallas(self.use_pallas):
+        # tophat is not per-axis separable -> always the XLA deposit
+        if _use_pallas(self.use_pallas) and self.kernel != "tophat":
             # MXU matmul-deposit kernel; tile sized exactly from the
             # concrete host pixmap (SURVEY §2a/§7)
             from ..kernels.drizzle import drizzle_deposit_pallas, required_tile
+            from ..ops.drizzle import kernel_reach
 
-            reach = {"square": 0.5 * self.pixfrac * ratio,
-                     "point": 0.51,
-                     "gaussian": 2.5 * self.pixfrac * ratio / 2.3548,
-                     }[self.kernel]
+            reach = kernel_reach(self.kernel, self.pixfrac, ratio)
             tile = required_tile(px, py, wht=wht, reach=reach)
             s, w = drizzle_deposit_pallas(
                 jnp.asarray(data), wht_j,

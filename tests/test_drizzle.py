@@ -266,3 +266,64 @@ def test_static_mask_flags_dead_pixels():
     d.execute()
     for y, x in dead:
         assert np.asarray(d._per_exp[exps[0].name][1])[y, x] >= 0  # runs
+
+
+def test_turbo_is_square_alias():
+    img = np.zeros((9, 9), np.float32)
+    img[4, 4] = 8.0
+    px, py = identity_pixmap(9, 9, dx=0.5)
+    s1, w1 = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                             jnp.asarray(py), (9, 9), kernel="square")
+    s2, w2 = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                             jnp.asarray(py), (9, 9), kernel="turbo")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_tophat_kernel_uniform_disc():
+    """tophat: uniform weight on cells within the droplet radius."""
+    img = np.zeros((11, 11), np.float32)
+    img[5, 5] = 1.0
+    win = np.zeros((11, 11), np.float32)
+    win[5, 5] = 1.0  # only the center pixel deposits
+    px, py = identity_pixmap(11, 11)
+    sci, wht = drizzle_deposit(jnp.asarray(img), jnp.asarray(win),
+                               jnp.asarray(px),
+                               jnp.asarray(py), (11, 11), kernel="tophat",
+                               pixfrac=3.0)  # radius 1.5 -> 5-cell plus
+    w = np.asarray(wht)
+    # exactly the cells whose centers lie within radius 1.5 of (5, 5)
+    for (yy, xx) in np.argwhere(np.ones((11, 11))):
+        r = np.hypot(yy - 5, xx - 5)
+        assert (w[yy, xx] > 0) == (r <= 1.5), (yy, xx, r)
+    # uniform within the disc
+    assert np.allclose(w[w > 0], w.max())
+
+
+def test_lanczos3_centered_delta_reproduces_delta():
+    """A droplet exactly on a cell center deposits ~all flux there
+    (lanczos(0)=1, zeros at integer offsets)."""
+    img = np.zeros((15, 15), np.float32)
+    img[7, 7] = 5.0
+    px, py = identity_pixmap(15, 15)
+    sci, wht = drizzle_deposit(jnp.asarray(img), None, jnp.asarray(px),
+                               jnp.asarray(py), (15, 15),
+                               kernel="lanczos3")
+    s = np.asarray(sci)
+    assert s[7, 7] == pytest.approx(5.0, rel=1e-5)
+    assert np.abs(np.delete(s.ravel(), 7 * 15 + 7)).max() < 1e-5
+
+
+def test_lanczos3_interpolates_smooth_field():
+    """Half-pixel lanczos3 deposit of a smooth field combines back to the
+    shifted field (windowed-sinc interpolation property)."""
+    yy, xx = np.mgrid[0:24, 0:24].astype(np.float32)
+    img = np.sin(xx * 0.4) + np.cos(yy * 0.3)
+    px, py = identity_pixmap(24, 24, dx=0.5)
+    sci, wht = drizzle_deposit(jnp.asarray(img.astype(np.float32)), None,
+                               jnp.asarray(px), jnp.asarray(py), (24, 30),
+                               kernel="lanczos3")
+    out = np.asarray(drizzle_combine(sci, wht))
+    want = np.sin((xx - 0.5) * 0.4) + np.cos(yy * 0.3)
+    # interior cells only (window needs full support)
+    np.testing.assert_allclose(out[4:20, 4:20], want[4:20, 4:20],
+                               atol=5e-3)

@@ -90,8 +90,11 @@ def driz_scene():
     return data, wht, gx, gy, (56, 270)
 
 
-@pytest.mark.parametrize("kernel,tol", [("square", 1e-5), ("point", 1e-6),
-                                        ("gaussian", 5e-4)])
+@pytest.mark.parametrize("kernel,tol", [("square", 1e-5), ("turbo", 1e-5),
+                                        ("point", 1e-6),
+                                        ("gaussian", 1e-5),
+                                        ("lanczos2", 1e-5),
+                                        ("lanczos3", 1e-5)])
 def test_drizzle_kernel_matches_oracle(driz_scene, kernel, tol):
     data, wht, gx, gy, out_shape = driz_scene
     s1, w1 = drizzle_deposit_pallas(data, wht, gx, gy, out_shape,
@@ -198,3 +201,10 @@ def test_drizzle_escape_counter_fires(driz_scene):
     sci_o, w_o = drizzle_deposit(img, wht, px2, py2, big_out)
     assert float(np.abs(np.asarray(w_o)).sum()) > \
         float(np.abs(np.asarray(w2)).sum())
+
+
+def test_drizzle_tophat_not_separable_raises(driz_scene):
+    data, wht, gx, gy, out_shape = driz_scene
+    with pytest.raises(ValueError, match="tophat"):
+        drizzle_deposit_pallas(data, wht, gx, gy, out_shape,
+                               kernel="tophat", interpret=True)
