@@ -159,8 +159,20 @@ def bench_tpu(refs, imgs, dxs, dys):
         r, i, cc_type="NCC", usfac=10, fit_type="gaussian"))
     r_j = jnp.asarray(refs)
     i_j = jnp.asarray(imgs)
-    out = f(r_j, i_j)
+    compiled = f.lower(r_j, i_j).compile()
+    out = compiled(r_j, i_j)
     jax.block_until_ready(out)
+    # XLA's own FLOP estimate of the displacement program, for the MFU
+    # figure (denominator: v5e bf16 MXU peak 197 TF/s; the program is
+    # f32+FFT-heavy, so this is a conservative utilization bound)
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     def make_loop(k):
         def run(seed):
@@ -180,7 +192,9 @@ def bench_tpu(refs, imgs, dxs, dys):
     ey = np.asarray(out.dy) - dys
     rmse_mpix = 1e3 * float(np.sqrt(np.mean(ex**2 + ey**2)))
     dxy = np.stack([np.asarray(out.dx), np.asarray(out.dy)], 1)
-    return refs.shape[0] / dt, rmse_mpix, dxy
+    mfu = (round(100.0 * flops / dt / 197e12, 3)
+           if flops else None)
+    return refs.shape[0] / dt, rmse_mpix, dxy, mfu
 
 
 def bench_kernels():
@@ -238,6 +252,65 @@ def bench_kernels():
     }
 
 
+def bench_align_smoke():
+    """Full use_pallas align smoke on the real chip (SURVEY §3.1 hot loop;
+    VERDICT r1 item 5): an 8-frame 1024² scene, 4 device iterations.
+
+    Asserts the planted shifts are recovered (<10 mpix pairwise) and
+    emits ms/iter (host-loop step time incl. the ~relay round trip, same
+    definition as ImageAlignInfo.iter_s) + setup seconds. Runs LAST:
+    Mosaic compiles must follow every pure-XLA compile in the process.
+    """
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.resample import Exposure
+    from subpixal_tpu.wcs.wcs import TanWCS
+
+    rng = np.random.default_rng(11)
+    E, shape, nstars = 8, (1024, 1024), 60
+    scale = 0.05 / 3600.0
+    cd = scale * np.array([[-1.0, 0.0], [0.0, 1.0]])
+    stars = np.stack([rng.uniform(20, shape[1] - 20, nstars),
+                      rng.uniform(20, shape[0] - 20, nstars)], 1)
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    exps, planted = [], []
+    for e in range(E):
+        dx, dy = rng.uniform(-0.5, 0.5, 2)
+        planted.append((dx, dy))
+        img = rng.normal(0, 0.01, shape).astype(np.float32)
+        for x0, y0 in stars:
+            r2 = (xx - x0 - dx) ** 2 + (yy - y0 - dy) ** 2
+            img += np.where(r2 < 81.0,
+                            25.0 * np.exp(-r2 / (2 * 1.8 ** 2)),
+                            0.0).astype(np.float32)
+        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
+                     crval=np.array([150.0, 2.0]), cd=cd)
+        exps.append(Exposure(img, wcs, name=f"b{e}"))
+    res = align_images(exposures=exps, fitgeom="shift", max_iterations=4,
+                       usfac=8, fit_type="gaussian", use_pallas=True)
+    sh = np.asarray(res.shifts)
+    errs = []
+    for i in range(E):
+        for j in range(E):
+            got = sh[i] - sh[j]
+            want = (planted[j][0] - planted[i][0],
+                    planted[j][1] - planted[i][1])
+            errs.append(np.hypot(got[0] - want[0], got[1] - want[1]))
+    err_mpix = 1e3 * max(errs)
+    assert err_mpix < 10.0, f"align smoke fit error {err_mpix:.2f} mpix"
+    iters = [recs[0].iter_s for recs in res.history]
+    steady = iters[1:] or iters  # first call carries the jit compile
+    return {
+        "align_iter_ms": round(1e3 * float(np.median(steady)), 1),
+        "align_fit_err_mpix": round(err_mpix, 3),
+        "align_setup_s": round(res.setup_s, 2),
+        "align_n_iterations": res.n_iterations,
+    }
+
+
 def main():
     import os
 
@@ -250,7 +323,7 @@ def main():
     if trace_dir:  # SURVEY §5 tracing hook: perfetto/xplane dump
         jax.profiler.start_trace(trace_dir)
     refs, imgs, dxs, dys = make_workload()
-    tpu_ccs, rmse_mpix, tpu_dxy = bench_tpu(refs, imgs, dxs, dys)
+    tpu_ccs, rmse_mpix, tpu_dxy, mfu = bench_tpu(refs, imgs, dxs, dys)
     if trace_dir:
         jax.profiler.stop_trace()
     cpu_ccs, cpu_dxy = bench_cpu_reference(refs, imgs)
@@ -260,6 +333,7 @@ def main():
     vs_ref = 1e3 * float(
         np.sqrt(np.mean(np.sum((tpu_dxy[:n] - cpu_dxy) ** 2, axis=1))))
     extras = bench_kernels()  # pallas sections last (compile-order rule)
+    extras.update(bench_align_smoke())
 
     print(json.dumps({
         "metric": "batched cutout cross-correlations/sec "
@@ -272,6 +346,7 @@ def main():
         "shift_rmse_vs_truth_mpix": round(rmse_mpix, 4),
         "shift_rmse_vs_reference_mpix": round(vs_ref, 4),
         "device": str(jax.devices()[0]),
+        **({"mfu_pct": mfu} if mfu is not None else {}),
         **extras,
     }))
 

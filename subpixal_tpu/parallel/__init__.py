@@ -8,6 +8,12 @@ DCN across slices), and the joint multi-exposure alignment step (BASELINE
 config 5) is one jit-compiled SPMD program.
 """
 
+from .distributed import (
+    global_batch_from_local,
+    init_distributed,
+    make_global_mesh,
+    process_info,
+)
 from .sharding import (
     make_mesh,
     pad_to_multiple,
@@ -20,4 +26,8 @@ __all__ = [
     "pad_to_multiple",
     "sharded_find_displacement",
     "sharded_measure_and_fit",
+    "init_distributed",
+    "make_global_mesh",
+    "global_batch_from_local",
+    "process_info",
 ]
