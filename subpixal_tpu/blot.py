@@ -25,6 +25,16 @@ from .wcs.wcs import TanWCS
 __all__ = ["compute_pixmap", "blot_image", "blot_cutout"]
 
 
+_PIXMAP_CACHE: dict = {}
+_PIXMAP_CACHE_MAX = 16
+
+
+def _wcs_cache_key(w: TanWCS):
+    return (w.crpix.tobytes(), w.crval.tobytes(), w.cd.tobytes(),
+            *(None if getattr(w, f) is None else getattr(w, f).tobytes()
+              for f in ("a", "b", "ap", "bp")))
+
+
 def compute_pixmap(
     from_wcs: TanWCS,
     to_wcs: TanWCS,
@@ -39,8 +49,21 @@ def compute_pixmap(
     (:func:`subpixal_tpu.wcs.wcs.tangent_homography` — no per-pixel
     spherical trig), then tangent -> pixel. Returns float64 arrays
     (x_to, y_to) of shape ``shape``.
+
+    Results are memoized on the WCS parameters (LRU, 16 entries): the
+    align setup and the Drizzle deposits request the SAME full-frame
+    pixmaps back-to-back, and on this rig host f64 math runs on a single
+    throttled CPU — the cache halves setup time. The returned arrays are
+    read-only; ``copy()`` before mutating.
     """
     from .wcs.wcs import tangent_homography
+
+    key = (_wcs_cache_key(from_wcs), _wcs_cache_key(to_wcs),
+           tuple(shape), tuple(blc))
+    hit = _PIXMAP_CACHE.get(key)
+    if hit is not None:
+        _PIXMAP_CACHE[key] = _PIXMAP_CACHE.pop(key)  # refresh LRU order
+        return hit
 
     h, w = shape
     y0, x0 = blc
@@ -56,7 +79,14 @@ def compute_pixmap(
     xi2 = (w1 / w0) / d2r
     eta2 = (w2 / w0) / d2r
     xt, yt = to_wcs.tangent_to_pixel(xi2, eta2)
-    return np.asarray(xt), np.asarray(yt)
+    xt = np.asarray(xt)
+    yt = np.asarray(yt)
+    xt.setflags(write=False)
+    yt.setflags(write=False)
+    if len(_PIXMAP_CACHE) >= _PIXMAP_CACHE_MAX:
+        _PIXMAP_CACHE.pop(next(iter(_PIXMAP_CACHE)))
+    _PIXMAP_CACHE[key] = (xt, yt)
+    return xt, yt
 
 
 def blot_image(
