@@ -72,7 +72,11 @@ class AlignConfig:
     wcsupdate: str = "batch"  # 'batch' | 'otf' (otf composes within the step)
     max_iterations: int = 10
     eps_shift: float = 0.004
-    history: str = "all"  # 'all' | 'last'
+    # 'all' | 'last'. DELIBERATE deviation: the reference defaults to
+    # history='last'; records here are cheap structured dataclasses (the
+    # reference appends FITS-header HISTORY cards), so keeping the full
+    # history costs nothing and aids observability (docs/parity.md).
+    history: str = "all"
     # TPU-build knobs (no reference counterpart):
     usfac: int = 1
     peak_fit_box: int = 5

@@ -104,18 +104,35 @@ def _band_matrix_t(l0: jax.Array, t: jax.Array, interp: str,
 
 
 def _blot_kernel(origins_ref, x_ref, y_ref, image_ref, out_ref,
-                 tile_ref, sem, *, interp: str, Th: int, Tw: int):
+                 tiles_ref, sems, *, interp: str, Th: int, Tw: int):
+    """Double-buffered: cutout b+1's tile DMA is issued before cutout b's
+    band matrices + matmul, so the HBM fetch rides under the compute
+    (VERDICT r1 item 6). Grid steps run sequentially on one core, so the
+    two scratch slots ping-pong race-free."""
     b = pl.program_id(0)
+    nB = pl.num_programs(0)
     # origins are pre-aligned to the (8, 128) memory tiling by the caller;
     # shape (2, B): SMEM pads the lane (last) dim to 128, so the batch
     # must NOT be the leading dim or B*128 words would blow the 1MB SMEM
     oy = pl.multiple_of(origins_ref[0, b], 8)
     ox = pl.multiple_of(origins_ref[1, b], 128)
 
-    # HBM -> VMEM tile for this cutout's bbox
-    dma = pltpu.make_async_copy(
-        image_ref.at[pl.ds(oy, Th), pl.ds(ox, Tw)], tile_ref, sem)
-    dma.start()
+    def tile_dma(slot, idx):
+        oy_i = pl.multiple_of(origins_ref[0, idx], 8)
+        ox_i = pl.multiple_of(origins_ref[1, idx], 128)
+        return pltpu.make_async_copy(
+            image_ref.at[pl.ds(oy_i, Th), pl.ds(ox_i, Tw)],
+            tiles_ref.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(b, 2)
+
+    @pl.when(b == 0)
+    def _():  # warm-up: the first tile has nothing to hide under
+        tile_dma(0, 0).start()
+
+    @pl.when(b + 1 < nB)
+    def _():  # prefetch the NEXT cutout's tile into the other slot
+        tile_dma(jax.lax.rem(b + 1, 2), b + 1).start()
 
     lx = x_ref[0] - ox.astype(jnp.float32)   # (1, P)
     ly = y_ref[0] - oy.astype(jnp.float32)
@@ -125,16 +142,19 @@ def _blot_kernel(origins_ref, x_ref, y_ref, image_ref, out_ref,
     Ayt = _band_matrix_t(y0.astype(jnp.int32), ly - y0, interp, Th)
     Axt = _band_matrix_t(x0.astype(jnp.int32), lx - x0, interp, Tw)
 
-    dma.wait()
-    # vertical gather+blend on the MXU: (Tw, Th) x (Th, P) -> (Tw, P)
+    tile_dma(slot, b).wait()
+    # horizontal gather+blend on the MXU: (Th, Tw) x (Tw, P) -> (Th, P).
+    # Contracting over the WIDE axis (Tw >= Th: lane alignment pads the
+    # x tile by a full 128 quantum) leaves the cheaper elementwise pass
+    # on the short axis — same matmul FLOPs, ~3x less VPU reduce work.
     G = jax.lax.dot_general(
-        tile_ref[:], Ayt,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        tiles_ref[slot], Axt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    # horizontal pass on the VPU
-    out_ref[0] = jnp.sum(G * Axt, axis=0, keepdims=True)
+    # vertical pass on the VPU
+    out_ref[0] = jnp.sum(G * Ayt, axis=0, keepdims=True)
 
 
 @functools.partial(
@@ -238,8 +258,8 @@ def sample_cutouts_pallas(
         out_specs=pl.BlockSpec((1, 1, Pp), lambda b, o: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Th, Tw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, Th, Tw), jnp.float32),  # double-buffered tiles
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     vals = pl.pallas_call(
