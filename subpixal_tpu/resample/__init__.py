@@ -235,6 +235,17 @@ class Drizzle(Resample):
     rate units (cps), the AstroDrizzle default.
     """
 
+    #: AstroDrizzle config keys accepted via ``Drizzle(config=...)`` and
+    #: the constructor kwarg each maps to (reference ``Drizzle(config=…)``
+    #: forwards a config dict to AstroDrizzle, SURVEY §3.2 / §5 "Config").
+    CONFIG_KEYS = {
+        "final_pixfrac": "pixfrac",
+        "final_kernel": "kernel",
+        "final_fillval": "fillval",
+        "final_scale": "pscale",
+        "final_wht_type": "wht_type",
+    }
+
     def __init__(self, exposures: Sequence[Exposure] | None = None,
                  output_wcs: TanWCS | None = None,
                  output_shape: tuple[int, int] | None = None,
@@ -242,7 +253,33 @@ class Drizzle(Resample):
                  fillval: float = 0.0, pscale: float | None = None,
                  pscale_ratio: float = 1.0,
                  use_pallas: bool | str = "auto",
-                 wht_type: str = "exptime"):
+                 wht_type: str = "exptime",
+                 config: dict | None = None):
+        if config:
+            kw = {}
+            for key, val in config.items():
+                name = self.CONFIG_KEYS.get(key, key)
+                if name == "wht_type" and isinstance(val, str):
+                    val = {"EXP": "exptime", "IVM": "ivm",
+                           "ERR": "error"}.get(val.upper(), val)
+                kw[name] = val
+            known = {"pixfrac", "kernel", "fillval", "pscale",
+                     "pscale_ratio", "wht_type", "use_pallas"}
+            bad = set(kw) - known
+            if bad:
+                raise ValueError(
+                    f"unknown Drizzle config key(s): {sorted(bad)} "
+                    f"(accepted: {sorted(known | set(self.CONFIG_KEYS))})")
+            loc = locals()
+            defaults = {k: loc[k] for k in known}
+            defaults.update(kw)
+            pixfrac = defaults["pixfrac"]
+            kernel = defaults["kernel"]
+            fillval = defaults["fillval"]
+            pscale = defaults["pscale"]
+            pscale_ratio = defaults["pscale_ratio"]
+            wht_type = defaults["wht_type"]
+            use_pallas = defaults["use_pallas"]
         self.exposures: list[Exposure] = list(exposures or [])
         self.pixfrac = float(pixfrac)
         self.kernel = kernel

@@ -213,3 +213,19 @@ def test_align_counts_units_mixed_exptime():
             want = (true_off[j][0] - true_off[i][0],
                     true_off[j][1] - true_off[i][1])
             np.testing.assert_allclose(got, want, atol=0.03)
+
+
+def test_drizzle_astrodrizzle_config_dict():
+    """Drizzle(config=...) accepts AstroDrizzle-style keys (reference
+    Drizzle(config=...) forwards a config dict; SURVEY §3.2)."""
+    d = Drizzle(config={"final_pixfrac": 0.8, "final_kernel": "gaussian",
+                        "final_wht_type": "IVM", "final_fillval": -1.0})
+    assert d.pixfrac == 0.8
+    assert d.kernel == "gaussian"
+    assert d.wht_type == "ivm"
+    assert d.fillval == -1.0
+    # direct kwarg names work too; unknown keys are rejected loudly
+    d2 = Drizzle(config={"pixfrac": 0.6})
+    assert d2.pixfrac == 0.6
+    with pytest.raises(ValueError, match="unknown Drizzle config"):
+        Drizzle(config={"final_bogus": 1})
