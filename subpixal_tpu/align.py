@@ -168,6 +168,30 @@ def _affine_apply_grid(M, t, gx, gy):
     return nx, ny
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cut_shape",))
+def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
+                         src_ids, *, cut_shape):
+    """One device program staging all per-exposure loop inputs.
+
+    Batched over exposures: fixed-shape cutout gathers from the image
+    stack and nearest-neighbour segmentation sampling on the cutout
+    pixmaps. Replaces a per-frame host<->device ping-pong (upload frame,
+    gather, download, re-upload) that paid several relay round trips per
+    exposure on tunneled TPU runtimes.
+    """
+    cb = jax.vmap(lambda im, c: extract_cutouts(im, c, cut_shape)
+                  )(exp_data, centers)
+    sseg, _ = jax.vmap(
+        lambda px, py: sample_image(seg_f, px, py, interp="nearest")
+    )(cut_px, cut_py)
+    seg_cut = (jnp.abs(sseg - src_ids[None, :, None, None]) < 0.5
+               ).astype(jnp.float32)
+    return cb.data, cb.mask, seg_cut
+
+
 _STEP_CACHE: dict = {}
 
 
@@ -620,9 +644,7 @@ def align_images(
         flux_w = flux_w / max(flux_w.max(), 1e-12)
 
         # -- per-exposure static device inputs --------------------------- #
-        img_cut = np.zeros((E, N, h, w), np.float32)
-        img_msk = np.zeros((E, N, h, w), bool)
-        seg_cut = np.zeros((E, N, h, w), np.float32)
+        centers = np.zeros((E, N, 2), np.float32)
         cut_px = np.zeros((E, N, h, w), np.float32)
         cut_py = np.zeros((E, N, h, w), np.float32)
         jac = np.zeros((E, N, 2, 2), np.float32)
@@ -681,29 +703,28 @@ def align_images(
             # initial predictions in the ref frame = catalog positions
             # (the WCS roundtrip exposure->sky->ref is the identity there)
             xy0[e] = xy_cat.astype(np.float32)
-            # extract the (static) image cutouts on device — rate units,
-            # so the correlation compares like-with-like vs the blotted
-            # (rate) reference even for plain 'CC'
-            cb = extract_cutouts(
-                jnp.asarray(data_r), jnp.asarray(
-                    np.stack([sx, sy], 1), jnp.float32), cut_shape)
-            img_cut[e] = np.asarray(cb.data)
-            img_msk[e] = np.asarray(cb.mask)
-            t = _mark("extract_cutouts", t)
-            # per-source segmentation mask on the cutout grid: sample the
-            # ref-frame segmentation at the initial pixmap (nearest) and
-            # keep only this source's footprint
-            sseg, _ = sample_image(jnp.asarray(seg_f),
-                                   jnp.asarray(cut_px[e]),
-                                   jnp.asarray(cut_py[e]), interp="nearest")
-            sseg = np.asarray(sseg)
-            seg_cut[e] = (np.abs(sseg - src_ids[:, None, None]) < 0.5
-                          ).astype(np.float32)
-            t = _mark("seg_sample", t)
+            centers[e] = np.stack([sx, sy], 1)
+
+        # one batched device program builds every remaining input (the
+        # static image cutouts — rate units, so correlation compares
+        # like-with-like vs the blotted rate reference even for plain
+        # 'CC' — and the per-source segmentation masks sampled from the
+        # ref-frame segmentation at the initial pixmaps). The staged
+        # arrays STAY on device: they are the loop args.
+        exp_data = jnp.asarray(exp_data)
+        exp_wht = jnp.asarray(exp_wht)
+        cut_px_j = jnp.asarray(cut_px)
+        cut_py_j = jnp.asarray(cut_py)
+        dri_px_j = jnp.asarray(dri_px, jnp.float32)
+        dri_py_j = jnp.asarray(dri_py, jnp.float32)
+        img_cut, img_msk, seg_cut = _stage_device_inputs(
+            exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
+            cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),
+            cut_shape=cut_shape)
+        t = _mark("device_stage", t)
 
         dri_ratio = float(np.mean([exp.wcs.pscale for exp in exps])
                           / ref_wcs.pscale)
-        setup_s = time.time() - t_setup
 
     # ------------------------------------------------------------------ #
     # device fixed-point iteration
@@ -713,7 +734,7 @@ def align_images(
     pallas = _use_pallas(cfg.use_pallas)
     blot_tile = driz_tile = None
     if pallas:
-        from .kernels.drizzle import required_tile
+        from .kernels.drizzle import required_tile_device
         from .ops.drizzle import kernel_reach
 
         # exact static tiles from the concrete setup pixmaps (+margin for
@@ -730,9 +751,11 @@ def align_images(
         blot_tile = (int(np.ceil((np.ceil(ey) + margin) / 8) * 8),
                      int(np.ceil((np.ceil(ex) + margin) / 128) * 128))
         reach = kernel_reach(cfg.kernel, cfg.pixfrac, dri_ratio) + 0.1
-        tiles = [required_tile(dri_px[e], dri_py[e], wht=exp_wht[e],
-                               reach=reach, margin=4) for e in range(E)]
-        driz_tile = (max(t[0] for t in tiles), max(t[1] for t in tiles))
+        # one reduction over the device-resident (E, H, W) pixmap stack
+        # -> the shared static tile (one Pallas compile for all frames)
+        driz_tile = required_tile_device(dri_px_j, dri_py_j, wht=exp_wht,
+                                         reach=reach, margin=4)
+        t = _mark("pallas_tiles", t)
 
     step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
                               cfg.fitgeom, dri_ratio, pallas, blot_tile,
@@ -741,9 +764,12 @@ def align_images(
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
     ts = jnp.zeros((E, 2), jnp.float32)
     args = [jnp.asarray(a) for a in (
-        exp_data, exp_wht, dri_px, dri_py,
-        cut_px, cut_py, img_cut, img_msk, seg_cut, jac, xy0,
+        exp_data, exp_wht, dri_px_j, dri_py_j,
+        cut_px_j, cut_py_j, img_cut, img_msk, seg_cut, jac, xy0,
         flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
+    jax.block_until_ready(args)  # host->device staging charged to setup,
+    t = _mark("stage_args", t)   # not to the first iteration's iter_s
+    setup_s = time.time() - t_setup
 
     _esc_warned = [False]
 

@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ._common import round_up as _round_up
 
-__all__ = ["drizzle_deposit_pallas", "required_tile"]
+__all__ = ["drizzle_deposit_pallas", "required_tile",
+           "required_tile_device"]
 
 
 def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
@@ -61,24 +62,33 @@ def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
     the host (numpy) and pass the result as the static ``tile`` argument
     — exact coverage beats the rotation-margin heuristic when the pixmap
     is known (align evaluates all pixmaps at setup anyway).
+
+    ``x_out``/``y_out`` may carry leading batch dimensions (e.g. one
+    pixmap per exposure, shape ``(E, H, W)``); the returned tile covers
+    every block of every batched pixmap, which is exactly the shared
+    static tile the align loop wants (one Pallas compile for the stack).
     """
     import numpy as np
 
     x = np.asarray(x_out)
     y = np.asarray(y_out)
-    H, W = x.shape
+    H, W = x.shape[-2:]
+    x = x.reshape(-1, H, W)
+    y = y.reshape(-1, H, W)
+    E = x.shape[0]
     bh, bw = block
     Hp = -(-H // bh) * bh
     Wp = -(-W // bw) * bw
-    live = np.ones((H, W), bool) if wht is None else np.asarray(wht) > 0
-    pad = ((0, Hp - H), (0, Wp - W))
+    live = (np.ones((E, H, W), bool) if wht is None
+            else np.broadcast_to(np.asarray(wht) > 0, x.shape))
+    pad = ((0, 0), (0, Hp - H), (0, Wp - W))
     xp = np.pad(x, pad)
     yp = np.pad(y, pad)
     lv = np.pad(live, pad)
 
     def blocks(a):
-        return (a.reshape(Hp // bh, bh, Wp // bw, bw)
-                .transpose(0, 2, 1, 3).reshape(-1, bh * bw))
+        return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
+                .transpose(0, 1, 3, 2, 4).reshape(-1, bh * bw))
 
     xb, yb, lb = blocks(xp), blocks(yp), blocks(lv)
     big = 1e18
@@ -92,6 +102,61 @@ def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
     # quantize to the kernel's (8, 128) tile rounding so near-identical
     # geometries (e.g. dithered exposures of one visit) share one static
     # tile — and therefore ONE Pallas compilation, not one per exposure
+    th = int(math.ceil(ey + 2 * reach + 1)) + margin
+    tw = int(math.ceil(ex + 2 * reach + 1)) + margin
+    return (-(-th // 8) * 8, -(-tw // 128) * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _block_extents_device(x, y, live, block: tuple[int, int] = (8, 128)):
+    """Device-side per-block bbox extents for :func:`required_tile`.
+
+    Same walk as the numpy path, but as one jitted reduction over the
+    device-resident ``(E, H, W)`` pixmap stack — the align setup already
+    stages the pixmaps in HBM, so sizing the tile there avoids both a
+    32+ MB device->host fetch and a multi-hundred-ms numpy block walk.
+    Returns scalar ``(ey, ex)`` = the largest per-block y/x spans.
+    """
+    H, W = x.shape[-2:]
+    x = x.reshape(-1, H, W)
+    y = y.reshape(-1, H, W)
+    live = jnp.broadcast_to(live.reshape(-1, H, W) > 0, x.shape)
+    E = x.shape[0]
+    bh, bw = block
+    Hp = -(-H // bh) * bh
+    Wp = -(-W // bw) * bw
+    pad = ((0, 0), (0, Hp - H), (0, Wp - W))
+    xp = jnp.pad(x, pad)
+    yp = jnp.pad(y, pad)
+    lv = jnp.pad(live, pad)
+
+    def blocks(a):
+        return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
+                .transpose(0, 1, 3, 2, 4).reshape(-1, bh * bw))
+
+    xb, yb, lb = blocks(xp), blocks(yp), blocks(lv)
+    big = jnp.float32(1e18)
+    ey = (jnp.max(jnp.where(lb, yb, -big), 1)
+          - jnp.min(jnp.where(lb, yb, big), 1))
+    ex = (jnp.max(jnp.where(lb, xb, -big), 1)
+          - jnp.min(jnp.where(lb, xb, big), 1))
+    anyb = lb.any(1)
+    ey = jnp.max(jnp.where(anyb, ey, 0.0))
+    ex = jnp.max(jnp.where(anyb, ex, 0.0))
+    return ey, ex
+
+
+def required_tile_device(x_out, y_out, wht=None,
+                         block: tuple[int, int] = (8, 128),
+                         reach: float = 0.55, margin: int = 2
+                         ) -> tuple[int, int]:
+    """:func:`required_tile` for device-resident pixmaps (one reduction
+    on device, two scalars fetched)."""
+    live = (jnp.ones(x_out.shape[-2:], jnp.float32) if wht is None
+            else wht)
+    ey, ex = _block_extents_device(x_out, y_out, live, block=block)
+    ey = float(ey)
+    ex = float(ex)
     th = int(math.ceil(ey + 2 * reach + 1)) + margin
     tw = int(math.ceil(ex + 2 * reach + 1)) + margin
     return (-(-th // 8) * 8, -(-tw // 128) * 128)

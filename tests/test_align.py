@@ -172,7 +172,8 @@ def test_result_observability_fields():
     assert res.setup_s > 0
     assert set(res.setup_breakdown) >= {
         "resample_execute", "catalog", "primary_cutouts",
-        "frame_pixmaps", "cutout_pixmaps", "extract_cutouts"}
+        "frame_pixmaps", "cutout_pixmaps", "device_stage",
+            "stage_args"}
     assert all(recs[0].iter_s > 0 for recs in res.history)
 
 
