@@ -752,8 +752,12 @@ def align_images(
                      int(np.ceil((np.ceil(ex) + margin) / 128) * 128))
         reach = kernel_reach(cfg.kernel, cfg.pixfrac, dri_ratio) + 0.1
         # one reduction over the device-resident (E, H, W) pixmap stack
-        # -> the shared static tile (one Pallas compile for all frames)
-        driz_tile = required_tile_device(dri_px_j, dri_py_j, wht=exp_wht,
+        # -> the shared static tile (one Pallas compile for all frames).
+        # wht=None (all pixels live) keeps the tile conservative AND
+        # identical to Drizzle._shared_tile's sizing for the same scene,
+        # so the setup drizzle and the in-loop deposits share one Mosaic
+        # compile instead of two ~minute-scale ones.
+        driz_tile = required_tile_device(dri_px_j, dri_py_j,
                                          reach=reach, margin=4)
         t = _mark("pallas_tiles", t)
 

@@ -322,7 +322,40 @@ class Drizzle(Resample):
             self._owcs = self._owcs or owcs
             self._oshape = self._oshape or oshape
 
-    def _deposit(self, exp: Exposure):
+    def _shared_tile(self):
+        """One static Pallas tile covering every exposure's deposit.
+
+        Sized by a single device-side reduction over the stacked pixmaps
+        (same-shape exposures only). A shared tile means ONE Pallas
+        compile and no per-exposure host ``required_tile`` block walk —
+        the walks dominated warm ``execute()`` time at stack scale.
+        """
+        from ..blot import compute_pixmap
+        from ..kernels.drizzle import required_tile_device
+        from ..ops.drizzle import kernel_reach
+
+        shapes = {e.data.shape for e in self.exposures}
+        if len(shapes) != 1:
+            return None
+        pxs, pys = [], []
+        reach = 0.0
+        for exp in self.exposures:
+            px, py = compute_pixmap(exp.wcs, self._owcs, exp.data.shape)
+            pxs.append(px)
+            pys.append(py)
+            ratio = exp.wcs.pscale / self._owcs.pscale
+            reach = max(reach, kernel_reach(self.kernel, self.pixfrac,
+                                            ratio))
+        # same padding/margin convention as the align loop's tile sizing
+        # (align.py driz_tile): identical scenes then quantize to the
+        # IDENTICAL static tile -> the setup drizzle and the in-loop
+        # deposits share one Mosaic compile.
+        return required_tile_device(
+            jnp.asarray(np.stack(pxs), jnp.float32),
+            jnp.asarray(np.stack(pys), jnp.float32),
+            reach=reach + 0.1, margin=4)
+
+    def _deposit(self, exp: Exposure, tile=None):
         from ..blot import compute_pixmap
         from ..kernels import use_pallas as _use_pallas
 
@@ -347,7 +380,8 @@ class Drizzle(Resample):
             from ..ops.drizzle import kernel_reach
 
             reach = kernel_reach(self.kernel, self.pixfrac, ratio)
-            tile = required_tile(px, py, wht=wht, reach=reach)
+            if tile is None:
+                tile = required_tile(px, py, wht=wht, reach=reach)
             s, w = drizzle_deposit_pallas(
                 jnp.asarray(data), wht_j,
                 jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
@@ -375,8 +409,13 @@ class Drizzle(Resample):
         sci = jnp.zeros((Ho, Wo), jnp.float32)
         wht = jnp.zeros((Ho, Wo), jnp.float32)
         self._per_exp.clear()
+        from ..kernels import use_pallas as _use_pallas
+
+        tile = (self._shared_tile()
+                if _use_pallas(self.use_pallas) and self.kernel != "tophat"
+                and len(self.exposures) > 1 else None)
         for exp in self.exposures:
-            s, w = self._deposit(exp)
+            s, w = self._deposit(exp, tile=tile)
             self._per_exp[exp.name] = (s, w)
             sci = sci + s
             wht = wht + w
