@@ -93,18 +93,28 @@ class AlignConfig:
     skymethod: str = "match"   # match_sky: 'match' | 'localmin'
     min_sources: int = 3
     use_pallas: bool | str = "auto"  # Pallas blot/drizzle kernels on TPU
+    # in-loop re-drizzle deposits ONLY input blocks whose output
+    # footprint can reach a cutout's blot window ('auto' = on with the
+    # Pallas path). The re-drizzle exists solely to feed the blot, so
+    # blocks far from every cutout are dead work — at catalog scale this
+    # cuts the dominant per-iteration kernel cost ~proportionally to the
+    # uncovered frame fraction. Results are identical by construction
+    # (conservative live-set margins; see _live_block_indices).
+    sparse_deposit: bool | str = "auto"
     # pre-combine stages (the reference reaches these through its
     # AstroDrizzle config dict; SURVEY §3.2):
     match_sky: bool = False      # per-exposure sky estimate + subtract
     static_mask: bool = False    # zero weights of stack-wide dead pixels
     reject_cr: bool = False      # driz_cr against the median stack
     # run the WHOLE fixed-point iteration on device (lax.while_loop with
-    # preallocated history buffers; one host sync total). Measured on
-    # v5e: the while-loop body pessimizes the Pallas drizzle's buffer
-    # aliasing (~330 vs 103 ms/iter on an 8-frame scene), so the host
-    # loop is the default; flip on where per-iteration dispatch latency
-    # dominates (very high-latency tunnels, tiny scenes).
-    device_loop: bool | str = False
+    # preallocated history buffers; one host sync total). 'auto' = on
+    # unless verbose per-iteration printing is requested. Measured on
+    # v5e (round 2): the device step is ~29-33 ms/iter while each
+    # host-loop iteration pays a ~55-65 ms dispatch/relay round trip on
+    # top — the round-1 while-loop aliasing pessimization (~330 ms/iter)
+    # no longer reproduces. Set False to debug per-iteration state from
+    # the host.
+    device_loop: bool | str = "auto"
 
 
 @dataclasses.dataclass
@@ -192,6 +202,117 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
     return cb.data, cb.mask, seg_cut
 
 
+@partial(jax.jit, static_argnames=("block",))
+def _block_bboxes(x, y, block=(8, 128)):
+    """Per-(8,128)-input-block output bboxes: (E, nb) y0/y1/x0/x1."""
+    E = x.shape[0]
+    H, W = x.shape[-2:]
+    bh, bw = block
+    Hp = -(-H // bh) * bh
+    Wp = -(-W // bw) * bw
+    pad = ((0, 0), (0, Hp - H), (0, Wp - W))
+    xp = jnp.pad(x, pad, mode="edge")
+    yp = jnp.pad(y, pad, mode="edge")
+
+    def blocks(a):
+        return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
+                .transpose(0, 1, 3, 2, 4).reshape(E, -1, bh * bw))
+
+    xb, yb = blocks(xp), blocks(yp)
+    return (yb.min(-1), yb.max(-1), xb.min(-1), xb.max(-1))
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _compact_blocks(data, wht, px, py, idx, valid, block=(8, 128)):
+    """Gather input blocks ``idx`` into (E, L·bh, bw) pseudo-images.
+
+    Padded entries (``valid`` False) keep a live block's pixmap (so tile
+    sizing stays finite) but get weight 0 — they deposit nothing.
+    """
+    E, H, W = data.shape
+    bh, bw = block
+    L = idx.shape[1]
+    Hp = -(-H // bh) * bh
+    Wp = -(-W // bw) * bw
+    spec = ((0, 0), (0, Hp - H), (0, Wp - W))
+
+    def take(a, **pad_kw):
+        if (Hp, Wp) != (H, W):
+            a = jnp.pad(a, spec, **pad_kw)
+        ab = (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
+              .transpose(0, 1, 3, 2, 4).reshape(E, -1, bh, bw))
+        g = jnp.take_along_axis(ab, idx[:, :, None, None], axis=1)
+        return g.reshape(E, L * bh, bw)
+
+    cw = take(wht) * valid.astype(wht.dtype).repeat(bh, 1)[:, :, None]
+    return (take(data), cw,
+            take(px, mode="edge"), take(py, mode="edge"))
+
+
+def _live_block_indices(bboxes, cut_px, cut_py, out_shape,
+                        blot_margin: float, corr_margin: float,
+                        block=(8, 128)) -> tuple[np.ndarray, np.ndarray]:
+    """Input blocks whose deposits can reach any cutout's blot window.
+
+    The in-loop re-drizzle exists only so the blot can sample the
+    reference around each cutout — deposits landing far from every
+    cutout are dead work (at catalog scale, most of the frame). A block
+    is LIVE when its setup-pixmap output bbox, padded by the drizzle
+    reach plus the same correction margin the static tiles use, overlaps
+    the union of per-cutout needed rectangles (cutout grid bbox padded
+    by the blot tile extent, which bounds everything the blot kernel can
+    validly read). Conservative by construction: every contribution a
+    blot sample could see comes from a live block.
+
+    Returns ``(idx, valid)`` of shape (E, L) with L shared across frames
+    (rounded up to 64 for shape reuse across similar scenes).
+    """
+    Ho, Wo = out_shape
+    cell = 8
+    gh, gw = -(-Ho // cell), -(-Wo // cell)
+    need = np.zeros((gh, gw), bool)
+    m = blot_margin
+    ry0 = np.floor((cut_py.min(axis=(2, 3)) - m) / cell).astype(int)
+    ry1 = np.ceil((cut_py.max(axis=(2, 3)) + m) / cell).astype(int)
+    rx0 = np.floor((cut_px.min(axis=(2, 3)) - m) / cell).astype(int)
+    rx1 = np.ceil((cut_px.max(axis=(2, 3)) + m) / cell).astype(int)
+    for y0, y1, x0, x1 in zip(ry0.ravel(), ry1.ravel(),
+                              rx0.ravel(), rx1.ravel()):
+        if y1 < 0 or x1 < 0 or y0 >= gh or x0 >= gw:
+            continue
+        need[max(y0, 0):y1 + 1, max(x0, 0):x1 + 1] = True
+    # integral image for O(1) any-needed-cell-in-range queries
+    integ = np.zeros((gh + 1, gw + 1), np.int64)
+    integ[1:, 1:] = np.cumsum(np.cumsum(need, 0), 1)
+
+    y0, y1, x0, x1 = [np.asarray(b, np.float64) for b in bboxes]  # (E, nb)
+    pad = corr_margin
+    cy0 = np.clip(np.floor((y0 - pad) / cell).astype(int), 0, gh - 1)
+    cy1 = np.clip(np.ceil((y1 + pad) / cell).astype(int), 0, gh - 1)
+    cx0 = np.clip(np.floor((x0 - pad) / cell).astype(int), 0, gw - 1)
+    cx1 = np.clip(np.ceil((x1 + pad) / cell).astype(int), 0, gw - 1)
+    cnt = (integ[cy1 + 1, cx1 + 1] - integ[cy0, cx1 + 1]
+           - integ[cy1 + 1, cx0] + integ[cy0, cx0])
+    # blocks entirely outside the output grid never deposit
+    on_grid = (y1 + pad >= 0) & (y0 - pad < Ho) \
+        & (x1 + pad >= 0) & (x0 - pad < Wo)
+    live = (cnt > 0) & on_grid  # (E, nb)
+
+    E = live.shape[0]
+    L = max(int(live.sum(1).max()), 1)
+    L = -(-L // 64) * 64  # bucket: shape reuse across similar scenes
+    L = min(L, live.shape[1])
+    idx = np.zeros((E, L), np.int64)
+    valid = np.zeros((E, L), bool)
+    for e in range(E):
+        ids = np.flatnonzero(live[e])[:L]
+        idx[e, :len(ids)] = ids
+        # pads repeat the first live block (weight-0'd in _compact_blocks)
+        idx[e, len(ids):] = ids[0] if len(ids) else 0
+        valid[e, :len(ids)] = True
+    return idx, valid
+
+
 _STEP_CACHE: dict = {}
 
 
@@ -209,7 +330,8 @@ def _build_step_cached(cfg: "AlignConfig", *rest):
         cfg, max_iterations=0, eps_shift=0.0, history="all",
         min_sources=0, use_pallas=False,  # `pallas` bool is in `rest`
         wht_type="", skymethod="", match_sky=False, static_mask=False,
-        reject_cr=False, device_loop=False, cutout_shape=None)
+        reject_cr=False, device_loop=False, cutout_shape=None,
+        sparse_deposit=False)  # changes arg shapes only, not the step
     key = (key_cfg,) + rest
     if key not in _STEP_CACHE:
         if len(_STEP_CACHE) > 32:  # bound the cache: evict oldest (LRU),
@@ -761,6 +883,32 @@ def align_images(
                                          reach=reach, margin=4)
         t = _mark("pallas_tiles", t)
 
+    # sparse in-loop deposit: the re-drizzle only feeds the blot, so
+    # input blocks whose output footprint cannot reach any cutout's
+    # blot window are compacted away (identical results, conservative
+    # margins — see _live_block_indices)
+    dep_data, dep_wht = exp_data, exp_wht
+    dep_px, dep_py = dri_px_j, dri_py_j
+    if pallas and (cfg.sparse_deposit is True
+                   or cfg.sparse_deposit == "auto"):
+        bb = _block_bboxes(dri_px_j, dri_py_j)
+        # needed region = positions the blot can actually SAMPLE (cutout
+        # grids moved by <= the correction margin, + interp footprint) —
+        # not the full VMEM tile, which over-covers by the alignment
+        # quantum. Corrections beyond `margin` trip the escape counters
+        # in both kernels, so the two bounds fail together, never
+        # silently apart.
+        idx, valid_b = _live_block_indices(
+            bb, cut_px, cut_py, out_shape,
+            blot_margin=float(margin + 4),
+            corr_margin=float(reach + margin + 1))
+        nb_total = int(bb[0].shape[1])
+        if idx.shape[1] < 0.85 * nb_total:  # compaction must pay for
+            dep_data, dep_wht, dep_px, dep_py = _compact_blocks(
+                exp_data, exp_wht, dri_px_j, dri_py_j,
+                jnp.asarray(idx), jnp.asarray(valid_b))
+        t = _mark("sparse_blocks", t)
+
     step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
                               cfg.fitgeom, dri_ratio, pallas, blot_tile,
                               driz_tile)
@@ -768,7 +916,7 @@ def align_images(
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
     ts = jnp.zeros((E, 2), jnp.float32)
     args = [jnp.asarray(a) for a in (
-        exp_data, exp_wht, dri_px_j, dri_py_j,
+        dep_data, dep_wht, dep_px, dep_py,
         cut_px_j, cut_py_j, img_cut, img_msk, seg_cut, jac, xy0,
         flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
     jax.block_until_ready(args)  # host->device staging charged to setup,

@@ -1,0 +1,97 @@
+"""Sparse in-loop deposit: live-block selection + compaction correctness.
+
+The align loop's re-drizzle exists only to feed the blot around each
+cutout; `align._live_block_indices` keeps exactly the input blocks whose
+deposits can reach a cutout's blot window. These tests assert the core
+guarantee — the combined reference is IDENTICAL on every pixel a blot
+tile can read — using the XLA deposit (position-based, so it accepts the
+compacted block pseudo-images directly) as the oracle.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from subpixal_tpu.align import (_block_bboxes, _compact_blocks,
+                                _live_block_indices)
+from subpixal_tpu.ops.drizzle import drizzle_combine, drizzle_deposit
+
+
+def _scene(E=2, H=512, W=512, n_cut=3, h=32, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(1.0, 0.1, (E, H, W)).astype(np.float32)
+    wht = np.ones((E, H, W), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    # near-identity pixmaps with a small per-frame offset + shear
+    px = np.stack([xx + 0.3 * e + 1e-3 * yy for e in range(E)])
+    py = np.stack([yy - 0.2 * e + 1e-3 * xx for e in range(E)])
+    cyy, cxx = np.mgrid[0:h, 0:w].astype(np.float32)
+    centers = rng.uniform(60, W // 2, (n_cut, 2)).astype(np.float32)
+    cut_px = np.stack([np.stack([cx - w / 2 + cxx for cx, _ in centers])
+                       for _ in range(E)])
+    cut_py = np.stack([np.stack([cy - h / 2 + cyy for _, cy in centers])
+                       for _ in range(E)])
+    return data, wht, px, py, cut_px, cut_py
+
+
+def test_sparse_deposit_exact_on_needed_region():
+    data, wht, px, py, cut_px, cut_py = _scene()
+    E, H, W = data.shape
+    out_shape = (H, W)
+    blot_margin = 40.0
+    bb = _block_bboxes(jnp.asarray(px), jnp.asarray(py))
+    idx, valid = _live_block_indices(bb, cut_px, cut_py, out_shape,
+                                     blot_margin=blot_margin,
+                                     corr_margin=2.0)
+    nb = bb[0].shape[1]
+    assert valid.sum() < nb * E, "scene should actually be sparse"
+
+    cd, cw, cx, cy = _compact_blocks(
+        jnp.asarray(data), jnp.asarray(wht), jnp.asarray(px),
+        jnp.asarray(py), jnp.asarray(idx), jnp.asarray(valid))
+
+    for e in range(E):
+        s_full, w_full = drizzle_deposit(
+            jnp.asarray(data[e]), jnp.asarray(wht[e]), jnp.asarray(px[e]),
+            jnp.asarray(py[e]), out_shape)
+        s_sp, w_sp = drizzle_deposit(cd[e], cw[e], cx[e], cy[e], out_shape)
+        full = np.asarray(drizzle_combine(s_full, w_full))
+        sp = np.asarray(drizzle_combine(s_sp, w_sp))
+        # needed region = cutout bboxes padded by the blot margin
+        need = np.zeros(out_shape, bool)
+        for n in range(cut_px.shape[1]):
+            y0 = max(int(cut_py[e, n].min() - blot_margin), 0)
+            y1 = min(int(cut_py[e, n].max() + blot_margin) + 1, H)
+            x0 = max(int(cut_px[e, n].min() - blot_margin), 0)
+            x1 = min(int(cut_px[e, n].max() + blot_margin) + 1, W)
+            need[y0:y1, x0:x1] = True
+        np.testing.assert_array_equal(full[need], sp[need])
+
+
+def test_live_blocks_padding_and_bucketing():
+    data, wht, px, py, cut_px, cut_py = _scene(E=3, seed=1)
+    bb = _block_bboxes(jnp.asarray(px), jnp.asarray(py))
+    idx, valid = _live_block_indices(bb, cut_px, cut_py, data.shape[1:],
+                                     blot_margin=40.0, corr_margin=2.0)
+    E, L = idx.shape
+    assert L % 64 == 0 or L == bb[0].shape[1]
+    assert valid.shape == (E, L)
+    # pads repeat a live block index, never go out of range
+    assert (idx >= 0).all() and (idx < bb[0].shape[1]).all()
+    # compacted weights are zero on padded entries
+    cd, cw, cx, cy = _compact_blocks(
+        jnp.asarray(data), jnp.asarray(wht), jnp.asarray(px),
+        jnp.asarray(py), jnp.asarray(idx), jnp.asarray(valid))
+    cw = np.asarray(cw).reshape(E, L, 8, 128)
+    for e in range(E):
+        dead = ~valid[e]
+        assert np.all(cw[e][dead] == 0)
+
+
+def test_offgrid_blocks_are_dead():
+    """Blocks mapping entirely outside the output never become live."""
+    data, wht, px, py, cut_px, cut_py = _scene()
+    px = px + 10000.0  # everything maps far off-grid
+    bb = _block_bboxes(jnp.asarray(px), jnp.asarray(py))
+    idx, valid = _live_block_indices(bb, cut_px, cut_py, data.shape[1:],
+                                     blot_margin=48.0, corr_margin=2.0)
+    assert valid.sum() == 0
