@@ -46,7 +46,7 @@ from .cutout import create_primary_cutouts
 from .ops.correlate import find_displacement
 from .ops.cutouts import extract_cutouts
 from .ops.drizzle import drizzle_combine, drizzle_deposit
-from .ops.fit import iter_linear_fit
+from .ops.fit import iter_linear_fit, iter_linear_fit_frames
 from .ops.interp import sample_image
 from .resample import (Drizzle, Exposure, exposure_pixel_weight,
                        exposure_rate_data)
@@ -567,6 +567,177 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
     return jax.jit(step)
 
 
+_MESH_STEP_CACHE: dict = {}
+
+
+def _build_mesh_step_cached(cfg, mesh, *rest):
+    key_cfg = dataclasses.replace(
+        cfg, max_iterations=0, eps_shift=0.0, history="all",
+        min_sources=0, use_pallas=False, wht_type="", skymethod="",
+        match_sky=False, static_mask=False, reject_cr=False,
+        device_loop=False, cutout_shape=None, sparse_deposit=False)
+    key = (key_cfg, mesh) + rest
+    if key not in _MESH_STEP_CACHE:
+        if len(_MESH_STEP_CACHE) > 16:
+            _MESH_STEP_CACHE.pop(next(iter(_MESH_STEP_CACHE)))
+        _MESH_STEP_CACHE[key] = _build_mesh_step(cfg, mesh, *rest)
+    else:
+        _MESH_STEP_CACHE[key] = _MESH_STEP_CACHE.pop(key)
+    return _MESH_STEP_CACHE[key]
+
+
+def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
+                     fitgeom, dri_ratio: float, pallas: bool,
+                     blot_tile, driz_tile, E: int):
+    """The full SPMD align iteration over a device mesh (SURVEY §2b).
+
+    Same ``step(Ms, ts, *args) -> (newM, newt, info)`` contract as
+    :func:`_build_step` — the host loop and the on-device
+    ``lax.while_loop`` wrapper drive either interchangeably — but every
+    stage is sharded over the mesh's one axis:
+
+    * **re-drizzle**: exposures are sharded across devices; each device
+      deposits its local frames (Pallas kernel per device) and the
+      science/weight accumulators are ``psum``-reduced over ICI, then
+      combined into the replicated reference plane;
+    * **measure**: the flattened (frame, source) cutout batch is sharded
+      across devices; each device blots + correlates + peak-fits its
+      shard against the replicated reference;
+    * **fit**: per-frame sigma-clipped fits from ``psum``-reduced moment
+      sums (:func:`~subpixal_tpu.ops.fit.iter_linear_fit_frames`) — the
+      clipping is GLOBAL, identical to the single-device fit;
+    * the per-frame affine update and the ``eps_shift`` convergence
+      metric are computed identically (and deterministically) on all
+      devices from the reduced quantities.
+
+    args (all global arrays; leading axes padded to the mesh size by the
+    caller): dep_data/dep_wht/dep_px/dep_py (Ep, Hd, Wd) + dep_fid (Ep,)
+    frame ids, then the flattened cutout batch fpx/fpy/fimg/fmsk/fseg
+    (Bp, h, w), fjac (Bp, 2, 2), fxy0 (Bp, 2), fw (Bp,), ffid (Bp,).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    axis = mesh.axis_names[0]
+    h, w = cut_shape
+
+    def deposit_local(Ms, ts, data, wht, px, py, fid):
+        sci = jnp.zeros(out_shape, jnp.float32)
+        whta = jnp.zeros(out_shape, jnp.float32)
+        esc = jnp.zeros((E,), jnp.int32)
+        for i in range(data.shape[0]):  # static unroll: Ep // n_devices
+            M = Ms[fid[i]]
+            t = ts[fid[i]]
+            gx, gy = _affine_apply_grid(M, t, px[i], py[i])
+            if pallas and cfg.kernel != "tophat":
+                from .kernels.drizzle import drizzle_deposit_pallas
+
+                s, wgt, es = drizzle_deposit_pallas(
+                    data[i], wht[i], gx, gy, out_shape,
+                    pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
+                    kernel=cfg.kernel, tile=driz_tile,
+                    return_escaped=True)
+            else:
+                s, wgt = drizzle_deposit(
+                    data[i], wht[i], gx, gy, out_shape,
+                    pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
+                    kernel=cfg.kernel)
+                es = jnp.int32(0)
+            sci = sci + s
+            whta = whta + wgt
+            esc = esc.at[fid[i]].add(es)
+        return sci, whta, esc
+
+    sh = PS(axis)
+    rep = PS()
+    info_spec = dict(G_M=rep, G_t=rep, rms=rep, rmse=rep, mae=rep,
+                     nmatches=rep, max_shift=rep, escaped=rep)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(rep, rep, sh, sh, sh, sh, sh,
+                  sh, sh, sh, sh, sh, sh, sh, sh, sh),
+        out_specs=(rep, rep, info_spec),
+    )
+    def step(Ms, ts, dep_data, dep_wht, dep_px, dep_py, dep_fid,
+             fpx, fpy, fimg, fmsk, fseg, fjac, fxy0, fw, ffid):
+        # ---- 1. re-drizzle: local frames, psum over the mesh ----------
+        sci, whta, esc_d = deposit_local(Ms, ts, dep_data, dep_wht,
+                                         dep_px, dep_py, dep_fid)
+        sci = jax.lax.psum(sci, axis)
+        whta = jax.lax.psum(whta, axis)
+        esc_d = jax.lax.psum(esc_d, axis)
+        drz = drizzle_combine(sci, whta)
+
+        # ---- 2. measure the local cutout shard ------------------------
+        Mi = Ms[ffid]
+        ti = ts[ffid]
+        bx, by = _affine_apply_grid(
+            Mi[:, None, None], ti[:, None, None], fpx, fpy)
+        if pallas:
+            from .kernels.blot import sample_cutouts_pallas
+
+            blotted, ok, besc = sample_cutouts_pallas(
+                drz, bx, by, interp=interp,
+                tile=blot_tile or (128, 128), return_escaped=True)
+        else:
+            blotted, ok = jax.vmap(
+                lambda a, b: sample_image(drz, a, b, interp=interp)
+            )(bx, by)
+            besc = jnp.zeros(bx.shape[0], jnp.int32)
+        msk = fmsk & ok
+        img = fimg
+        if cfg.combine_seg_mask:
+            img = img * fseg
+            blotted = blotted * fseg
+        d = find_displacement(
+            blotted, img, cc_type=cfg.cc_type, usfac=cfg.usfac,
+            peak_fit_box=cfg.peak_fit_box, fit_type=cfg.fit_type,
+            ref_mask=msk, img_mask=msk,
+            peak_search_box=cfg.peak_search_box,
+        )
+        dxy = jnp.stack([d.dx, d.dy], axis=-1)
+
+        # ---- 3. psum-reduced per-frame sigma-clipped fits -------------
+        MJ = jnp.einsum("nij,njk->nik", Mi, fjac, precision=_P)
+        duv = jnp.einsum("nik,nk->ni", MJ, dxy, precision=_P)
+        uv = fxy0 + duv
+        wgt = fw * (d.fit_ok & (d.peak > 0)).astype(jnp.float32)
+        fit = iter_linear_fit_frames(
+            uv, fxy0, ffid, E, wxy=wgt, fitgeom=fitgeom,
+            nclip=cfg.nclip, sigma=cfg.sigma, axis_name=axis)
+        G_M, G_t = fit.matrix, fit.shift
+        newM = jnp.einsum("eij,ejk->eik", G_M, Ms, precision=_P)
+        newt = jnp.einsum("eij,ej->ei", G_M, ts, precision=_P) + G_t
+
+        # ---- 4. convergence metric (identical to the 1-device step) ---
+        moved = (jnp.einsum("nij,nj->ni", G_M[ffid], uv, precision=_P)
+                 + G_t[ffid] - uv)
+        if E > 1:
+            wsum_all = jnp.maximum(
+                jax.lax.psum(jnp.sum(wgt), axis), 1e-12)
+            common = (jax.lax.psum(
+                jnp.sum(wgt[:, None] * moved, axis=0), axis)
+                / wsum_all)[None, :]
+            moved = moved - common
+        move2 = jnp.sum(moved * moved, axis=-1)
+        oh = (ffid[:, None] == jnp.arange(E)[None, :]).astype(jnp.float32)
+        swf = jax.lax.psum(jnp.sum(oh * wgt[:, None], axis=0), axis)
+        sm2 = jax.lax.psum(
+            jnp.sum(oh * (wgt * move2)[:, None], axis=0), axis)
+        rms_move = jnp.sqrt(sm2 / jnp.maximum(swf, 1e-12))
+        max_shift = jnp.max(rms_move)
+
+        esc_b = jax.lax.psum(
+            jnp.sum(oh * besc[:, None].astype(jnp.float32), axis=0), axis
+        ).astype(jnp.int32)
+        info = dict(G_M=G_M, G_t=G_t, rms=fit.rms, rmse=fit.rmse,
+                    mae=fit.mae, nmatches=fit.nmatches,
+                    max_shift=max_shift, escaped=esc_d + esc_b)
+        return newM, newt, info
+
+    return jax.jit(step)
+
+
 _LOOP_CACHE: dict = {}
 
 
@@ -638,9 +809,16 @@ def align_images(
     history: str = "all",
     config: AlignConfig | None = None,
     verbose: bool = False,
+    mesh=None,
     **kw: Any,
 ) -> AlignResult:
     """Iteratively align exposures to their combined reference image.
+
+    ``mesh``: an optional 1-D :class:`jax.sharding.Mesh` — the full
+    iteration then runs as one SPMD program over its devices (exposures
+    sharded for the re-drizzle, the flattened cutout batch sharded for
+    measurement, psum-reduced global fits; see :func:`_build_mesh_step`).
+    Only ``wcsupdate='batch'`` is supported under a mesh.
 
     Parameters mirror the reference ``align_images(catalogs, resample,
     cc_type='NCC', fitgeom='general', nclip=3, sigma=3.0,
@@ -909,16 +1087,64 @@ def align_images(
                 jnp.asarray(idx), jnp.asarray(valid_b))
         t = _mark("sparse_blocks", t)
 
-    step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
-                              cfg.fitgeom, dri_ratio, pallas, blot_tile,
-                              driz_tile)
-
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
     ts = jnp.zeros((E, 2), jnp.float32)
-    args = [jnp.asarray(a) for a in (
-        dep_data, dep_wht, dep_px, dep_py,
-        cut_px_j, cut_py_j, img_cut, img_msk, seg_cut, jac, xy0,
-        flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
+    if mesh is not None:
+        if cfg.wcsupdate == "otf":
+            raise ValueError(
+                "wcsupdate='otf' is sequential by construction and not "
+                "supported under a mesh; use wcsupdate='batch'")
+        D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        # frames padded to the mesh size with weight-0 deposits
+        Ep = -(-E // D) * D
+        dep_fid = np.minimum(np.arange(Ep), E - 1).astype(np.int32)
+
+        def pad_frames(a, fill=0.0):
+            a = jnp.asarray(a)
+            if Ep == a.shape[0]:
+                return a
+            pad = [(0, Ep - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        dep_wht_p = pad_frames(dep_wht)        # zero weight: no deposit
+        dep_data_p = pad_frames(dep_data)
+        dep_px_p = pad_frames(dep_px, 0.0)
+        dep_py_p = pad_frames(dep_py, 0.0)
+        # flattened (frame, source) cutout batch padded to the mesh size
+        B = E * N
+        Bp = -(-B // D) * D
+        fw = (src_valid.astype(np.float32)
+              * flux_w[None].astype(np.float32)).reshape(B)
+        if not cfg.use_weights:
+            fw = src_valid.astype(np.float32).reshape(B)
+        ffid = np.repeat(np.arange(E, dtype=np.int32), N)
+
+        def pad_b(a, fill=0.0):
+            a = jnp.asarray(a)
+            a = a.reshape((B,) + a.shape[2:])
+            if Bp == B:
+                return a
+            pad = [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        args = [dep_data_p, dep_wht_p, dep_px_p, dep_py_p,
+                jnp.asarray(dep_fid),
+                pad_b(cut_px_j), pad_b(cut_py_j), pad_b(img_cut),
+                pad_b(img_msk, False), pad_b(seg_cut),
+                pad_b(jac), pad_b(xy0),
+                jnp.pad(jnp.asarray(fw), (0, Bp - B)),
+                jnp.pad(jnp.asarray(ffid), (0, Bp - B))]
+        step = _build_mesh_step_cached(
+            cfg, mesh, out_shape, cut_shape, cfg.interp, cfg.fitgeom,
+            dri_ratio, pallas, blot_tile, driz_tile, E)
+    else:
+        step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
+                                  cfg.fitgeom, dri_ratio, pallas,
+                                  blot_tile, driz_tile)
+        args = [jnp.asarray(a) for a in (
+            dep_data, dep_wht, dep_px, dep_py,
+            cut_px_j, cut_py_j, img_cut, img_msk, seg_cut, jac, xy0,
+            flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
     jax.block_until_ready(args)  # host->device staging charged to setup,
     t = _mark("stage_args", t)   # not to the first iteration's iter_s
     setup_s = time.time() - t_setup

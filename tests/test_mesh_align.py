@@ -1,0 +1,94 @@
+"""Full mesh-parallel align_images (SURVEY §2b): parity vs single-device.
+
+Runs on the virtual 8-CPU mesh (conftest). The mesh path shards the
+re-drizzle over exposures and the measurement over the flattened cutout
+batch, psum-reducing accumulators and fit moments — results must match
+the single-device fixed point to float32 reduction tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from subpixal_tpu.align import align_images
+from subpixal_tpu.parallel import make_mesh
+from subpixal_tpu.resample import Exposure
+from subpixal_tpu.wcs.wcs import TanWCS
+
+
+def _scene(E=3, shape=(256, 256), nstars=12, seed=7):
+    rng = np.random.default_rng(seed)
+    cd = (0.05 / 3600.0) * np.array([[-1.0, 0.0], [0.0, 1.0]])
+    stars = np.stack([rng.uniform(25, shape[1] - 25, nstars),
+                      rng.uniform(25, shape[0] - 25, nstars)], 1)
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    exps, planted = [], []
+    for e in range(E):
+        dx, dy = rng.uniform(-0.4, 0.4, 2)
+        planted.append((dx, dy))
+        img = rng.normal(0, 0.01, shape).astype(np.float32)
+        for x0, y0 in stars:
+            r2 = (xx - x0 - dx) ** 2 + (yy - y0 - dy) ** 2
+            img += np.where(r2 < 64.0,
+                            20.0 * np.exp(-r2 / (2 * 1.6 ** 2)),
+                            0.0).astype(np.float32)
+        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
+                     crval=np.array([150.0, 2.0]), cd=cd)
+        exps.append(Exposure(img, wcs, name=f"m{e}"))
+    return exps, planted
+
+
+COMMON = dict(fitgeom="shift", max_iterations=3, usfac=4,
+              fit_type="gaussian", cutout_shape=(24, 24), min_sources=3)
+
+
+@pytest.mark.parametrize("n_dev", [8, 4])
+def test_mesh_align_matches_single_device(n_dev):
+    exps, planted = _scene()
+    res1 = align_images(exposures=exps, **COMMON)
+    exps, _ = _scene()
+    mesh = make_mesh(n_dev)
+    res2 = align_images(exposures=exps, mesh=mesh, **COMMON)
+
+    sh1 = np.asarray(res1.shifts)
+    sh2 = np.asarray(res2.shifts)
+    assert np.abs(sh1 - sh2).max() < 5e-4, (sh1, sh2)
+    np.testing.assert_allclose(np.asarray(res1.matrices),
+                               np.asarray(res2.matrices), atol=5e-5)
+    # same iteration structure and match counts
+    assert res1.n_iterations == res2.n_iterations
+    for recs1, recs2 in zip(res1.history, res2.history):
+        for r1, r2 in zip(recs1, recs2):
+            assert r1.nmatches == r2.nmatches
+
+
+def test_mesh_align_recovers_planted_shifts():
+    exps, planted = _scene(seed=9)
+    E = len(exps)
+    mesh = make_mesh(8)
+    res = align_images(exposures=exps, mesh=mesh, **COMMON)
+    sh = np.asarray(res.shifts)
+    errs = []
+    for i in range(E):
+        for j in range(E):
+            got = sh[i] - sh[j]
+            want = (planted[j][0] - planted[i][0],
+                    planted[j][1] - planted[i][1])
+            errs.append(np.hypot(got[0] - want[0], got[1] - want[1]))
+    assert max(errs) < 0.02, f"max pairwise err {max(errs):.4f} px"
+
+
+def test_mesh_align_device_loop():
+    """The on-device while_loop drives the SPMD step too."""
+    exps, _ = _scene(seed=3)
+    mesh = make_mesh(8)
+    res = align_images(exposures=exps, mesh=mesh, device_loop=True,
+                       **COMMON)
+    assert res.n_iterations >= 1
+    assert np.isfinite(np.asarray(res.shifts)).all()
+
+
+def test_mesh_align_rejects_otf():
+    exps, _ = _scene()
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="otf"):
+        align_images(exposures=exps, mesh=mesh, wcsupdate="otf", **COMMON)
