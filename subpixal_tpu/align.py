@@ -657,6 +657,10 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
         in_specs=(rep, rep, sh, sh, sh, sh, sh,
                   sh, sh, sh, sh, sh, sh, sh, sh, sh),
         out_specs=(rep, rep, info_spec),
+        # pallas_call's out_shape carries no varying-mesh-axes (vma)
+        # annotation, so the replication checker cannot reason through
+        # the kernels; the CPU/XLA path keeps the check on
+        check_vma=not pallas,
     )
     def step(Ms, ts, dep_data, dep_wht, dep_px, dep_py, dep_fid,
              fpx, fpy, fimg, fmsk, fseg, fjac, fxy0, fw, ffid):
