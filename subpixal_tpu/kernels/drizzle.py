@@ -236,15 +236,17 @@ def _driz_kernel(origins_ref, data_ref, wht_ref, x_ref, y_ref,
     Oyt = _overlap_matrix_t(py, Th, kernel, half, sigma, reach)  # (Th, P)
     Oxt = _overlap_matrix_t(px, Tw, kernel, half, sigma, reach)  # (Tw, P)
 
-    # deposit of the whole block as one MXU contraction over P:
+    # deposit of the whole block as ONE MXU contraction over P (science
+    # and weight planes stacked along the row axis — halves the MXU
+    # dispatches and keeps the systolic array fed with one long op):
     #   sci[r, c] += Σ_p (v·w)[p] · Oy[r, p] · Ox[c, p]
     dn = (((1,), (1,)), ((), ()))
-    ds = jax.lax.dot_general(Oyt * (v * wv), Oxt, dimension_numbers=dn,
+    A = jnp.concatenate([Oyt * (v * wv), Oyt * wv], axis=0)  # (2Th, P)
+    dd = jax.lax.dot_general(A, Oxt, dimension_numbers=dn,
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
-    dw = jax.lax.dot_general(Oyt * wv, Oxt, dimension_numbers=dn,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+    ds = dd[:Th]
+    dw = dd[Th:]
 
     in_s.wait()
     in_w.wait()
