@@ -289,7 +289,11 @@ def bench_align_smoke():
         wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
                      crval=np.array([150.0, 2.0]), cd=cd)
         exps.append(Exposure(img, wcs, name=f"b{e}"))
+    # eps_shift pinned tiny so exactly max_iterations device iterations
+    # run — align_iter_ms then amortizes the single host sync over a
+    # fixed count instead of varying with convergence speed
     res = align_images(exposures=exps, fitgeom="shift", max_iterations=4,
+                       eps_shift=1e-7,
                        usfac=8, fit_type="gaussian", use_pallas=True)
     sh = np.asarray(res.shifts)
     errs = []
