@@ -1138,6 +1138,17 @@ def align_images(
                 pad_b(jac), pad_b(xy0),
                 jnp.pad(jnp.asarray(fw), (0, Bp - B)),
                 jnp.pad(jnp.asarray(ffid), (0, Bp - B))]
+        # explicit sharded placement; under a multi-process runtime this
+        # also assembles the GLOBAL arrays from each host's identical
+        # local copy (multi-host path, SURVEY §2b DCN)
+        from jax.sharding import PartitionSpec as _PS
+
+        from .parallel.distributed import stage_global
+
+        ax = mesh.axis_names[0]
+        args = [stage_global(a, mesh, _PS(ax)) for a in args]
+        Ms = stage_global(Ms, mesh, _PS())
+        ts = stage_global(ts, mesh, _PS())
         step = _build_mesh_step_cached(
             cfg, mesh, out_shape, cut_shape, cfg.interp, cfg.fitgeom,
             dri_ratio, pallas, blot_tile, driz_tile, E)

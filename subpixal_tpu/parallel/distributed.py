@@ -126,3 +126,23 @@ def global_batch_from_local(local_batch, mesh, axis_name: str = _AXIS):
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.make_array_from_process_local_data(
         sharding, np.asarray(local_batch))
+
+
+def stage_global(value, mesh, spec):
+    """Stage one (globally identical) array for a jit over ``mesh``.
+
+    Under a multi-process runtime every jit input must be a GLOBAL
+    array; each process holds the same full ``value`` (align setup is
+    deterministic from the same inputs on every host), so this slices
+    out the locally-addressable shards and assembles the global array.
+    Single-process: a plain ``device_put`` with the target sharding.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    arr = np.asarray(value)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, arr, global_shape=arr.shape)
