@@ -202,24 +202,26 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
     return cb.data, cb.mask, seg_cut
 
 
-@partial(jax.jit, static_argnames=("block",))
-def _block_bboxes(x, y, block=(8, 128)):
-    """Per-(8,128)-input-block output bboxes: (E, nb) y0/y1/x0/x1."""
-    E = x.shape[0]
-    H, W = x.shape[-2:]
+def _block_view(a, block=(8, 128), **pad_kw):
+    """(E, H, W) -> (E, nb, bh, bw): the deposit kernel's input-block
+    partition (single walk shared by bbox sizing and compaction)."""
+    E, H, W = a.shape
     bh, bw = block
     Hp = -(-H // bh) * bh
     Wp = -(-W // bw) * bw
-    pad = ((0, 0), (0, Hp - H), (0, Wp - W))
-    xp = jnp.pad(x, pad, mode="edge")
-    yp = jnp.pad(y, pad, mode="edge")
+    if (Hp, Wp) != (H, W):
+        a = jnp.pad(a, ((0, 0), (0, Hp - H), (0, Wp - W)), **pad_kw)
+    return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
+            .transpose(0, 1, 3, 2, 4).reshape(E, -1, bh, bw))
 
-    def blocks(a):
-        return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
-                .transpose(0, 1, 3, 2, 4).reshape(E, -1, bh * bw))
 
-    xb, yb = blocks(xp), blocks(yp)
-    return (yb.min(-1), yb.max(-1), xb.min(-1), xb.max(-1))
+@partial(jax.jit, static_argnames=("block",))
+def _block_bboxes(x, y, block=(8, 128)):
+    """Per-(8,128)-input-block output bboxes: (E, nb) y0/y1/x0/x1."""
+    xb = _block_view(x, block, mode="edge")
+    yb = _block_view(y, block, mode="edge")
+    return (yb.min((-2, -1)), yb.max((-2, -1)),
+            xb.min((-2, -1)), xb.max((-2, -1)))
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -229,18 +231,12 @@ def _compact_blocks(data, wht, px, py, idx, valid, block=(8, 128)):
     Padded entries (``valid`` False) keep a live block's pixmap (so tile
     sizing stays finite) but get weight 0 — they deposit nothing.
     """
-    E, H, W = data.shape
+    E = data.shape[0]
     bh, bw = block
     L = idx.shape[1]
-    Hp = -(-H // bh) * bh
-    Wp = -(-W // bw) * bw
-    spec = ((0, 0), (0, Hp - H), (0, Wp - W))
 
     def take(a, **pad_kw):
-        if (Hp, Wp) != (H, W):
-            a = jnp.pad(a, spec, **pad_kw)
-        ab = (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
-              .transpose(0, 1, 3, 2, 4).reshape(E, -1, bh, bw))
+        ab = _block_view(a, block, **pad_kw)
         g = jnp.take_along_axis(ab, idx[:, :, None, None], axis=1)
         return g.reshape(E, L * bh, bw)
 
@@ -558,9 +554,23 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         rms_move = jnp.sqrt(jnp.sum(wgt * move2, axis=1) / wsum)
         max_shift = jnp.max(rms_move)
 
+        # total correction magnitude: an upper bound on how far any
+        # cutout's blot window has moved from its SETUP position (the
+        # sparse-deposit live-set and the static-tile margins are both
+        # sized against `margin`; the caller warns when this exceeds it)
+        dM = newM - jnp.eye(2, dtype=newM.dtype)[None]
+        dpts = (jnp.einsum("eij,enj->eni", dM, xy0, precision=_P)
+                + newt[:, None, :])
+        dnorm = jnp.where(src_valid,
+                          jnp.sqrt(jnp.sum(dpts * dpts, -1)), 0.0)
+        rot_extra = (jnp.max(jnp.sum(jnp.abs(dM), axis=(1, 2)))
+                     * (max(h, w) * 0.5))
+        max_corr = jnp.max(dnorm) + rot_extra
+
         info = dict(
             G_M=G_M, G_t=G_t, rms=fit.rms, rmse=fit.rmse, mae=fit.mae,
             nmatches=fit.nmatches, max_shift=max_shift, escaped=escaped,
+            max_corr=max_corr,
         )
         return newM, newt, info
 
@@ -650,7 +660,8 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
     sh = PS(axis)
     rep = PS()
     info_spec = dict(G_M=rep, G_t=rep, rms=rep, rmse=rep, mae=rep,
-                     nmatches=rep, max_shift=rep, escaped=rep)
+                     nmatches=rep, max_shift=rep, escaped=rep,
+                     max_corr=rep)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -734,9 +745,22 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
         esc_b = jax.lax.psum(
             jnp.sum(oh * besc[:, None].astype(jnp.float32), axis=0), axis
         ).astype(jnp.int32)
+
+        # total correction magnitude (see _build_step): bound on blot-
+        # window drift from the setup positions, pmax'd over the mesh
+        dM = newM - jnp.eye(2, dtype=newM.dtype)[None]
+        dpts = (jnp.einsum("nij,nj->ni", dM[ffid], fxy0, precision=_P)
+                + newt[ffid])
+        dnorm = jnp.where(fw > 0,
+                          jnp.sqrt(jnp.sum(dpts * dpts, -1)), 0.0)
+        rot_extra = (jnp.max(jnp.sum(jnp.abs(dM), axis=(1, 2)))
+                     * (max(h, w) * 0.5))
+        max_corr = jax.lax.pmax(jnp.max(dnorm), axis) + rot_extra
+
         info = dict(G_M=G_M, G_t=G_t, rms=fit.rms, rmse=fit.rmse,
                     mae=fit.mae, nmatches=fit.nmatches,
-                    max_shift=max_shift, escaped=esc_d + esc_b)
+                    max_shift=max_shift, escaped=esc_d + esc_b,
+                    max_corr=max_corr)
         return newM, newt, info
 
     return jax.jit(step)
@@ -768,6 +792,7 @@ def _build_device_loop(step, max_iterations: int, E: int, cache_key=None):
             nmatches=jnp.zeros((T, E), jnp.int32),
             max_shift=jnp.zeros((T,), jnp.float32),
             escaped=jnp.zeros((T, E), jnp.int32),
+            max_corr=jnp.zeros((T,), jnp.float32),
         )
 
         def cond(c):
@@ -1035,26 +1060,29 @@ def align_images(
     # ------------------------------------------------------------------ #
     from .kernels import use_pallas as _use_pallas
 
+    from .ops.drizzle import kernel_reach
+
     pallas = _use_pallas(cfg.use_pallas)
     blot_tile = driz_tile = None
+    # the affine-correction headroom the static windows assume; also the
+    # sparse-deposit live-set margin (checked at runtime, see below)
+    margin = max(12, int(max(h, w) // 4))
+    reach = kernel_reach(cfg.kernel, cfg.pixfrac, dri_ratio) + 0.1
     if pallas:
         from .kernels.drizzle import required_tile_device
-        from .ops.drizzle import kernel_reach
 
         # exact static tiles from the concrete setup pixmaps (+margin for
         # the affine corrections applied on device; the margin scales
         # with the cutout extent so large initial WCS errors — which
         # produce correction shifts of a few percent of the frame — stay
-        # inside the tile; a breach is now DETECTED at runtime via the
+        # inside the tile; a breach is DETECTED at runtime via the
         # kernels' escape counters and warned, never silent)
         ey = float((cut_py.max(axis=(2, 3)) - cut_py.min(axis=(2, 3))).max())
         ex = float((cut_px.max(axis=(2, 3)) - cut_px.min(axis=(2, 3))).max())
-        margin = max(12, int(max(h, w) // 4))
         # quantized to the kernel's (8, 128) rounding -> better step-cache
         # and Pallas-compile reuse across similar scenes
         blot_tile = (int(np.ceil((np.ceil(ey) + margin) / 8) * 8),
                      int(np.ceil((np.ceil(ex) + margin) / 128) * 128))
-        reach = kernel_reach(cfg.kernel, cfg.pixfrac, dri_ratio) + 0.1
         # one reduction over the device-resident (E, H, W) pixmap stack
         # -> the shared static tile (one Pallas compile for all frames).
         # wht=None (all pixels live) keeps the tile conservative AND
@@ -1067,19 +1095,26 @@ def align_images(
 
     # sparse in-loop deposit: the re-drizzle only feeds the blot, so
     # input blocks whose output footprint cannot reach any cutout's
-    # blot window are compacted away (identical results, conservative
-    # margins — see _live_block_indices)
+    # blot window are compacted away ('auto' = on with the Pallas path;
+    # explicit True also engages the XLA deposit, which is
+    # position-based and accepts the compacted pseudo-images directly)
     dep_data, dep_wht = exp_data, exp_wht
     dep_px, dep_py = dri_px_j, dri_py_j
-    if pallas and (cfg.sparse_deposit is True
-                   or cfg.sparse_deposit == "auto"):
+    sparse_corr_margin = None
+    if (cfg.sparse_deposit is True
+            or (cfg.sparse_deposit == "auto" and pallas)):
         bb = _block_bboxes(dri_px_j, dri_py_j)
         # needed region = positions the blot can actually SAMPLE (cutout
         # grids moved by <= the correction margin, + interp footprint) —
         # not the full VMEM tile, which over-covers by the alignment
-        # quantum. Corrections beyond `margin` trip the escape counters
-        # in both kernels, so the two bounds fail together, never
-        # silently apart.
+        # quantum. The live set is computed ONCE from the setup
+        # positions, so corrections larger than `margin` could move blot
+        # windows onto un-deposited pixels WITHOUT tripping the kernels'
+        # escape counters (those re-derive their tile origins from the
+        # corrected coordinates every call). The step therefore reports
+        # the total correction magnitude each iteration
+        # (info['max_corr']) and the loop warns when it exceeds the
+        # live-set margin.
         idx, valid_b = _live_block_indices(
             bb, cut_px, cut_py, out_shape,
             blot_margin=float(margin + 4),
@@ -1089,6 +1124,7 @@ def align_images(
             dep_data, dep_wht, dep_px, dep_py = _compact_blocks(
                 exp_data, exp_wht, dri_px_j, dri_py_j,
                 jnp.asarray(idx), jnp.asarray(valid_b))
+            sparse_corr_margin = float(margin)
         t = _mark("sparse_blocks", t)
 
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
@@ -1196,6 +1232,29 @@ def align_images(
             for e in range(E)
         ]
 
+    _corr_warned = [False]
+
+    def _check_sparse_corr(max_corr: float, it: int):
+        """Warn when corrections outgrow the sparse-deposit live set.
+
+        The kernels' escape counters cannot catch this case (their tile
+        origins follow the corrected coordinates), so the live set's
+        staleness is policed here from the step's reported total
+        correction magnitude."""
+        if (sparse_corr_margin is None or _corr_warned[0]
+                or max_corr <= sparse_corr_margin):
+            return
+        _corr_warned[0] = True
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"applied corrections reach {max_corr:.1f} px at iteration "
+            f"{it}, beyond the sparse-deposit live-set margin of "
+            f"{sparse_corr_margin:.0f} px — blot windows may now sample "
+            "un-deposited reference pixels. Re-run with "
+            "sparse_deposit=False (or a larger cutout_shape) for exact "
+            "results.", stacklevel=3)
+
     hist: list[list[ImageAlignInfo]] = []
     converged = False
     n_iter = 0
@@ -1232,6 +1291,7 @@ def align_images(
                 it, h_np["G_M"][it], h_np["G_t"][it], h_np["rms"][it],
                 h_np["rmse"][it], h_np["mae"][it], h_np["nmatches"][it],
                 iter_s, h_np["escaped"][it])
+            _check_sparse_corr(float(h_np["max_corr"][it]), it)
             if cfg.history == "all" or not hist:
                 hist.append(recs)
             else:
@@ -1257,6 +1317,7 @@ def align_images(
             if verbose:
                 for r in recs:
                     print(r.to_json())
+            _check_sparse_corr(float(np.asarray(info["max_corr"])), it)
             max_shift = float(np.asarray(info["max_shift"]))
             if max_shift < cfg.eps_shift:
                 converged = True

@@ -141,8 +141,9 @@ def stage_global(value, mesh, spec):
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, spec)
-    arr = np.asarray(value)
     if jax.process_count() == 1:
-        return jax.device_put(arr, sharding)
+        # device-resident values reshard device-to-device — no host copy
+        return jax.device_put(value, sharding)
+    arr = np.asarray(value)
     return jax.make_array_from_process_local_data(
         sharding, arr, global_shape=arr.shape)

@@ -322,27 +322,22 @@ class Drizzle(Resample):
             self._owcs = self._owcs or owcs
             self._oshape = self._oshape or oshape
 
-    def _shared_tile(self):
+    def _shared_tile(self, pixmaps):
         """One static Pallas tile covering every exposure's deposit.
 
         Sized by a single device-side reduction over the stacked pixmaps
-        (same-shape exposures only). A shared tile means ONE Pallas
+        (same-shape exposures only; ``pixmaps`` = the per-exposure
+        (px, py) pairs the caller computed, so each pixmap is evaluated
+        exactly once per ``execute()`` regardless of stack size vs the
+        pixmap memo-cache capacity). A shared tile means ONE Pallas
         compile and no per-exposure host ``required_tile`` block walk —
         the walks dominated warm ``execute()`` time at stack scale.
         """
-        from ..blot import compute_pixmap
         from ..kernels.drizzle import required_tile_device
         from ..ops.drizzle import kernel_reach
 
-        shapes = {e.data.shape for e in self.exposures}
-        if len(shapes) != 1:
-            return None
-        pxs, pys = [], []
         reach = 0.0
         for exp in self.exposures:
-            px, py = compute_pixmap(exp.wcs, self._owcs, exp.data.shape)
-            pxs.append(px)
-            pys.append(py)
             ratio = exp.wcs.pscale / self._owcs.pscale
             reach = max(reach, kernel_reach(self.kernel, self.pixfrac,
                                             ratio))
@@ -351,16 +346,17 @@ class Drizzle(Resample):
         # IDENTICAL static tile -> the setup drizzle and the in-loop
         # deposits share one Mosaic compile.
         return required_tile_device(
-            jnp.asarray(np.stack(pxs), jnp.float32),
-            jnp.asarray(np.stack(pys), jnp.float32),
+            jnp.asarray(np.stack([p[0] for p in pixmaps]), jnp.float32),
+            jnp.asarray(np.stack([p[1] for p in pixmaps]), jnp.float32),
             reach=reach + 0.1, margin=4)
 
-    def _deposit(self, exp: Exposure, tile=None):
+    def _deposit(self, exp: Exposure, tile=None, pixmap=None):
         from ..blot import compute_pixmap
         from ..kernels import use_pallas as _use_pallas
 
         H, W = exp.data.shape
-        px, py = compute_pixmap(exp.wcs, self._owcs, (H, W))
+        px, py = (pixmap if pixmap is not None
+                  else compute_pixmap(exp.wcs, self._owcs, (H, W)))
         ratio = exp.wcs.pscale / self._owcs.pscale
         data = exposure_rate_data(exp)
         base, mask = exposure_pixel_weight(exp, self.wht_type)
@@ -409,13 +405,26 @@ class Drizzle(Resample):
         sci = jnp.zeros((Ho, Wo), jnp.float32)
         wht = jnp.zeros((Ho, Wo), jnp.float32)
         self._per_exp.clear()
+        from ..blot import compute_pixmap
         from ..kernels import use_pallas as _use_pallas
 
-        tile = (self._shared_tile()
-                if _use_pallas(self.use_pallas) and self.kernel != "tophat"
-                and len(self.exposures) > 1 else None)
-        for exp in self.exposures:
-            s, w = self._deposit(exp, tile=tile)
+        tile = None
+        pixmaps = [None] * len(self.exposures)
+        if (_use_pallas(self.use_pallas) and self.kernel != "tophat"
+                and len(self.exposures) > 1
+                and len({e.data.shape for e in self.exposures}) == 1):
+            # evaluate each pixmap exactly once (robust to stacks larger
+            # than the pixmap memo-cache) and size one shared tile;
+            # deposits consume f32, so keep f32 copies (half the memory
+            # of the cache's f64 originals at stack scale)
+            pixmaps = [
+                tuple(np.asarray(p, np.float32)
+                      for p in compute_pixmap(e.wcs, self._owcs,
+                                              e.data.shape))
+                for e in self.exposures]
+            tile = self._shared_tile(pixmaps)
+        for exp, pm in zip(self.exposures, pixmaps):
+            s, w = self._deposit(exp, tile=tile, pixmap=pm)
             self._per_exp[exp.name] = (s, w)
             sci = sci + s
             wht = wht + w

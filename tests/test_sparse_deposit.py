@@ -87,6 +87,118 @@ def test_live_blocks_padding_and_bucketing():
         assert np.all(cw[e][dead] == 0)
 
 
+def _warning_scene(shape=(512, 1024), E=2, ns=8, seed=13):
+    """Wide frame with sources confined to the left half so the sparse
+    live set actually engages (block columns are 128 px wide)."""
+    from subpixal_tpu.resample import Exposure
+    from subpixal_tpu.wcs.wcs import TanWCS
+
+    rng = np.random.default_rng(seed)
+    cd = (0.05 / 3600.0) * np.array([[-1.0, 0.0], [0.0, 1.0]])
+    stars = np.stack([rng.uniform(60, 380, ns),
+                      rng.uniform(60, shape[0] - 60, ns)], 1)
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    exps = []
+    for e in range(E):
+        dx = rng.uniform(-0.3, 0.3)
+        img = rng.normal(0, 0.01, shape).astype(np.float32)
+        for sx, sy in stars:
+            r2 = (xx - sx - dx) ** 2 + (yy - sy) ** 2
+            img += np.where(r2 < 64.0,
+                            20.0 * np.exp(-r2 / (2 * 1.6 ** 2)),
+                            0.0).astype(np.float32)
+        exps.append(Exposure(
+            img, TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
+                        crval=np.array([150.0, 2.0]), cd=cd),
+            name=f"s{e}"))
+    return exps
+
+
+def test_sparse_corr_warning_fires_on_large_corrections():
+    """Corrections beyond the live-set margin cannot trip the kernels'
+    escape counters (tile origins follow the corrected coordinates), so
+    align must warn from the step's reported correction magnitude.
+
+    The detector plumbing is exercised by wrapping the real step to
+    report a large ``max_corr`` (full-pipeline scenes that measure a
+    >margin correction also corrupt their own self-built reference,
+    which makes the physics untestable in a unit test)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    import subpixal_tpu.align as A
+
+    orig = A._build_step_cached
+    lives = []
+    orig_lbi = A._live_block_indices
+
+    def spy_lbi(*a, **k):
+        idx, valid = orig_lbi(*a, **k)
+        lives.append((idx.shape[1], a[0][0].shape[1]))
+        return idx, valid
+
+    def patched(cfg, *rest):
+        step = orig(cfg, *rest)
+
+        def wrapped(Ms, ts, *args):
+            newM, newt, info = step(Ms, ts, *args)
+            info = dict(info, max_corr=jnp.float32(99.0))
+            return newM, newt, info
+
+        return wrapped
+
+    A._build_step_cached = patched
+    A._live_block_indices = spy_lbi
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            A.align_images(exposures=_warning_scene(), fitgeom="shift",
+                           max_iterations=2, usfac=2,
+                           fit_type="gaussian", cutout_shape=(64, 64),
+                           min_sources=3, sparse_deposit=True,
+                           use_pallas=False, device_loop=False)
+    finally:
+        A._build_step_cached = orig
+        A._live_block_indices = orig_lbi
+    # the scene is sparse enough that compaction actually engaged
+    assert lives and lives[0][0] < 0.85 * lives[0][1], lives
+    msgs = [str(w.message) for w in rec]
+    assert any("sparse-deposit live-set margin" in m for m in msgs), msgs
+
+
+def test_max_corr_reported_in_step_info():
+    """The step reports a finite total-correction magnitude every
+    iteration (the signal the staleness check consumes)."""
+    import subpixal_tpu.align as A
+
+    seen = []
+    orig = A.align_images.__globals__["_build_step_cached"]
+
+    def patched(cfg, *rest):
+        step = orig(cfg, *rest)
+
+        def wrapped(Ms, ts, *args):
+            newM, newt, info = step(Ms, ts, *args)
+            seen.append(float(np.asarray(info["max_corr"])))
+            return newM, newt, info
+
+        return wrapped
+
+    A._build_step_cached = patched
+    try:
+        A.align_images(exposures=_warning_scene(seed=3), fitgeom="shift",
+                       max_iterations=2, usfac=2, fit_type="gaussian",
+                       cutout_shape=(64, 64), min_sources=3,
+                       use_pallas=False, device_loop=False)
+    finally:
+        A._build_step_cached = orig
+    assert seen and all(np.isfinite(v) for v in seen)
+    # sub-pixel planted dithers -> corrections stay near zero, far
+    # below the warning margin
+    assert max(seen) < 2.0, seen
+
+
 def test_offgrid_blocks_are_dead():
     """Blocks mapping entirely outside the output never become live."""
     data, wht, px, py, cut_px, cut_py = _scene()
