@@ -315,6 +315,66 @@ def bench_align_smoke():
     }
 
 
+def bench_align_2k():
+    """Mosaic-scale align smoke: 4×2048² frames, 40 sources.
+
+    At this scale the sparse in-loop deposit engages (the cutout blot
+    windows cover a small fraction of the frame), so the per-iteration
+    device cost reflects the covered area, not the full mosaic — the
+    regime real HST/JWST stacks live in. Emits the live-block fraction
+    alongside the iteration time.
+    """
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.resample import Exposure
+    from subpixal_tpu.wcs.wcs import TanWCS
+
+    rng = np.random.default_rng(17)
+    E, shape, nstars = 4, (2048, 2048), 40
+    scale = 0.05 / 3600.0
+    cd = scale * np.array([[-1.0, 0.0], [0.0, 1.0]])
+    stars = np.stack([rng.uniform(40, shape[1] - 40, nstars),
+                      rng.uniform(40, shape[0] - 40, nstars)], 1)
+    # paint stars patch-wise (full-frame r2 per star would cost minutes)
+    R = 20
+    pyy, pxx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
+    exps, planted = [], []
+    for e in range(E):
+        dx, dy = rng.uniform(-0.5, 0.5, 2)
+        planted.append((dx, dy))
+        img = rng.normal(0, 0.01, shape).astype(np.float32)
+        for x0, y0 in stars:
+            cx, cy = int(round(x0)), int(round(y0))
+            r2 = (pxx + cx - x0 - dx) ** 2 + (pyy + cy - y0 - dy) ** 2
+            img[cy - R:cy + R + 1, cx - R:cx + R + 1] += np.where(
+                r2 < 81.0, 25.0 * np.exp(-r2 / (2 * 1.8 ** 2)), 0.0)
+        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
+                     crval=np.array([150.0, 2.0]), cd=cd)
+        exps.append(Exposure(img, wcs, name=f"k{e}"))
+    res = align_images(exposures=exps, fitgeom="shift", max_iterations=3,
+                       eps_shift=1e-7, usfac=8, fit_type="gaussian",
+                       use_pallas=True)
+    sh = np.asarray(res.shifts)
+    errs = [np.hypot((sh[i] - sh[j])[0]
+                     - (planted[j][0] - planted[i][0]),
+                     (sh[i] - sh[j])[1]
+                     - (planted[j][1] - planted[i][1]))
+            for i in range(E) for j in range(E)]
+    err_mpix = 1e3 * max(errs)
+    assert err_mpix < 10.0, f"2k align fit error {err_mpix:.2f} mpix"
+    iters = [recs[0].iter_s for recs in res.history]
+    steady = iters[1:] or iters
+    return {
+        "align2k_iter_ms": round(1e3 * float(np.median(steady)), 1),
+        "align2k_fit_err_mpix": round(err_mpix, 3),
+        "align2k_sparse_live_frac":
+            res.setup_breakdown.get("sparse_live_frac", 1.0),
+    }
+
+
 def main():
     import os
 
@@ -338,6 +398,7 @@ def main():
         np.sqrt(np.mean(np.sum((tpu_dxy[:n] - cpu_dxy) ** 2, axis=1))))
     extras = bench_kernels()  # pallas sections last (compile-order rule)
     extras.update(bench_align_smoke())
+    extras.update(bench_align_2k())
 
     print(json.dumps({
         "metric": "batched cutout cross-correlations/sec "

@@ -1125,6 +1125,10 @@ def align_images(
                 exp_data, exp_wht, dri_px_j, dri_py_j,
                 jnp.asarray(idx), jnp.asarray(valid_b))
             sparse_corr_margin = float(margin)
+            # fraction of the frame's input blocks the deposit still
+            # walks (the compression the sparse path achieves)
+            setup_breakdown["sparse_live_frac"] = round(
+                idx.shape[1] / nb_total, 4)
         t = _mark("sparse_blocks", t)
 
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
