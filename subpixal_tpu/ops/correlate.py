@@ -30,6 +30,7 @@ Applying the correction ``-(dx, dy)`` to ``img``'s coordinates aligns it to
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -38,6 +39,8 @@ import jax.numpy as jnp
 from .peaks import find_peak, normalize_search_box
 
 __all__ = ["cross_correlate", "find_displacement", "Displacement"]
+
+_P = jax.lax.Precision.HIGHEST
 
 
 class Displacement(NamedTuple):
@@ -87,10 +90,116 @@ def _normalize(a: jax.Array, mask: jax.Array | None, cc_type: str) -> jax.Array:
     raise ValueError(f"unknown cc_type: {cc_type!r} (expected 'CC'|'NCC'|'ZNCC')")
 
 
+# --------------------------------------------------------------------- #
+# matmul-DFT transforms (MXU path for cutout-sized arrays)
+#
+# XLA's TPU FFT does not use the matrix unit and dominates the
+# displacement pipeline (~95 % measured at 500x64^2). At cutout sizes
+# the O(N^3) DFT-as-matmul is far under the MXU's throughput, so the
+# batched rfft2/irfft2 are evaluated as real matmul passes against
+# precomputed cos/sin matrices (Precision.HIGHEST: exact-f32 class
+# accuracy; agreement with jnp.fft is ~1e-6 relative). FFTs remain the
+# path for large arrays (gate: max(H, W) > _MATMUL_DFT_MAX) and on CPU.
+# --------------------------------------------------------------------- #
+
+_MATMUL_DFT_MAX = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_consts(H: int, W: int):
+    import numpy as np
+
+    Wr = W // 2 + 1
+    k = np.arange(Wr)[:, None]
+    n = np.arange(W)[None, :]
+    ang = 2.0 * np.pi * k * n / W
+    CW = np.cos(ang)                     # (Wr, W): forward real part
+    SW = -np.sin(ang)                    # forward imag part (e^{-i...})
+    g = np.arange(H)[:, None]
+    hh = np.arange(H)[None, :]
+    angH = 2.0 * np.pi * g * hh / H
+    CH = np.cos(angH)
+    SH = -np.sin(angH)
+    # inverse: hermitian weights fold the missing half-spectrum
+    wk = np.full((Wr, 1), 2.0)
+    wk[0] = 1.0
+    if W % 2 == 0:
+        wk[-1] = 1.0
+    CWi = (np.cos(ang) * wk) / W         # (Wr, W), e^{+i...}
+    SWi = (np.sin(ang) * wk) / W
+    CHi = np.cos(angH) / H
+    SHi = np.sin(angH) / H
+    # stacked re/im matrices: one matmul produces both parts (halves the
+    # matmul count AND fills more of the 128-lane quantum that a bare
+    # Wr=W/2+1 output would waste)
+    CWS = np.concatenate([CW, SW], 0)    # (2Wr, W)
+    CHS = np.concatenate([CH, SH], 0)    # (2H, H)
+    CHSi = np.concatenate([CHi, SHi], 0)
+    CWSi = np.concatenate([CWi, -SWi], 0)  # (2Wr, W): real-output pass
+    # cache NUMPY constants: jnp arrays materialized during a trace are
+    # tracer-bound and must not be memoized across traces
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    return tuple(map(f32, (CW, SW, CH, SH, CWi, SWi, CHi, SHi,
+                           CWS, CHS, CHSi, CWSi)))
+
+
+def _use_matmul_dft(H: int, W: int) -> bool:
+    if max(H, W) > _MATMUL_DFT_MAX:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _rfft2_matmul(x: jax.Array):
+    """Batched rfft2 as TWO stacked-matrix MXU passes; returns (re, im).
+
+    W-pass: one matmul against [CW; SW] gives [Xr | Xi] along the last
+    axis; H-pass: one matmul against [CH; SH] gives all four products
+    CH/SH x Xr/Xi in a (2H, 2Wr) block, combined by slicing.
+    """
+    H, W = x.shape[-2:]
+    Wr = W // 2 + 1
+    c = _dft_consts(H, W)
+    CWS, CHS = c[8], c[9]
+    X = jnp.einsum("...hw,kw->...hk", x, CWS, precision=_P)  # [Xr|Xi]
+    Q = jnp.einsum("gh,...hk->...gk", CHS, X, precision=_P)
+    Yr = Q[..., :H, :Wr] - Q[..., H:, Wr:]   # CH@Xr - SH@Xi
+    Yi = Q[..., :H, Wr:] + Q[..., H:, :Wr]   # CH@Xi + SH@Xr
+    return Yr, Yi
+
+
+def _irfft2_matmul(Gr: jax.Array, Gi: jax.Array, s: tuple[int, int]):
+    """Batched irfft2 of an rfft half-spectrum as two stacked passes."""
+    H, W = s
+    Wr = W // 2 + 1
+    c = _dft_consts(H, W)
+    CHSi, CWSi = c[10], c[11]
+    G = jnp.concatenate([Gr, Gi], axis=-1)                  # (..., H, 2Wr)
+    Q = jnp.einsum("gh,...hk->...gk", CHSi, G, precision=_P)
+    Zr = Q[..., :H, :Wr] - Q[..., H:, Wr:]   # CHi@Gr - SHi@Gi
+    Zi = Q[..., :H, Wr:] + Q[..., H:, :Wr]   # CHi@Gi + SHi@Gr
+    # final W-pass: real output only -> stacked [CWi; -SWi] over k
+    ZZ = jnp.concatenate([Zr, Zi], axis=-1)                 # (..., H, 2Wr)
+    return jnp.einsum("...hk,kw->...hw", ZZ, CWSi, precision=_P)
+
+
+def _irfft2(G: jax.Array, s: tuple[int, int]) -> jax.Array:
+    if _use_matmul_dft(*s):
+        return _irfft2_matmul(jnp.real(G), jnp.imag(G), s)
+    return jnp.fft.irfft2(G, s=s)
+
+
 def _cross_spectrum(ref, img, cc_type, ref_mask, img_mask):
     """G = fft2(img) * conj(fft2(ref)) for normalized inputs, via rfft2."""
     r = _normalize(ref, ref_mask, cc_type)
     i = _normalize(img, img_mask, cc_type)
+    if _use_matmul_dft(*r.shape[-2:]):
+        Rr, Ri = _rfft2_matmul(r)
+        Ir, Ii = _rfft2_matmul(i)
+        # (Ir + i Ii) * conj(Rr + i Ri)
+        return jax.lax.complex(Ir * Rr + Ii * Ri, Ii * Rr - Ir * Ri)
     Fr = jnp.fft.rfft2(r)
     Fi = jnp.fft.rfft2(i)
     return Fi * jnp.conj(Fr)
@@ -113,7 +222,7 @@ def cross_correlate(
     ref_b, squeeze = _atleast_batched(ref)
     img_b, _ = _atleast_batched(img)
     G = _cross_spectrum(ref_b, img_b, cc_type, ref_mask, img_mask)
-    cc = jnp.fft.irfft2(G, s=ref_b.shape[-2:])
+    cc = _irfft2(G, s=tuple(ref_b.shape[-2:]))
     if shift_output:
         cc = jnp.fft.fftshift(cc, axes=(-2, -1))
     return cc[0] if squeeze else cc
@@ -264,7 +373,7 @@ def find_displacement(
     B, H, W = ref_b.shape
 
     G = _cross_spectrum(ref_b, img_b, cc_type, ref_mask, img_mask)
-    cc = jnp.fft.irfft2(G, s=(H, W))
+    cc = _irfft2(G, s=(H, W))
     cc_s = jnp.fft.fftshift(cc, axes=(-2, -1))
 
     if usfac <= 1:

@@ -184,3 +184,59 @@ def test_normalize_search_box_forms():
     assert normalize_search_box((1, 2, 3, 4), 64, 64, 5) == (1, 2, 3, 4)
     # oversized boxes clamp to the surface
     assert normalize_search_box(200, 16, 16, 5) == (0, 16, 0, 16)
+
+
+class TestMatmulDFT:
+    """The MXU matmul-DFT transforms must agree with jnp.fft (the CPU /
+    large-array path) to float32 round-off."""
+
+    def test_rfft2_matmul_matches_fft(self):
+        from subpixal_tpu.ops.correlate import _rfft2_matmul
+
+        rng = np.random.default_rng(0)
+        for H, W in ((64, 64), (32, 48), (24, 24), (16, 128)):
+            x = jnp.asarray(rng.normal(size=(7, H, W)).astype(np.float32))
+            Yr, Yi = _rfft2_matmul(x)
+            F = np.fft.rfft2(np.asarray(x, np.float64))
+            scale = max(1.0, np.abs(F).max())
+            assert np.abs(np.asarray(Yr) - F.real).max() / scale < 2e-6
+            assert np.abs(np.asarray(Yi) - F.imag).max() / scale < 2e-6
+
+    def test_irfft2_matmul_matches_fft(self):
+        from subpixal_tpu.ops.correlate import _irfft2_matmul
+
+        rng = np.random.default_rng(1)
+        for H, W in ((64, 64), (32, 48), (17, 24)):
+            x = rng.normal(size=(5, H, W))
+            G = np.fft.rfft2(x)
+            got = np.asarray(_irfft2_matmul(
+                jnp.asarray(G.real, jnp.float32),
+                jnp.asarray(G.imag, jnp.float32), (H, W)))
+            scale = max(1.0, np.abs(x).max())
+            assert np.abs(got - x).max() / scale < 5e-6
+
+    def test_cross_spectrum_path_equivalence(self):
+        """Force the matmul path on CPU and compare the full displacement
+        against the FFT path."""
+        import subpixal_tpu.ops.correlate as C
+
+        rng = np.random.default_rng(2)
+        B, h, w = 16, 48, 48
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        dx = rng.uniform(-0.5, 0.5, B)[:, None, None]
+        dy = rng.uniform(-0.5, 0.5, B)[:, None, None]
+        ref = np.broadcast_to(np.exp(-((xx - w/2)**2 + (yy - h/2)**2) / 8.0),
+                              (B, h, w)).astype(np.float32)
+        img = np.exp(-((xx - w/2 - dx)**2 + (yy - h/2 - dy)**2) / 8.0
+                     ).astype(np.float32)
+        d_fft = C.find_displacement(ref, img, cc_type="NCC", usfac=8,
+                                    fit_type="gaussian")
+        orig = C._use_matmul_dft
+        C._use_matmul_dft = lambda H, W: True
+        try:
+            d_mm = C.find_displacement(ref, img, cc_type="NCC", usfac=8,
+                                       fit_type="gaussian")
+        finally:
+            C._use_matmul_dft = orig
+        assert np.abs(np.asarray(d_mm.dx) - np.asarray(d_fft.dx)).max() < 1e-4
+        assert np.abs(np.asarray(d_mm.dy) - np.asarray(d_fft.dy)).max() < 1e-4
