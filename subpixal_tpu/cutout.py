@@ -167,22 +167,39 @@ def create_primary_cutouts(
     flux = (np.asarray(catalog["flux"], float) if "flux" in catalog
             else np.ones(n))
 
+    # all footprint bboxes in ONE image pass (a per-source ``seg == id``
+    # scan is O(n_sources * H * W) — tens of seconds at catalog scale)
+    maxid = int(seg.max(initial=0))
+    big = np.iinfo(np.int64).max
+    bb_y0 = np.full(maxid + 1, big)
+    bb_x0 = np.full(maxid + 1, big)
+    bb_y1 = np.full(maxid + 1, -1)
+    bb_x1 = np.full(maxid + 1, -1)
+    if maxid > 0:
+        myy, mxx = np.nonzero(seg > 0)
+        vals = seg[myy, mxx].astype(np.int64)
+        np.minimum.at(bb_y0, vals, myy)
+        np.minimum.at(bb_x0, vals, mxx)
+        np.maximum.at(bb_y1, vals, myy)
+        np.maximum.at(bb_x1, vals, mxx)
+
     for k in range(n):
         sid = int(ids[k])
-        fp = seg == sid
-        if not fp.any():
+        has_fp = 0 < sid <= maxid and bb_y1[sid] >= 0
+        if not has_fp:
             # no segmentation footprint: fall back to a min-size box
             y0 = int(round(ys[k])) - min_box_size // 2
             x0 = int(round(xs[k])) - min_box_size // 2
             h = w = min_box_size
         else:
-            yy, xx = np.nonzero(fp)
-            y0 = int(yy.min()) - pad
-            x0 = int(xx.min()) - pad
-            h = int(yy.max()) - y0 + 1 + pad
-            w = int(xx.max()) - x0 + 1 + pad
+            fy0, fy1 = int(bb_y0[sid]), int(bb_y1[sid])
+            fx0, fx1 = int(bb_x0[sid]), int(bb_x1[sid])
+            y0 = fy0 - pad
+            x0 = fx0 - pad
+            h = fy1 - y0 + 1 + pad
+            w = fx1 - x0 + 1 + pad
             if h < min_box_size or w < min_box_size:
-                cy, cx = (yy.min() + yy.max()) / 2, (xx.min() + xx.max()) / 2
+                cy, cx = (fy0 + fy1) / 2, (fx0 + fx1) / 2
                 h = w = max(h, w, min_box_size)
                 y0 = int(round(cy)) - h // 2
                 x0 = int(round(cx)) - w // 2
@@ -194,7 +211,7 @@ def create_primary_cutouts(
             continue
         segmask, _ = _extract_host(seg, y0, x0, h, w)
         srcmask = (segmask == sid) | (segmask == 0)
-        if fp.any():
+        if has_fp:
             srcsel = segmask == sid
             if combine_seg_mask:
                 data = data * srcsel
