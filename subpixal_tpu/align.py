@@ -972,6 +972,23 @@ def align_images(
         flux_w = np.array([c.src_weight for c in prim], np.float64)
         flux_w = flux_w / max(flux_w.max(), 1e-12)
 
+        # bucket the catalog axis to a multiple of 64: every N-dependent
+        # program (staging gather, step, device loop) is compiled per
+        # catalog SIZE, so without bucketing each new scene recompiles
+        # everything (minutes cold on TPU). Padded sources sit at the
+        # frame center with zero weight and are masked invalid below.
+        n_real = N
+        N_pad = max(-(-N // 64) * 64, 64)
+        if N_pad != N:
+            cyc, cxc = out_shape[0] / 2.0, out_shape[1] / 2.0
+            xy_cat = np.concatenate(
+                [xy_cat, np.tile([[cxc, cyc]], (N_pad - N, 1))])
+            src_ids = np.concatenate(
+                [src_ids, np.full(N_pad - N, -1, np.int64)])
+            flux_w = np.concatenate([flux_w, np.zeros(N_pad - N)])
+            N = N_pad
+        real_src = np.arange(N) < n_real
+
         # -- per-exposure static device inputs --------------------------- #
         centers = np.zeros((E, N, 2), np.float32)
         cut_px = np.zeros((E, N, h, w), np.float32)
@@ -1009,7 +1026,7 @@ def align_images(
             # predicted source positions in this exposure
             sx, sy = exp.wcs.world_to_pixel(ra_cat, dec_cat)
             inside = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
-            src_valid[e] = inside
+            src_valid[e] = inside & real_src  # bucket pads stay invalid
             # cutout windows (fixed for all iterations)
             bx = np.round(sx).astype(int) - w // 2
             by = np.round(sy).astype(int) - h // 2
