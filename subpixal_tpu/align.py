@@ -943,7 +943,10 @@ def align_images(
         if cfg.cutout_shape is None:
             mh = max(c.data.shape[0] for c in prim)
             mw = max(c.data.shape[1] for c in prim)
-            s = int(np.ceil(max(mh + 4, mw + 4, 16) / 8) * 8)
+            # bucketed to 16 so scenes with slightly different seeing /
+            # footprints share one compiled geometry (same reasoning as
+            # the catalog-axis bucketing below)
+            s = int(np.ceil(max(mh + 4, mw + 4, 16) / 16) * 16)
             cut_shape = (min(s, cfg.max_cut_size),
                          min(s, cfg.max_cut_size))
         else:
