@@ -202,17 +202,9 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
     return cb.data, cb.mask, seg_cut
 
 
-def _block_view(a, block=(8, 128), **pad_kw):
-    """(E, H, W) -> (E, nb, bh, bw): the deposit kernel's input-block
-    partition (single walk shared by bbox sizing and compaction)."""
-    E, H, W = a.shape
-    bh, bw = block
-    Hp = -(-H // bh) * bh
-    Wp = -(-W // bw) * bw
-    if (Hp, Wp) != (H, W):
-        a = jnp.pad(a, ((0, 0), (0, Hp - H), (0, Wp - W)), **pad_kw)
-    return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
-            .transpose(0, 1, 3, 2, 4).reshape(E, -1, bh, bw))
+from .kernels._common import block_partition as _block_view  # one walk
+# definition for the whole deposit pipeline: the sparse-deposit live
+# set / compaction below index the SAME blocks the kernel's grid walks
 
 
 @partial(jax.jit, static_argnames=("block",))

@@ -6,3 +6,38 @@ from __future__ import annotations
 def round_up(n: int, m: int) -> int:
     """Smallest multiple of ``m`` that is >= ``n``."""
     return -(-n // m) * m
+
+
+def block_partition(a, block: tuple[int, int] = (8, 128), **pad_kw):
+    """``(..., H, W) -> (..., nb, bh, bw)``: the deposit kernel's input
+    block partition, padding the trailing axes to whole blocks.
+
+    THE single definition of the walk the drizzle kernel's grid takes
+    over its input — tile sizing (host numpy and device jnp), the align
+    loop's sparse-deposit live-set/compaction, and the kernel's own
+    blockization all call this, so their block indices are identical by
+    construction. Blocks are ordered row-major over (by, bx).
+
+    ``pad_kw`` forwards to ``np.pad`` / ``jnp.pad`` (e.g.
+    ``constant_values=-1e6`` for coordinate planes, ``mode='edge'`` for
+    bbox sizing). Works on numpy and jax arrays alike.
+    """
+    import numpy as np
+
+    *lead, H, W = a.shape
+    bh, bw = block
+    Hp = round_up(H, bh)
+    Wp = round_up(W, bw)
+    if (Hp, Wp) != (H, W):
+        spec = [(0, 0)] * len(lead) + [(0, Hp - H), (0, Wp - W)]
+        if isinstance(a, np.ndarray):
+            a = np.pad(a, spec, **pad_kw)
+        else:
+            import jax.numpy as jnp
+
+            a = jnp.pad(a, spec, **pad_kw)
+    a = a.reshape(*lead, Hp // bh, bh, Wp // bw, bw)
+    n = a.ndim
+    perm = tuple(range(len(lead))) + (n - 4, n - 2, n - 3, n - 1)
+    return a.transpose(perm).reshape(
+        *lead, (Hp // bh) * (Wp // bw), bh, bw)

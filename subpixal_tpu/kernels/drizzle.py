@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import block_partition as _block_partition
 from ._common import round_up as _round_up
 
 __all__ = ["drizzle_deposit_pallas", "required_tile",
@@ -80,17 +81,12 @@ def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
     Hp = -(-H // bh) * bh
     Wp = -(-W // bw) * bw
     live = (np.ones((E, H, W), bool) if wht is None
-            else np.broadcast_to(np.asarray(wht) > 0, x.shape))
-    pad = ((0, 0), (0, Hp - H), (0, Wp - W))
-    xp = np.pad(x, pad)
-    yp = np.pad(y, pad)
-    lv = np.pad(live, pad)
+            else np.broadcast_to(np.asarray(wht) > 0, x.shape).copy())
 
     def blocks(a):
-        return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
-                .transpose(0, 1, 3, 2, 4).reshape(-1, bh * bw))
+        return _block_partition(a, block).reshape(-1, bh * bw)
 
-    xb, yb, lb = blocks(xp), blocks(yp), blocks(lv)
+    xb, yb, lb = blocks(x), blocks(y), blocks(live)
     big = 1e18
     ey = (np.max(np.where(lb, yb, -big), 1)
           - np.min(np.where(lb, yb, big), 1))
@@ -121,20 +117,12 @@ def _block_extents_device(x, y, live, block: tuple[int, int] = (8, 128)):
     x = x.reshape(-1, H, W)
     y = y.reshape(-1, H, W)
     live = jnp.broadcast_to(live.reshape(-1, H, W) > 0, x.shape)
-    E = x.shape[0]
     bh, bw = block
-    Hp = -(-H // bh) * bh
-    Wp = -(-W // bw) * bw
-    pad = ((0, 0), (0, Hp - H), (0, Wp - W))
-    xp = jnp.pad(x, pad)
-    yp = jnp.pad(y, pad)
-    lv = jnp.pad(live, pad)
 
     def blocks(a):
-        return (a.reshape(E, Hp // bh, bh, Wp // bw, bw)
-                .transpose(0, 1, 3, 2, 4).reshape(-1, bh * bw))
+        return _block_partition(a, block).reshape(-1, bh * bw)
 
-    xb, yb, lb = blocks(xp), blocks(yp), blocks(lv)
+    xb, yb, lb = blocks(x), blocks(y), blocks(live)
     big = jnp.float32(1e18)
     ey = (jnp.max(jnp.where(lb, yb, -big), 1)
           - jnp.min(jnp.where(lb, yb, big), 1))
@@ -335,33 +323,24 @@ def drizzle_deposit_pallas(
     Hop = max(_round_up(Ho, 8), Th)
     Wop = max(_round_up(Wo, 128), Tw)
 
-    # pad the input to whole blocks with zero weight
+    # the shared block partition pads to whole blocks; zero weight on
+    # padded entries -> no deposit, off-grid coords keep them harmless
     Hp, Wp = _round_up(H, bh), _round_up(W, bw)
-    data = jnp.asarray(in_data, jnp.float32)
-    wht = (jnp.ones((H, W), jnp.float32) if in_wht is None
-           else jnp.asarray(in_wht, jnp.float32))
-    xo = jnp.asarray(x_out, jnp.float32)
-    yo = jnp.asarray(y_out, jnp.float32)
-    if (Hp, Wp) != (H, W):
-        pad = ((0, Hp - H), (0, Wp - W))
-        data = jnp.pad(data, pad)
-        wht = jnp.pad(wht, pad)  # zero weight -> no deposit
-        xo = jnp.pad(xo, pad, constant_values=-1e6)
-        yo = jnp.pad(yo, pad, constant_values=-1e6)
-
-    nby, nbx = Hp // bh, Wp // bw
-    nblocks = nby * nbx
+    nblocks = (Hp // bh) * (Wp // bw)
     P = bh * bw  # multiple of 128 (bw is)
 
-    def to_blocks(a):
+    def to_blocks(a, **pad_kw):
         # (nblocks, 1, P): unit sublane axis keeps the block shape legal
-        return (a.reshape(nby, bh, nbx, bw).transpose(0, 2, 1, 3)
-                .reshape(nblocks, 1, P))
+        return _block_partition(a, (bh, bw), **pad_kw
+                                ).reshape(nblocks, 1, P)
 
-    data_b = to_blocks(data)
-    wht_b = to_blocks(wht)
-    x_b = to_blocks(xo)
-    y_b = to_blocks(yo)
+    data_b = to_blocks(jnp.asarray(in_data, jnp.float32))
+    wht_b = to_blocks(jnp.ones((H, W), jnp.float32) if in_wht is None
+                      else jnp.asarray(in_wht, jnp.float32))
+    x_b = to_blocks(jnp.asarray(x_out, jnp.float32),
+                    constant_values=-1e6)
+    y_b = to_blocks(jnp.asarray(y_out, jnp.float32),
+                    constant_values=-1e6)
 
     # per-block tile origins; ignore zero-weight (padded / masked) pixels
     big = 1e6

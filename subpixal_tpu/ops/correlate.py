@@ -129,18 +129,17 @@ def _dft_consts(H: int, W: int):
     SWi = (np.sin(ang) * wk) / W
     CHi = np.cos(angH) / H
     SHi = np.sin(angH) / H
-    # stacked re/im matrices: one matmul produces both parts (halves the
-    # matmul count AND fills more of the 128-lane quantum that a bare
-    # Wr=W/2+1 output would waste)
-    CWS = np.concatenate([CW, SW], 0)    # (2Wr, W)
-    CHS = np.concatenate([CH, SH], 0)    # (2H, H)
-    CHSi = np.concatenate([CHi, SHi], 0)
+    # only the STACKED re/im matrices are consumed: one matmul produces
+    # both parts (halves the matmul count AND fills more of the 128-lane
+    # quantum a bare Wr=W/2+1 output would waste)
+    CWS = np.concatenate([CW, SW], 0)    # (2Wr, W): forward W-pass
+    CHS = np.concatenate([CH, SH], 0)    # (2H, H): forward H-pass
+    CHSi = np.concatenate([CHi, SHi], 0)   # inverse H-pass
     CWSi = np.concatenate([CWi, -SWi], 0)  # (2Wr, W): real-output pass
     # cache NUMPY constants: jnp arrays materialized during a trace are
     # tracer-bound and must not be memoized across traces
     f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
-    return tuple(map(f32, (CW, SW, CH, SH, CWi, SWi, CHi, SHi,
-                           CWS, CHS, CHSi, CWSi)))
+    return tuple(map(f32, (CWS, CHS, CHSi, CWSi)))
 
 
 def _use_matmul_dft(H: int, W: int) -> bool:
@@ -161,8 +160,7 @@ def _rfft2_matmul(x: jax.Array):
     """
     H, W = x.shape[-2:]
     Wr = W // 2 + 1
-    c = _dft_consts(H, W)
-    CWS, CHS = c[8], c[9]
+    CWS, CHS, _, _ = _dft_consts(H, W)
     X = jnp.einsum("...hw,kw->...hk", x, CWS, precision=_P)  # [Xr|Xi]
     Q = jnp.einsum("gh,...hk->...gk", CHS, X, precision=_P)
     Yr = Q[..., :H, :Wr] - Q[..., H:, Wr:]   # CH@Xr - SH@Xi
@@ -174,8 +172,7 @@ def _irfft2_matmul(Gr: jax.Array, Gi: jax.Array, s: tuple[int, int]):
     """Batched irfft2 of an rfft half-spectrum as two stacked passes."""
     H, W = s
     Wr = W // 2 + 1
-    c = _dft_consts(H, W)
-    CHSi, CWSi = c[10], c[11]
+    _, _, CHSi, CWSi = _dft_consts(H, W)
     G = jnp.concatenate([Gr, Gi], axis=-1)                  # (..., H, 2Wr)
     Q = jnp.einsum("gh,...hk->...gk", CHSi, G, precision=_P)
     Zr = Q[..., :H, :Wr] - Q[..., H:, Wr:]   # CHi@Gr - SHi@Gi

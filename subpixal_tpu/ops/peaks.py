@@ -203,6 +203,11 @@ def normalize_search_box(
     """
     if peak_search_box is None or peak_search_box == "all":
         return None
+    if isinstance(peak_search_box, bool):
+        # bool is an int subclass: True would otherwise confine the
+        # search to a 1-pixel box. Read it as on/off instead.
+        return (normalize_search_box("fitbox", H, W, peak_fit_box)
+                if peak_search_box else None)
     if peak_search_box == "fitbox":
         s = int(peak_fit_box)
     elif isinstance(peak_search_box, (int, np.integer)):

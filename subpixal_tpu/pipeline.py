@@ -74,8 +74,12 @@ def load_exposures(
         exptime = float(hdu.header.get(
             "EXPTIME", hdul[0].header.get("EXPTIME", 1.0)))
         bunit = str(hdu.header.get("BUNIT", "")).upper()
-        counts = bool(bunit) and "/S" not in bunit and "S-1" not in bunit \
-            and bunit not in ("UNITLESS",)
+        # rate units appear as '/S', 'S-1', 'S^-1', 'S**-1', 'SEC-1', ...
+        rate_forms = ("/S", "S-1", "S^-1", "S**-1",
+                      "SEC-1", "SEC^-1", "SEC**-1", "/SEC")
+        counts = (bool(bunit)
+                  and not any(f in bunit for f in rate_forms)
+                  and bunit not in ("UNITLESS",))
         exps.append(Exposure(np.asarray(hdu.data, np.float32), wcs,
                              weight=weight, exptime=exptime, name=spec,
                              data_units="counts" if counts else "rate",

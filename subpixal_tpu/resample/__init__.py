@@ -266,6 +266,41 @@ class Drizzle(Resample):
             known = {"pixfrac", "kernel", "fillval", "pscale",
                      "pscale_ratio", "wht_type", "use_pallas"}
             bad = set(kw) - known
+            # a real AstroDrizzle config dict carries many stage knobs
+            # beyond the combine parameters this class consumes
+            # ('skymethod', 'driz_cr', 'driz_sep_*', 'combine_*', ...);
+            # reference parity means ACCEPTING such dicts — recognized
+            # AstroDrizzle names are ignored with a warning, and the
+            # hard error is reserved for names AstroDrizzle would also
+            # reject (likely typos).
+            astrodrizzle_prefixes = (
+                "driz_sep_", "driz_cr", "combine_", "sky",
+                "static", "median", "blot", "crbit", "in_memory",
+                "build", "context", "clean", "preserve", "restore",
+                "resetbits", "num_cores", "runfile", "input", "output",
+                "updatewcs", "wcskey", "proc_unit", "coeffs", "group",
+                "mdriztab", "stepsize")
+            # final_* keys are enumerated (not prefix-matched) so a typo
+            # of a SUPPORTED final_ key still fails loudly
+            astrodrizzle_final = {
+                "final_wcs", "final_rot", "final_units", "final_bits",
+                "final_wt_scl", "final_refimage", "final_outnx",
+                "final_outny", "final_ra", "final_dec", "final_crpix1",
+                "final_crpix2"}
+            recognized = {
+                k for k in bad
+                if str(k).lower().startswith(astrodrizzle_prefixes)
+                or str(k).lower() in astrodrizzle_final}
+            if recognized:
+                warnings.warn(
+                    "ignoring AstroDrizzle config key(s) with no "
+                    f"equivalent here: {sorted(recognized)} (the sky/"
+                    "static-mask/CR stages are explicit methods: "
+                    "match_sky(), apply_static_mask(), reject_cr())",
+                    stacklevel=2)
+                for k in recognized:
+                    kw.pop(k)
+                bad -= recognized
             if bad:
                 raise ValueError(
                     f"unknown Drizzle config key(s): {sorted(bad)} "
@@ -512,20 +547,32 @@ class Drizzle(Resample):
           the data (real diffuse background survives into the product).
         - ``'localmin'``: subtract each exposure's absolute sky estimate.
 
-        Returns the per-exposure sky estimates (before differencing).
+        Returns the per-exposure sky estimates in RATE units (before
+        differencing).
         """
         from ..catalogs import sigma_clipped_stats
 
         if skymethod not in ("match", "localmin"):
             raise ValueError(f"unknown skymethod: {skymethod!r}")
+        # estimate and DIFFERENCE skies in commensurable RATE units —
+        # 'match' on native counts would compare sky levels scaled by
+        # each exposure's exptime (a 1 s and a 100 s exposure of the
+        # same sky differ 100x in counts), leaving per-exposure
+        # background steps in the combined product. The subtraction is
+        # converted back to each exposure's native units.
         skies = np.zeros(len(self.exposures))
+        to_native = np.ones(len(self.exposures))
         for e, exp in enumerate(self.exposures):
             _, med, _ = sigma_clipped_stats(exp.data)
-            skies[e] = med
+            scale = (float(exp.exptime)
+                     if str(exp.data_units).lower().startswith("count")
+                     and exp.exptime else 1.0)
+            skies[e] = med / scale      # rate units
+            to_native[e] = scale
         if subtract and len(self.exposures):
             sub = skies - skies.min() if skymethod == "match" else skies
-            for exp, sky in zip(self.exposures, sub):
-                exp.data = exp.data - np.float32(sky)
+            for exp, sky, scale in zip(self.exposures, sub, to_native):
+                exp.data = exp.data - np.float32(sky * scale)
             # cached deposits are stale now
             self._per_exp.clear()
             self._sci_acc = self._wht_acc = None

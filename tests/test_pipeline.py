@@ -71,3 +71,93 @@ def test_load_exposures_ext_spec(tmp_path):
     assert loaded[0].data.shape == exps[0].data.shape
     np.testing.assert_allclose(loaded[0].wcs.crpix, exps[0].wcs.crpix,
                                atol=1e-9)
+
+
+def test_bunit_rate_forms(tmp_path):
+    """FITS-standard exponent unit forms ('S**-1' etc.) classify as rate
+    (dividing per-second data by EXPTIME again would corrupt fluxes)."""
+    from subpixal_tpu.wcs.wcs import TanWCS
+    import numpy as np
+
+    wcs = TanWCS(crpix=np.array([8.0, 8.0]), crval=np.array([10.0, 0.0]),
+                 cd=(0.05 / 3600.0) * np.eye(2))
+    cases = {
+        "ELECTRONS/S": "rate",
+        "ELECTRON S**-1": "rate",
+        "COUNT/SEC": "rate",
+        "ELECTRON S^-1": "rate",
+        "electrons s-1": "rate",
+        "ELECTRONS": "counts",
+        "COUNTS": "counts",
+        "": "rate",  # absent -> assume rate (reference FLC default)
+    }
+    for i, (bunit, want) in enumerate(cases.items()):
+        h = Header()
+        h["EXTNAME"] = "SCI"
+        h["EXTVER"] = 1
+        h["EXPTIME"] = 100.0
+        if bunit:
+            h["BUNIT"] = bunit
+        wcs_to_header(wcs, h)
+        p = str(tmp_path / f"bunit{i}.fits")
+        write_fits(p, [HDU(), HDU(np.ones((16, 16), np.float32), h)])
+        (exp,) = load_exposures([p])
+        assert exp.data_units == want, (bunit, exp.data_units)
+
+
+def test_match_sky_mixed_exptime_counts():
+    """'match' must difference skies in RATE units: two counts exposures
+    of the same sky rate with different exptimes are already matched."""
+    import numpy as np
+
+    from subpixal_tpu.resample import Drizzle, Exposure
+    from subpixal_tpu.wcs.wcs import TanWCS
+
+    rng = np.random.default_rng(0)
+    wcs = TanWCS(crpix=np.array([32.0, 32.0]), crval=np.array([10.0, 0.0]),
+                 cd=(0.05 / 3600.0) * np.eye(2))
+    sky_rate = 1.0
+    exps = []
+    for t in (1.0, 100.0):
+        data = (sky_rate * t + rng.normal(0, 0.01 * t, (64, 64))
+                ).astype(np.float32)
+        exps.append(Exposure(data, wcs.copy(), exptime=t,
+                             data_units="counts", name=f"t{t}"))
+    d = Drizzle(exps)
+    skies = d.match_sky(skymethod="match")
+    # estimates returned in rate units: both ~= the true sky rate
+    assert np.allclose(skies, sky_rate, atol=0.01)
+    # equal sky rates -> 'match' subtracts ~nothing from either exposure
+    for exp, t in zip(d.exposures, (1.0, 100.0)):
+        assert abs(np.median(exp.data) / t - sky_rate) < 0.02, exp.name
+
+
+def test_peak_search_box_bool():
+    """True means 'fitbox' confinement, False means unconfined (bool is
+    an int subclass — int(True)=1 would confine to a single pixel)."""
+    from subpixal_tpu.ops.peaks import normalize_search_box
+
+    assert (normalize_search_box(True, 64, 64, 5)
+            == normalize_search_box("fitbox", 64, 64, 5))
+    assert normalize_search_box(False, 64, 64, 5) is None
+
+
+def test_drizzle_config_ignores_astrodrizzle_stage_keys():
+    """A realistic AstroDrizzle config dict constructs (stage knobs are
+    warned about and ignored); typos of supported keys still raise."""
+    import warnings
+
+    import pytest
+
+    from subpixal_tpu.resample import Drizzle
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        d = Drizzle(config={
+            "final_pixfrac": 0.9, "skymethod": "match", "driz_cr": True,
+            "driz_cr_snr": "3.5 3.0", "combine_type": "median",
+            "final_rot": 0.0, "in_memory": True})
+    assert d.pixfrac == 0.9
+    assert any("AstroDrizzle config key" in str(w.message) for w in rec)
+    with pytest.raises(ValueError, match="unknown Drizzle config"):
+        Drizzle(config={"final_pixfrc": 0.9})  # typo must stay loud
