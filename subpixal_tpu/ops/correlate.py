@@ -143,6 +143,13 @@ def _dft_consts(H: int, W: int):
 
 
 def _use_matmul_dft(H: int, W: int) -> bool:
+    import os
+
+    forced = os.environ.get("SUBPIXAL_TPU_FFT", "").lower()
+    if forced == "fft":       # debugging escape hatch
+        return False
+    if forced == "matmul":
+        return True
     if max(H, W) > _MATMUL_DFT_MAX:
         return False
     try:
