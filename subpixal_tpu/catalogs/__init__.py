@@ -474,8 +474,11 @@ class SExImageCatalog(SExCatalog):
                 "no SExtractor binary found on PATH; use "
                 "ImageSourceCatalog (the built-in native finder) instead"
             )
+        # absolute paths: the subprocess runs with cwd=workdir, so
+        # caller-relative image/config paths would resolve wrongly there
         cmd = [
-            self.sextractor_cmd, self.image, "-c", self.sexconfig,
+            self.sextractor_cmd, os.path.abspath(self.image),
+            "-c", os.path.abspath(self.sexconfig),
             "-CATALOG_NAME", self.catalog_file,
             "-CHECKIMAGE_TYPE", "SEGMENTATION",
             "-CHECKIMAGE_NAME", self.segmentation_file,

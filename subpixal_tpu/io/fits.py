@@ -257,6 +257,13 @@ def _read_data(buf: bytes, offset: int, hdr: Header) -> tuple[np.ndarray | None,
         data = data.astype(np.float64) * bscale + bzero
         if bitpix == 16 and bzero == 32768.0 and bscale == 1.0:
             data = data.astype(np.uint16)
+        # the scaling is now APPLIED to the in-memory data; drop the
+        # cards so a read->update->write round trip (e.g. the align
+        # pipeline's header update) does not emit physical values with
+        # stale scale cards that a later reader would re-apply
+        for key in ("BSCALE", "BZERO"):
+            if key in hdr:
+                del hdr[key]
     else:
         data = data.astype(dtype.newbyteorder("="))
     padded = (nbytes + BLOCK - 1) // BLOCK * BLOCK
@@ -326,6 +333,22 @@ def _make_card(key: str, value, comment: str = "") -> bytes:
         card = f"{key:<8}{str(value)[:72]}"
     else:
         card = f"{key.upper():<8}= {_format_value(value)}"
+        if len(card) > CARD and isinstance(value, str):
+            # truncate the VALUE, keeping the closing quote — slicing
+            # the finished card would drop the quote and silently
+            # corrupt the value on the next read
+            import warnings
+
+            warnings.warn(
+                f"FITS card {key}: string value longer than one card; "
+                "truncated", stacklevel=2)
+            raw = str(value)
+            while raw:  # shrink pre-escape so quotes stay balanced
+                sval = raw.replace("'", "''")
+                card = f"{key.upper():<8}= '{sval}'"
+                if len(card) <= CARD:
+                    break
+                raw = raw[:-1]
         if comment:
             card += f" / {comment}"
     return card[:CARD].ljust(CARD).encode("ascii", errors="replace")

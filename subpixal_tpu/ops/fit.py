@@ -120,7 +120,19 @@ def _iter_fit_impl(
 
     ``reduce_sum`` is identity locally, or ``lax.psum(·, axis)`` under
     shard_map — every cross-point reduction funnels through it.
+
+    Coordinates are CENTERED on their (initial-weight) centroid before
+    any moment accumulation: float32 second moments of absolute pixel
+    coordinates cancel catastrophically when the catalog sits far from
+    the origin (e.g. sources clustered around (3500, 3500): ``sxx -
+    sw·c²`` loses ~7 digits and the fitted shift can be off by pixels).
+    The same offset is applied to both sides and undone on the returned
+    shift, so the result is identical in exact arithmetic.
     """
+    sw0 = jnp.maximum(reduce_sum(jnp.sum(w0)), 1e-12)
+    c = reduce_sum(jnp.einsum("n,ni->i", w0, xy, precision=_P)) / sw0
+    xy = xy - c
+    uv = uv - c
 
     def moments(w):
         return dict(
@@ -156,6 +168,8 @@ def _iter_fit_impl(
     rmse = jnp.sqrt(reduce_sum(jnp.sum(w * r2)) / wsum)
     mae = reduce_sum(jnp.sum(w * jnp.sqrt(r2))) / wsum
     nmatches = reduce_sum(jnp.sum(w > 0)).astype(jnp.int32)
+    # un-center: uv = M xy + t in ORIGINAL coordinates
+    t = t + c - jnp.dot(M, c, precision=_P)
     return LinearFitResult(
         matrix=M, shift=t, rms=rms, rmse=rmse, mae=mae,
         nmatches=nmatches, weights=w,
@@ -229,6 +243,16 @@ def iter_linear_fit_frames(
     E = int(n_frames)
     onehot = (frame_id[:, None] == jnp.arange(E)[None, :]).astype(xy.dtype)
 
+    # center per frame before accumulating second moments (see
+    # _iter_fit_impl: float32 absolute-coordinate moments cancel
+    # catastrophically for catalogs far from the origin)
+    we0 = onehot * w0[:, None]
+    sw0 = jnp.maximum(reduce_sum(jnp.sum(we0, axis=0)), 1e-12)  # (E,)
+    c = (reduce_sum(jnp.einsum("ne,ni->ei", we0, xy, precision=_P))
+         / sw0[:, None])                                        # (E, 2)
+    xy = xy - c[frame_id]
+    uv = uv - c[frame_id]
+
     def moments(w):
         we = onehot * w[:, None]  # (N, E)
         return dict(
@@ -282,6 +306,8 @@ def iter_linear_fit_frames(
     mae = reduce_sum(jnp.sum(we * jnp.sqrt(r2)[:, None], axis=0)) / wsum
     nmatches = reduce_sum(
         jnp.sum(onehot * (w > 0)[:, None], axis=0)).astype(jnp.int32)
+    # un-center per frame: uv = M xy + t in ORIGINAL coordinates
+    t = t + c - jnp.einsum("eij,ej->ei", M, c, precision=_P)
     return LinearFitResult(
         matrix=M, shift=t, rms=rms, rmse=rmse, mae=mae,
         nmatches=nmatches, weights=w,

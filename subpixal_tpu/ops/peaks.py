@@ -145,6 +145,10 @@ def _quad_coeffs(box: jax.Array, wts: jax.Array | None, k: int) -> jax.Array:
         pinv = jnp.asarray(np.linalg.pinv(_design_matrix(k)), dtype=box.dtype)
         return jnp.dot(z, pinv.T, precision=P)
     w = wts.reshape(wts.shape[0], k * k)
+    # zero data where the weight is zero: 0 * NaN = NaN would otherwise
+    # poison the normal equations, so a single masked NaN pixel inside
+    # the fit box silently degraded every fit to the integer argmax
+    z = jnp.where(w > 0, z, 0.0)
     # Batched weighted normal equations: (A^T W A) c = A^T W z.
     Aw = A[None] * w[..., None]  # (B, k*k, 6)
     ata = jnp.einsum("bni,nj->bij", Aw, A, precision=P)
@@ -291,6 +295,13 @@ def find_peak(
     box, r0_, c0_ = _extract_box(data, iy, ix, k)
     if valid is not None:
         vbox, _, _ = _extract_box(valid.astype(data.dtype), iy, ix, k)
+        # out-of-image regions of the box come back NaN (also in the
+        # extracted validity plane); masked pixels may BE NaN in the
+        # data. Neutralize both before any transform — 0 * NaN = NaN
+        # would otherwise poison the weighted normal equations and
+        # silently degrade every masked fit to the integer argmax.
+        vbox = jnp.nan_to_num(vbox, nan=0.0)
+        box = jnp.where(vbox > 0, box, 0.0)
     else:
         vbox = None
 
@@ -327,6 +338,9 @@ def find_peak(
     is_max = (det > 0) & (c3 < 0)
     inside = (jnp.abs(px) <= half + 0.5) & (jnp.abs(py) <= half + 0.5)
     fit_ok = is_max & inside & jnp.isfinite(px) & jnp.isfinite(py)
+    # a surface with NO valid pixel in the search area has peak_val=-inf
+    # and an argmax of (0, 0) on raw data — never report a good fit there
+    fit_ok = fit_ok & jnp.isfinite(peak_val)
 
     # Box-center coordinates -> image coordinates.
     cy = r0_.astype(data.dtype) + (k - 1) / 2.0

@@ -31,7 +31,19 @@ def _sip_matrix(hdr: Header, prefix: str) -> np.ndarray | None:
 
 
 def wcs_from_header(hdr: Header) -> TanWCS:
-    """Build a :class:`TanWCS` from FITS WCS keywords (0-based crpix)."""
+    """Build a :class:`TanWCS` from FITS WCS keywords (0-based crpix).
+
+    Only gnomonic (TAN/TAN-SIP) projections are supported; any other
+    CTYPE projection code raises rather than silently mis-projecting.
+    """
+    ctype = str(hdr.get("CTYPE1", "")).strip().upper()
+    if ctype:
+        proj = ctype.split("-")[-1] if "-" in ctype else ""
+        if proj not in ("", "TAN", "SIP"):
+            raise ValueError(
+                f"unsupported projection CTYPE1={ctype!r}: only TAN "
+                "(gnomonic, incl. -SIP) is implemented — loading this "
+                "as TAN would silently mis-project off-axis positions")
     crpix = np.array([float(hdr.get("CRPIX1", 1.0)) - 1.0,
                       float(hdr.get("CRPIX2", 1.0)) - 1.0])
     crval = np.array([float(hdr.get("CRVAL1", 0.0)),
@@ -66,9 +78,26 @@ def _write_sip(hdr: Header, prefix: str, m: np.ndarray | None):
 
 
 def wcs_to_header(wcs: TanWCS, hdr: Header | None = None) -> Header:
-    """Write WCS keywords into ``hdr`` (created if None). 1-based CRPIX."""
+    """Write WCS keywords into ``hdr`` (created if None). 1-based CRPIX.
+
+    Stale alternative representations are removed: the FITS WCS standard
+    forbids CD and PC/CDELT coexisting, and a pre-existing PC+CDELT (or
+    old SIP cards when the new WCS carries none/other orders) would make
+    external readers see the OLD transform.
+    """
     if hdr is None:
         hdr = Header()
+    for key in ("PC1_1", "PC1_2", "PC2_1", "PC2_2", "CDELT1", "CDELT2"):
+        if key in hdr:
+            del hdr[key]
+    for prefix in ("A", "B", "AP", "BP"):
+        order = hdr.get(f"{prefix}_ORDER")
+        if order is not None:
+            del hdr[f"{prefix}_ORDER"]
+            for i in range(int(order) + 1):
+                for j in range(int(order) + 1):
+                    if f"{prefix}_{i}_{j}" in hdr:
+                        del hdr[f"{prefix}_{i}_{j}"]
     sip = wcs.a is not None
     ctype_suffix = "-SIP" if sip else ""
     hdr["WCSAXES"] = 2

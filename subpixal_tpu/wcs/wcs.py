@@ -134,6 +134,16 @@ class TanWCS:
             val = getattr(self, f)
             if val is not None:
                 object.__setattr__(self, f, np.asarray(val, np.float64))
+        # SIP matrices come in pairs (x and y corrections); a header
+        # carrying only one (A_* without B_*, or AP_* without BP_*) means
+        # zero correction on the other axis — not an AttributeError at
+        # evaluation time
+        for fa, fb in (("a", "b"), ("ap", "bp")):
+            va, vb = getattr(self, fa), getattr(self, fb)
+            if va is not None and vb is None:
+                object.__setattr__(self, fb, np.zeros_like(va))
+            elif vb is not None and va is None:
+                object.__setattr__(self, fa, np.zeros_like(vb))
 
     # ------------------------------------------------------------------ #
     # forward: pixel -> world

@@ -107,3 +107,40 @@ def test_vmappable_over_images():
 def test_bad_fitgeom_raises():
     with pytest.raises(ValueError):
         iter_linear_fit(jnp.zeros((10, 2)), jnp.zeros((10, 2)), fitgeom="bogus")
+
+
+def test_fit_far_from_origin_precision():
+    """Catalogs clustered far from the origin must not lose the fit to
+    float32 moment cancellation (uncentered second moments of absolute
+    coordinates cancel ~7 digits at x~3500; the fix centers on the
+    weighted centroid before accumulating)."""
+    rng = np.random.default_rng(0)
+    N = 200
+    xy = rng.normal(3500.0, 60.0, (N, 2))
+    shift = np.array([0.02, -0.015])
+    M = np.array([[1.0 + 3e-5, -2e-5], [1.5e-5, 1.0 - 1e-5]])
+    uv = xy @ M.T + shift + rng.normal(0, 1e-3, (N, 2))
+    fit = iter_linear_fit(xy, uv, fitgeom="general", nclip=2, sigma=3.0)
+    pred = xy @ np.asarray(fit.matrix).T + np.asarray(fit.shift)
+    err = np.abs(pred - uv).max()
+    assert err < 5e-3, f"prediction error {err:.4f} px"
+    # the planted transform is recovered to sub-mpix at the catalog
+    got = np.asarray(fit.shift) + np.array([3500.0, 3500.0]) @ (
+        np.asarray(fit.matrix) - np.eye(2)).T
+    want = shift + np.array([3500.0, 3500.0]) @ (M - np.eye(2)).T
+    assert np.abs(got - want).max() < 2e-3
+
+
+def test_fit_frames_far_from_origin_precision():
+    """Same guarantee for the flattened per-frame fit."""
+    from subpixal_tpu.ops.fit import iter_linear_fit_frames
+
+    rng = np.random.default_rng(1)
+    E, N = 3, 120
+    xy = rng.normal(3000.0, 50.0, (E * N, 2))
+    fid = np.repeat(np.arange(E, dtype=np.int32), N)
+    shifts = rng.uniform(-0.05, 0.05, (E, 2))
+    uv = xy + shifts[fid] + rng.normal(0, 1e-3, (E * N, 2))
+    fit = iter_linear_fit_frames(xy, uv, fid, E, fitgeom="shift",
+                                 nclip=2, sigma=3.0)
+    assert np.abs(np.asarray(fit.shift) - shifts).max() < 1e-3

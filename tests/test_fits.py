@@ -92,3 +92,35 @@ def test_3d_cube_roundtrip(tmp_path):
     p = tmp_path / "c.fits"
     write_fits(p, HDU(cube))
     np.testing.assert_array_equal(getdata(p), cube)
+
+
+def test_bscale_rewrite_roundtrip(tmp_path):
+    """read -> write -> read must not re-apply BSCALE/BZERO (the align
+    pipeline's header update rewrites files it read)."""
+    h = Header()
+    h["BZERO"] = 100.0
+    h["BSCALE"] = 0.01
+    data = np.array([[1000, 2000]], np.int16)
+    p1, p2 = tmp_path / "a.fits", tmp_path / "b.fits"
+    write_fits(p1, HDU(data, h))
+    hdus = read_fits(p1)
+    want = data * 0.01 + 100.0
+    np.testing.assert_allclose(np.asarray(hdus[0].data), want)
+    write_fits(p2, hdus)           # rewrite what we read
+    back = read_fits(p2)[0]
+    np.testing.assert_allclose(np.asarray(back.data), want)
+
+
+def test_long_string_card_keeps_quote(tmp_path):
+    import warnings
+
+    h = Header()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        h["LONGVAL"] = "x" * 100
+        p = tmp_path / "l.fits"
+        write_fits(p, HDU(np.zeros((2, 2), np.float32), h))
+    back = read_fits(p)[0]
+    v = back.header["LONGVAL"]
+    assert isinstance(v, str) and set(v) == {"x"}, v  # clean truncation
+    assert any("truncated" in str(w.message) for w in rec)

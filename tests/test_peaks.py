@@ -123,3 +123,23 @@ def test_find_peak_nan_outside_box_is_harmless():
     near[15, 16] = np.nan  # inside the fit box around the argmax
     r2 = find_peak(jnp.asarray(near[None]), peak_fit_box=5)
     assert not bool(r2.fit_ok[0])  # integer-argmax fallback
+
+
+def test_masked_nan_pixel_does_not_poison_fit():
+    """A NaN pixel with weight 0 must leave the subpixel fit intact
+    (0 * NaN = NaN used to poison the normal equations)."""
+    yy, xx = np.mgrid[0:15, 0:15].astype(np.float64)
+    surf = np.exp(-((xx - 7.26) ** 2 + (yy - 7.4) ** 2) / 4.0)
+    surf[6, 6] = np.nan
+    res = find_peak(jnp.asarray(surf, jnp.float32), peak_fit_box=5,
+                    mask=np.isfinite(surf), fit_type="gaussian")
+    assert bool(res.fit_ok)
+    assert abs(float(res.x) - 7.26) < 0.02
+    assert abs(float(res.y) - 7.40) < 0.02
+
+
+def test_fully_masked_surface_not_ok():
+    surf = np.random.default_rng(0).normal(size=(16, 16))
+    res = find_peak(jnp.asarray(surf, jnp.float32), peak_fit_box=5,
+                    mask=np.zeros((16, 16), bool))
+    assert not bool(res.fit_ok)

@@ -147,3 +147,44 @@ def test_tangent_homography_matches_spherical_roundtrip():
     px, py = compute_pixmap(w1, w2, (h, w))
     np.testing.assert_allclose(px, xo, atol=1e-8)
     np.testing.assert_allclose(py, yo, atol=1e-8)
+
+
+def test_wcs_from_header_rejects_non_tan():
+    import pytest
+
+    from subpixal_tpu.io.fits import Header
+    from subpixal_tpu.wcs.fitswcs import wcs_from_header
+
+    h = Header()
+    h["CTYPE1"] = "RA---SIN"
+    h["CTYPE2"] = "DEC--SIN"
+    h["CRPIX1"] = 1.0
+    h["CRPIX2"] = 1.0
+    with pytest.raises(ValueError, match="projection"):
+        wcs_from_header(h)
+
+
+def test_wcs_to_header_removes_stale_pc_cdelt():
+    from subpixal_tpu.io.fits import Header
+    from subpixal_tpu.wcs.fitswcs import wcs_to_header
+
+    h = Header()
+    h["PC1_1"] = 1.0
+    h["PC2_2"] = 1.0
+    h["CDELT1"] = -1e-5
+    h["CDELT2"] = 1e-5
+    wcs = TanWCS(crpix=np.array([10.0, 10.0]), crval=np.array([10.0, 0.0]),
+                 cd=(1.0 / 3600.0) * np.eye(2))
+    wcs_to_header(wcs, h)
+    for key in ("PC1_1", "PC2_2", "CDELT1", "CDELT2"):
+        assert key not in h, key
+    assert "CD1_1" in h
+
+
+def test_sip_missing_partner_is_zero():
+    a = np.zeros((3, 3))
+    a[0, 2] = 1e-6
+    w = TanWCS(crpix=np.array([100.0, 100.0]), crval=np.array([10.0, 0.0]),
+               cd=(1.0 / 3600.0) * np.eye(2), a=a)  # no b
+    xi, eta = w.pixel_to_tangent(150.0, 160.0)  # must not raise
+    assert np.isfinite(xi) and np.isfinite(eta)
