@@ -25,12 +25,22 @@ _TRIED = False
 
 
 def _build_and_load() -> ctypes.CDLL | None:
+    import hashlib
+    import platform
+
     src = os.path.join(_CSRC, "labeling.cpp")
-    out = os.path.join(_CSRC, "_subpixal_native.so")
+    # binary name keyed by source hash + machine: a stale or
+    # foreign-host .so (mtime races, copied checkouts) is then never
+    # loaded — it simply has the wrong name and a fresh build runs.
+    # No -march=native: the union-find is not vectorization-bound, and
+    # a portable binary cannot SIGILL on a weaker CPU.
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(
+            f.read() + platform.machine().encode()).hexdigest()[:16]
+    out = os.path.join(_CSRC, f"_subpixal_native_{tag}.so")
     try:
-        if (not os.path.exists(out)
-                or os.path.getmtime(out) < os.path.getmtime(src)):
-            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        if not os.path.exists(out):
+            cmd = ["g++", "-O3", "-shared", "-fPIC",
                    "-std=c++17", src, "-o", out]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(out)
@@ -147,5 +157,12 @@ def component_stats(labels: np.ndarray, data: np.ndarray, n: int):
     np.minimum.at(ymin, lab - 1, ys[sel].astype(np.int32))
     np.maximum.at(ymax, lab - 1, ys[sel].astype(np.int32))
     np.maximum.at(peak, lab - 1, data.ravel()[sel].astype(np.float32))
+    # zero-flux components: the weighted centroid is undefined — fall
+    # back to the bbox center, matching the native labeling.cpp path
+    # (catalogs must not differ between machines with and without g++)
+    zero = flux == 0
+    if zero.any():
+        cx[zero] = 0.5 * (xmin[zero] + xmax[zero])
+        cy[zero] = 0.5 * (ymin[zero] + ymax[zero])
     return dict(area=area, flux=flux, cx=cx, cy=cy, xmin=xmin, xmax=xmax,
                 ymin=ymin, ymax=ymax, peak=peak)

@@ -27,6 +27,9 @@ __all__ = ["compute_pixmap", "blot_image", "blot_cutout"]
 
 _PIXMAP_CACHE: dict = {}
 _PIXMAP_CACHE_MAX = 16
+# entries are full-frame float64 pairs (268 MB each at 4k^2) — bound
+# the cache by BYTES, not only count, so large scenes cannot pin GBs
+_PIXMAP_CACHE_BYTES = 512 * 1024 * 1024
 
 
 def _wcs_cache_key(w: TanWCS):
@@ -83,9 +86,15 @@ def compute_pixmap(
     yt = np.asarray(yt)
     xt.setflags(write=False)
     yt.setflags(write=False)
-    if len(_PIXMAP_CACHE) >= _PIXMAP_CACHE_MAX:
-        _PIXMAP_CACHE.pop(next(iter(_PIXMAP_CACHE)))
-    _PIXMAP_CACHE[key] = (xt, yt)
+    new_bytes = xt.nbytes + yt.nbytes
+    total = sum(a.nbytes + b.nbytes for a, b in _PIXMAP_CACHE.values())
+    while _PIXMAP_CACHE and (
+            len(_PIXMAP_CACHE) >= _PIXMAP_CACHE_MAX
+            or total + new_bytes > _PIXMAP_CACHE_BYTES):
+        a, b = _PIXMAP_CACHE.pop(next(iter(_PIXMAP_CACHE)))  # oldest
+        total -= a.nbytes + b.nbytes
+    if new_bytes <= _PIXMAP_CACHE_BYTES:
+        _PIXMAP_CACHE[key] = (xt, yt)
     return xt, yt
 
 
@@ -148,6 +157,12 @@ def blot_cutout(source_cutout, image_cutout, interp: str = "poly5",
             scale = float(image_cutout.exptime)
         elif src_u == "counts" and img_u == "rate":
             scale = 1.0 / max(float(source_cutout.exptime), 1e-30)
+        elif src_u == "counts" and img_u == "counts":
+            # counts -> counts still rescales when the exptimes differ
+            # (a 100 s reference blotted onto a 300 s exposure must be
+            # 3x brighter to compare amplitude-consistently)
+            scale = (float(image_cutout.exptime)
+                     / max(float(source_cutout.exptime), 1e-30))
         else:
             scale = 1.0
         out_units = img_u

@@ -408,15 +408,30 @@ def _serialize_data(data: np.ndarray | None) -> bytes:
 
 def write_fits(path: str | os.PathLike, hdus: list[HDU] | HDU,
                overwrite: bool = True):
-    """Write HDU(s) to ``path``. The first HDU becomes the primary."""
+    """Write HDU(s) to ``path``. The first HDU becomes the primary.
+
+    The write is ATOMIC (tmp file + ``os.replace``): the align pipeline
+    rewrites its INPUT files' headers in place, and a crash mid-write
+    must never leave a truncated file — the killed-run recovery story
+    ("resume from the last written headers") depends on the previous
+    intact version surviving any interruption.
+    """
     if isinstance(hdus, HDU):
         hdus = [hdus]
     if not overwrite and os.path.exists(path):
         raise FileExistsError(path)
-    with open(path, "wb") as f:
-        for i, h in enumerate(hdus):
-            f.write(_serialize_header(h.header, h.data, primary=(i == 0)))
-            f.write(_serialize_data(h.data))
+    path = os.fspath(path)
+    tmp = path + f".tmp{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            for i, h in enumerate(hdus):
+                f.write(_serialize_header(h.header, h.data,
+                                          primary=(i == 0)))
+                f.write(_serialize_data(h.data))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # pragma: no cover - error cleanup
+            os.unlink(tmp)
 
 
 def getdata(path, ext=0):

@@ -173,7 +173,7 @@ def _overlap_matrix_t(pos: jax.Array, width: int, kernel: str,
               - jnp.maximum(pos - half, cells - 0.5))
         return jnp.maximum(ov, 0.0) / (2.0 * half)
     if kernel == "point":
-        return (jnp.round(pos) == cells).astype(jnp.float32)
+        return (jnp.floor(pos + 0.5) == cells).astype(jnp.float32)
 
     K = math.ceil(2.0 * reach) + 1
     c0 = jnp.floor(pos - reach + 0.5)

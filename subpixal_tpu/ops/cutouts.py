@@ -60,6 +60,18 @@ class CutoutBatch(NamedTuple):
     overlap: jax.Array
 
 
+def _pixel_coords(blc, shape, bounds):
+    """Per-cutout absolute pixel grids + in-image validity (shared by
+    extract and insert so their bounds conventions cannot diverge)."""
+    h, w = shape
+    H, W = bounds
+    ii = jnp.arange(h)[None, :, None]
+    jj = jnp.arange(w)[None, None, :]
+    yy = blc[:, 0][:, None, None] + ii
+    xx = blc[:, 1][:, None, None] + jj
+    return yy, xx, (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+
+
 def cutout_blc(centers: jax.Array, shape: tuple[int, int]) -> jax.Array:
     """Bottom-left corners (y, x) so each cutout is centered on ``centers``.
 
@@ -69,8 +81,9 @@ def cutout_blc(centers: jax.Array, shape: tuple[int, int]) -> jax.Array:
     h, w = shape
     cx = centers[:, 0]
     cy = centers[:, 1]
-    bx = jnp.round(cx).astype(jnp.int32) - (w // 2)
-    by = jnp.round(cy).astype(jnp.int32) - (h // 2)
+    # floor(c+0.5): reference round-half-up convention (py2round)
+    bx = jnp.floor(cx + 0.5).astype(jnp.int32) - (w // 2)
+    by = jnp.floor(cy + 0.5).astype(jnp.int32) - (h // 2)
     return jnp.stack([by, bx], axis=1)
 
 
@@ -106,11 +119,7 @@ def extract_cutouts(
     data = jax.vmap(one)(blc)
 
     # Validity: cutout pixel (i, j) maps to image pixel (blc + (i, j)).
-    ii = jnp.arange(h)[None, :, None]
-    jj = jnp.arange(w)[None, None, :]
-    yy = blc[:, 0][:, None, None] + ii
-    xx = blc[:, 1][:, None, None] + jj
-    mask = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+    _, _, mask = _pixel_coords(blc, (h, w), (H, W))
 
     nvalid = jnp.sum(mask, axis=(1, 2))
     overlap = jnp.where(
@@ -140,24 +149,33 @@ def insert_cutouts(
     """
     H, W = image.shape
     B, h, w = data.shape
-    ii = jnp.arange(h)[None, :, None]
-    jj = jnp.arange(w)[None, None, :]
-    yy = blc[:, 0][:, None, None] + ii
-    xx = blc[:, 1][:, None, None] + jj
-    valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+    yy, xx, valid = _pixel_coords(blc, (h, w), (H, W))
     if mask is not None:
         valid = valid & mask
 
     # Flat scatter with a trash slot for invalid pixels (fixed shapes, no
     # data-dependent filtering).
-    flat_idx = jnp.where(valid, yy * W + xx, H * W).reshape(-1)
-    vals = data.reshape(-1).astype(image.dtype)
+    flat_idx = jnp.where(valid, yy * W + xx, H * W)
+    vals = data.astype(image.dtype)
     buf = jnp.concatenate([image.reshape(-1), jnp.zeros((1,), image.dtype)])
     if mode == "add":
-        vals = jnp.where(valid.reshape(-1), vals, 0)
-        buf = buf.at[flat_idx].add(vals)
+        vals = jnp.where(valid, vals, 0)
+        buf = buf.at[flat_idx.reshape(-1)].add(vals.reshape(-1))
     elif mode == "set":
-        buf = buf.at[flat_idx].set(vals)
+        # one scatter PER cutout, in batch order: XLA applies duplicate
+        # .set indices in implementation-defined order, so a single
+        # scatter would make overlap regions nondeterministic — the
+        # sequential loop pins the documented last-write-wins (serial
+        # insertion) semantics. Not a hot path (host-utility op).
+        fi = flat_idx.reshape(B, h * w)
+        fv = vals.reshape(B, h * w)
+
+        def body(b, acc):
+            return acc.at[
+                jax.lax.dynamic_index_in_dim(fi, b, keepdims=False)].set(
+                jax.lax.dynamic_index_in_dim(fv, b, keepdims=False))
+
+        buf = jax.lax.fori_loop(0, B, body, buf)
     else:
         raise ValueError(f"unknown mode: {mode!r} (expected 'set'|'add')")
     return buf[:-1].reshape(H, W)

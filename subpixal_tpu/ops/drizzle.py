@@ -113,8 +113,8 @@ def drizzle_deposit(
     wht = jnp.zeros(Ho * Wo + 1, jnp.float32)
 
     if kernel == "point":
-        xi = jnp.round(xo).astype(jnp.int32)
-        yi = jnp.round(yo).astype(jnp.int32)
+        xi = jnp.floor(xo + 0.5).astype(jnp.int32)  # C (int)(x+0.5)
+        yi = jnp.floor(yo + 0.5).astype(jnp.int32)
         valid = (xi >= 0) & (xi < Wo) & (yi >= 0) & (yi < Ho) & (w > 0)
         flat = jnp.where(valid, yi * Wo + xi, Ho * Wo)
         wv = jnp.where(valid, w, 0.0)

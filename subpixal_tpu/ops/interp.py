@@ -77,7 +77,17 @@ def _lanczos_weights(t: jax.Array, offsets: tuple[int, ...], a: int = 3,
         return jnp.where(jnp.abs(x) >= a, 0.0, sinc_main * sinc_win)
 
     ws = jnp.stack([lanczos(t - o) for o in offsets], axis=-1)
-    return ws / jnp.sum(ws, axis=-1, keepdims=True)
+    s = jnp.sum(ws, axis=-1, keepdims=True)
+    # for sinscl < 1 the tap weights can sum to ~0 at some fractional
+    # positions (all scaled taps land on sinc zeros): normalizing would
+    # produce 0/0 = NaN (or huge amplification) at samples flagged
+    # valid. Fall back to plain bilinear weights there — finite,
+    # partition-of-unity, and exact where the field is locally linear.
+    lin = jnp.zeros_like(ws)
+    i0 = offsets.index(0)
+    lin = lin.at[..., i0].set(1.0 - t).at[..., i0 + 1].set(t)
+    bad = jnp.abs(s) < 1e-3
+    return jnp.where(bad, lin, ws / jnp.where(bad, 1.0, s))
 
 
 def _axis_weights(t: jax.Array, interp: str,
@@ -117,8 +127,10 @@ def sample_image(
     y = jnp.asarray(y, jnp.float32)
 
     if interp == "nearest":
-        xi = jnp.round(x).astype(jnp.int32)
-        yi = jnp.round(y).astype(jnp.int32)
+        # floor(x+0.5): reference C (int)(x+0.5) convention — NOT
+        # banker's rounding, which picks a different pixel at .5
+        xi = jnp.floor(x + 0.5).astype(jnp.int32)
+        yi = jnp.floor(y + 0.5).astype(jnp.int32)
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         xi = jnp.clip(xi, 0, W - 1)
         yi = jnp.clip(yi, 0, H - 1)

@@ -56,20 +56,22 @@ def load_exposures(
         hdul = read_fits(fname)
         try:
             hdu = hdul[use_ext]
-        except KeyError:
-            hdu = next(h for h in hdul if h.data is not None)
+        except (KeyError, IndexError):  # int specs raise IndexError
+            hdu = next((h for h in hdul if h.data is not None), None)
+            if hdu is None:
+                raise ValueError(f"{fname}: no HDU with image data")
         wcs = wcs_from_header(hdu.header)
         weight = None
         if wht_ext is not None:
             try:
                 weight = np.asarray(hdul[wht_ext].data, np.float32)
-            except KeyError:
+            except (KeyError, IndexError):
                 pass
         err = None
         if err_ext is not None:
             try:
                 err = np.asarray(hdul[err_ext].data, np.float32)
-            except KeyError:
+            except (KeyError, IndexError):
                 pass
         exptime = float(hdu.header.get(
             "EXPTIME", hdul[0].header.get("EXPTIME", 1.0)))
@@ -93,8 +95,10 @@ def _update_file_wcs(spec: str, wcs, default_ext, history_lines):
     hdul = read_fits(fname)
     try:
         hdu = hdul[use_ext]
-    except KeyError:
-        hdu = next(h for h in hdul if h.data is not None)
+    except (KeyError, IndexError):
+        hdu = next((h for h in hdul if h.data is not None), None)
+        if hdu is None:
+            raise ValueError(f"{fname}: no HDU with image data")
     wcs_to_header(wcs, hdu.header)
     for line in history_lines:
         hdu.header.add_history(line)
