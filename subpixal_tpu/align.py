@@ -181,9 +181,9 @@ def _affine_apply_grid(M, t, gx, gy):
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("cut_shape",))
+@partial(jax.jit, static_argnames=("cut_shape", "use_seg"))
 def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
-                         src_ids, *, cut_shape):
+                         src_ids, *, cut_shape, use_seg=True):
     """One device program staging all per-exposure loop inputs.
 
     Batched over exposures: fixed-shape cutout gathers from the image
@@ -194,6 +194,11 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
     """
     cb = jax.vmap(lambda im, c: extract_cutouts(im, c, cut_shape)
                   )(exp_data, centers)
+    if not use_seg:
+        # no segmentation available: an all-zero map would make every
+        # footprint test fail and combine_seg_mask would zero every
+        # measurement — without segmentation there IS no mask
+        return cb.data, cb.mask, jnp.ones_like(cb.data)
     sseg, _ = jax.vmap(
         lambda px, py: sample_image(seg_f, px, py, interp="nearest")
     )(cut_px, cut_py)
@@ -332,7 +337,7 @@ def _build_step_cached(cfg: "AlignConfig", *rest):
 
 
 def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
-                dri_ratio: float, pallas: bool = False,
+                dri_ratios: tuple, pallas: bool = False,
                 blot_tile: tuple[int, int] | None = None,
                 driz_tile: tuple[int, int] | None = None):
     """Create the jitted per-iteration device step.
@@ -359,18 +364,19 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         # silently dropping sources (VERDICT r1 weak #2 / ADVICE #5).
         def deposit(Ms_, ts_, e):
             px, py = _affine_apply_grid(Ms_[e], ts_[e], dri_px[e], dri_py[e])
+            ratio_e = float(dri_ratios[min(e, len(dri_ratios) - 1)])
             if pallas and cfg.kernel != "tophat":  # tophat: not separable
                 from .kernels.drizzle import drizzle_deposit_pallas
 
                 return drizzle_deposit_pallas(
                     exp_data[e], exp_wht[e], px, py, out_shape,
-                    pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
+                    pixfrac=cfg.pixfrac, pscale_ratio=ratio_e,
                     kernel=cfg.kernel, tile=driz_tile,
                     return_escaped=True,
                 )
             s, wgt = drizzle_deposit(
                 exp_data[e], exp_wht[e], px, py, out_shape,
-                pixfrac=cfg.pixfrac, pscale_ratio=float(dri_ratio),
+                pixfrac=cfg.pixfrac, pscale_ratio=ratio_e,
                 kernel=cfg.kernel,
             )
             return s, wgt, jnp.int32(0)
@@ -916,8 +922,9 @@ def align_images(
         cat = catalog_obj.catalog
         seg = catalog_obj.segmentation
         t = _mark("catalog", t)
-        if seg is None:
-            seg = np.zeros(out_shape, np.int32)
+        have_seg = seg is not None
+        if not have_seg:
+            seg = np.zeros(out_shape, np.int32)  # host placeholder
         if len(cat) < cfg.min_sources:
             raise ValueError(
                 f"only {len(cat)} sources found (need >= {cfg.min_sources})"
@@ -1023,8 +1030,12 @@ def align_images(
             inside = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
             src_valid[e] = inside & real_src  # bucket pads stay invalid
             # cutout windows (fixed for all iterations)
-            bx = np.round(sx).astype(int) - w // 2
-            by = np.round(sy).astype(int) - h // 2
+            # SAME origin formula as the device gather (cutout_blc):
+            # floor(f32(c)+0.5) — a np.round (half-to-even, f64) here
+            # could pick a different origin at .5 boundaries, offsetting
+            # the pixmaps/seg masks from the image cutouts by 1 px
+            bx = np.floor(sx.astype(np.float32) + 0.5).astype(int) - w // 2
+            by = np.floor(sy.astype(np.float32) + 0.5).astype(int) - h // 2
             # per-cutout pixmaps into the ref frame + Jacobians — one
             # batched (N, h, w) WCS evaluation per exposure (a Python
             # loop over N costs seconds at catalog scale)
@@ -1061,11 +1072,15 @@ def align_images(
         img_cut, img_msk, seg_cut = _stage_device_inputs(
             exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
             cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),
-            cut_shape=cut_shape)
+            cut_shape=cut_shape, use_seg=have_seg)
         t = _mark("device_stage", t)
 
-        dri_ratio = float(np.mean([exp.wcs.pscale for exp in exps])
-                          / ref_wcs.pscale)
+        # per-exposure input/output pixel-scale ratios: the deposit
+        # kernel footprint and weights depend on each camera's own
+        # scale (a mean ratio mis-sizes BOTH cameras of a mixed stack)
+        dri_ratios = tuple(round(float(exp.wcs.pscale / ref_wcs.pscale), 6)
+                           for exp in exps)
+        dri_ratio = float(np.mean(dri_ratios))
 
     # ------------------------------------------------------------------ #
     # device fixed-point iteration
@@ -1079,7 +1094,8 @@ def align_images(
     # the affine-correction headroom the static windows assume; also the
     # sparse-deposit live-set margin (checked at runtime, see below)
     margin = max(12, int(max(h, w) // 4))
-    reach = kernel_reach(cfg.kernel, cfg.pixfrac, dri_ratio) + 0.1
+    reach = max(kernel_reach(cfg.kernel, cfg.pixfrac, r)
+                for r in dri_ratios) + 0.1
     if pallas:
         from .kernels.drizzle import required_tile_device
 
@@ -1201,12 +1217,21 @@ def align_images(
         args = [stage_global(a, mesh, _PS(ax)) for a in args]
         Ms = stage_global(Ms, mesh, _PS())
         ts = stage_global(ts, mesh, _PS())
+        if max(dri_ratios) - min(dri_ratios) > 1e-4:
+            import warnings as _warnings
+
+            _warnings.warn(
+                "mixed input pixel scales under a mesh use the MEAN "
+                "pscale ratio for every deposit (per-frame static "
+                "ratios cannot be selected by a traced frame index); "
+                "use the single-device path for exact mixed-scale "
+                "combines", stacklevel=2)
         step = _build_mesh_step_cached(
             cfg, mesh, out_shape, cut_shape, cfg.interp, cfg.fitgeom,
             dri_ratio, pallas, blot_tile, driz_tile, E)
     else:
         step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
-                                  cfg.fitgeom, dri_ratio, pallas,
+                                  cfg.fitgeom, dri_ratios, pallas,
                                   blot_tile, driz_tile)
         args = [jnp.asarray(a) for a in (
             dep_data, dep_wht, dep_px, dep_py,

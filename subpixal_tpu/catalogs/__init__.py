@@ -455,10 +455,12 @@ class SExImageCatalog(SExCatalog):
         self.sexconfig = sexconfig
         self.sextractor_cmd = sextractor_cmd or self._find_sextractor()
         self.workdir = workdir or os.path.dirname(os.path.abspath(image)) or "."
-        cat_file = os.path.join(self.workdir,
-                                os.path.basename(image) + ".cat")
-        seg_file = os.path.join(self.workdir,
-                                os.path.basename(image) + "_seg.fits")
+        # absolute output paths: SExtractor runs with cwd=workdir, so a
+        # relative workdir would double up in the subprocess's outputs
+        cat_file = os.path.abspath(os.path.join(
+            self.workdir, os.path.basename(image) + ".cat"))
+        seg_file = os.path.abspath(os.path.join(
+            self.workdir, os.path.basename(image) + "_seg.fits"))
         super().__init__(cat_file, seg_file)
 
     @staticmethod

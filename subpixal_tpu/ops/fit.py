@@ -77,6 +77,12 @@ def _solve_from_moments(mom: dict, fitgeom: str, dtype):
     sux=Σw·uvᵀxy (2,2).
     """
     eye = jnp.eye(2, dtype=dtype)
+    # a frame with (almost) no weight has NO measurement: return the
+    # IDENTITY correction, not the zero matrix the degenerate moments
+    # would produce — composing G=0 into the affine state would destroy
+    # that frame's WCS while the loop reports convergence (weight-0
+    # frames contribute nothing to the eps_shift metric).
+    dead = mom["sw"] <= 1e-8
     sw = jnp.maximum(mom["sw"], 1e-12)
     cx = mom["sx"] / sw
     cu = mom["su"] / sw
@@ -104,6 +110,8 @@ def _solve_from_moments(mom: dict, fitgeom: str, dtype):
             f"unknown fitgeom: {fitgeom!r} (expected 'shift'|'rscale'|'general')"
         )
     t = cu - jnp.dot(M, cx, precision=_P)
+    M = jnp.where(dead, eye, M)
+    t = jnp.where(dead, jnp.zeros_like(t), t)
     return M, t
 
 

@@ -101,14 +101,11 @@ def make_global_mesh(n_devices: int | None = None, axis_name: str = _AXIS):
     :func:`init_distributed`); devices enumerate ICI-first, so psum
     rings prefer ICI and only cross DCN at slice boundaries.
     """
-    from jax.sharding import Mesh
+    from .sharding import make_mesh
 
-    import jax
-
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.asarray(devs), (axis_name,))
+    # same construction as the single-host mesh: after init_distributed,
+    # jax.devices() already enumerates the global (all-host) device list
+    return make_mesh(n_devices, axis_name=axis_name)
 
 
 def global_batch_from_local(local_batch, mesh, axis_name: str = _AXIS):

@@ -166,7 +166,7 @@ def sharded_measure_and_fit(
         duv = jnp.einsum("nik,nk->ni", J, dxy,
                          precision=jax.lax.Precision.HIGHEST)
         uv = pos + duv
-        w_eff = wgt * d.fit_ok.astype(jnp.float32)
+        w_eff = wgt * (d.fit_ok & (d.peak > 0)).astype(jnp.float32)
         fit = iter_linear_fit_sharded(
             uv, pos, w_eff, axis_name=axis,
             fitgeom=fitgeom, nclip=nclip, sigma=sigma,
@@ -256,7 +256,7 @@ def make_sharded_align_step(
         MJ = jnp.einsum("nij,njk->nik", Mi, jac, precision=_HP)
         duv = jnp.einsum("nik,nk->ni", MJ, dxy, precision=_HP)
         uv = xy0 + duv
-        w_eff = w * d.fit_ok.astype(jnp.float32)
+        w_eff = w * (d.fit_ok & (d.peak > 0)).astype(jnp.float32)
         fit = iter_linear_fit_frames(
             uv, xy0, frame_id, E, wxy=w_eff,
             fitgeom=fitgeom, nclip=nclip, sigma=sigma, axis_name=axis,

@@ -262,6 +262,12 @@ class Drizzle(Resample):
                 if name == "wht_type" and isinstance(val, str):
                     val = {"EXP": "exptime", "IVM": "ivm",
                            "ERR": "error"}.get(val.upper(), val)
+                if name == "fillval" and isinstance(val, str):
+                    # AstroDrizzle's documented default final_fillval is
+                    # the string 'INDEF' (undefined); map it to 0.0 (our
+                    # no-coverage fill) instead of crashing float()
+                    val = 0.0 if val.strip().upper() == "INDEF" \
+                        else float(val)
                 kw[name] = val
             known = {"pixfrac", "kernel", "fillval", "pscale",
                      "pscale_ratio", "wht_type", "use_pallas"}
@@ -316,6 +322,13 @@ class Drizzle(Resample):
             wht_type = defaults["wht_type"]
             use_pallas = defaults["use_pallas"]
         self.exposures: list[Exposure] = list(exposures or [])
+        names = [e.name for e in self.exposures]
+        if len(set(names)) != len(names):
+            dup = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"duplicate exposure name(s) {dup}: the per-exposure "
+                "deposit cache and fast add/drop/replace paths are keyed "
+                "by name — give each exposure a unique name")
         self.pixfrac = float(pixfrac)
         self.kernel = kernel
         self.fillval = float(fillval)
@@ -475,6 +488,11 @@ class Drizzle(Resample):
             self._sci_acc = jnp.zeros((Ho, Wo), jnp.float32)
             self._wht_acc = jnp.zeros((Ho, Wo), jnp.float32)
         if exp not in self.exposures:
+            if any(e.name == exp.name for e in self.exposures):
+                raise ValueError(
+                    f"an exposure named {exp.name!r} is already in the "
+                    "stack (the deposit cache is keyed by name); use "
+                    "fast_replace_image or a unique name")
             self.exposures.append(exp)
         s, w = self._deposit(exp)
         self._per_exp[exp.name] = (s, w)

@@ -287,3 +287,51 @@ def test_oversized_footprint_truncation_reported():
     rel = res.shifts - res.shifts[0]
     rel_true = err - err[0]
     assert np.abs(rel - rel_true).max() < 0.02
+
+
+def test_align_without_segmentation():
+    """A catalog that carries no segmentation image must still measure
+    (the device seg mask used to come out all-False, zeroing every
+    correlation while the run reported success)."""
+    from subpixal_tpu.catalogs import ImageSourceCatalog
+
+    exps, true_shifts, ref_frame, stars = planted_scene(
+        n_exp=2, shift_err=np.array([(0.0, 0.0), (1.1, -0.7)]))
+    drz = Drizzle(list(exps))
+    drz.execute()
+
+    class BareCatalog:
+        segmentation = None
+
+        def __init__(self, tab):
+            self.catalog = tab
+
+    ref_cat = ImageSourceCatalog(np.asarray(drz.output_sci))
+    bare = BareCatalog(ref_cat.catalog)
+    res = align_images(bare, drz, fitgeom="shift", max_iterations=4,
+                       usfac=4, fit_type="gaussian", min_sources=3)
+    nm = [r.nmatches for r in res.history[-1]]
+    assert all(n >= 3 for n in nm), nm
+    # the planted relative error must be recovered despite no seg mask
+    sh = np.asarray(res.shifts)
+    assert np.isfinite(sh).all()
+    rel = np.hypot(*(sh[1] - sh[0]))
+    assert abs(rel - np.hypot(1.1, 0.7)) < 0.1, sh
+
+
+def test_zero_weight_frame_keeps_identity():
+    """A frame whose sources are all unmeasurable must keep its WCS
+    (the degenerate moment solve used to return the ZERO matrix and the
+    loop still reported convergence)."""
+    exps, *_ = planted_scene(n_exp=3)
+    exps = list(exps)
+    # frame 1 carries no measurable signal at all: a constant plane
+    # (every correlation surface is flat -> peak<=0 -> weight 0)
+    bad = np.zeros(exps[1].data.shape, np.float32)
+    exps[1] = Exposure(bad, exps[1].wcs, name=exps[1].name)
+    res = align_images(exposures=exps, fitgeom="general",
+                       max_iterations=2, usfac=4, fit_type="gaussian",
+                       min_sources=3)
+    M1 = np.asarray(res.matrices[1])
+    assert np.allclose(M1, np.eye(2), atol=1e-3), M1
+    assert np.linalg.det(M1) > 0.5  # never the zero matrix
