@@ -257,7 +257,7 @@ def sample_cutouts_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Pp), lambda b, o: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, Pp), lambda b, o: (b, 0, 0),
                                memory_space=pltpu.VMEM),
