@@ -13,9 +13,11 @@ from .distributed import (
     init_distributed,
     make_global_mesh,
     process_info,
+    stage_global,
 )
 from .sharding import (
     make_mesh,
+    make_sharded_align_step,
     pad_to_multiple,
     sharded_find_displacement,
     sharded_measure_and_fit,
@@ -23,6 +25,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_sharded_align_step",
     "pad_to_multiple",
     "sharded_find_displacement",
     "sharded_measure_and_fit",
@@ -30,4 +33,5 @@ __all__ = [
     "make_global_mesh",
     "global_batch_from_local",
     "process_info",
+    "stage_global",
 ]
