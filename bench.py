@@ -223,6 +223,9 @@ def bench_kernels():
                       ).astype(np.float32))
     gx = jnp.asarray(np.mgrid[0:H, 0:W][1].astype(np.float32) + 0.3)
     gy = jnp.asarray(np.mgrid[0:H, 0:W][0].astype(np.float32) + 0.2)
+    from subpixal_tpu.kernels.drizzle import required_tile
+
+    driz_tile = required_tile(np.asarray(gx), np.asarray(gy))
 
     def blot_loop(k):
         def run(seed):
@@ -239,7 +242,7 @@ def bench_kernels():
             def body(_, s):
                 sci, _w = drizzle_deposit_pallas(
                     img, None, gx + (s * 1e-20 + seed * 1e-6), gy,
-                    (H, W), tile=(16, 136))
+                    (H, W), tile=driz_tile)
                 return jnp.sum(sci) * 1e-12
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return run

@@ -207,13 +207,14 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
     return cb.data, cb.mask, seg_cut
 
 
+from .kernels._common import DEPOSIT_BLOCK
 from .kernels._common import block_partition as _block_view  # one walk
 # definition for the whole deposit pipeline: the sparse-deposit live
 # set / compaction below index the SAME blocks the kernel's grid walks
 
 
 @partial(jax.jit, static_argnames=("block",))
-def _block_bboxes(x, y, block=(8, 128)):
+def _block_bboxes(x, y, block=DEPOSIT_BLOCK):
     """Per-(8,128)-input-block output bboxes: (E, nb) y0/y1/x0/x1."""
     xb = _block_view(x, block, mode="edge")
     yb = _block_view(y, block, mode="edge")
@@ -222,7 +223,7 @@ def _block_bboxes(x, y, block=(8, 128)):
 
 
 @partial(jax.jit, static_argnames=("block",))
-def _compact_blocks(data, wht, px, py, idx, valid, block=(8, 128)):
+def _compact_blocks(data, wht, px, py, idx, valid, block=DEPOSIT_BLOCK):
     """Gather input blocks ``idx`` into (E, L·bh, bw) pseudo-images.
 
     Padded entries (``valid`` False) keep a live block's pixmap (so tile
@@ -244,7 +245,7 @@ def _compact_blocks(data, wht, px, py, idx, valid, block=(8, 128)):
 
 def _live_block_indices(bboxes, cut_px, cut_py, out_shape,
                         blot_margin: float, corr_margin: float,
-                        block=(8, 128)) -> tuple[np.ndarray, np.ndarray]:
+                        block=DEPOSIT_BLOCK) -> tuple[np.ndarray, np.ndarray]:
     """Input blocks whose deposits can reach any cutout's blot window.
 
     The in-loop re-drizzle exists only so the blot can sample the

@@ -2,13 +2,22 @@
 
 from __future__ import annotations
 
+#: THE input block walked by the drizzle deposit grid — every consumer
+#: of :func:`block_partition` (tile sizing, the align loop's sparse
+#: live-set/compaction, the kernel itself) must use the same shape, or
+#: compacted pseudo-images would be regrouped differently than their
+#: tiles were sized for. (16, 128) measured ~7% faster than (8, 128)
+#: on v5e (fewer grid steps amortize the tile read-modify-write).
+DEPOSIT_BLOCK = (16, 128)
+
 
 def round_up(n: int, m: int) -> int:
     """Smallest multiple of ``m`` that is >= ``n``."""
     return -(-n // m) * m
 
 
-def block_partition(a, block: tuple[int, int] = (8, 128), **pad_kw):
+def block_partition(a, block: tuple[int, int] | None = None,
+                    **pad_kw):
     """``(..., H, W) -> (..., nb, bh, bw)``: the deposit kernel's input
     block partition, padding the trailing axes to whole blocks.
 
@@ -24,6 +33,8 @@ def block_partition(a, block: tuple[int, int] = (8, 128), **pad_kw):
     """
     import numpy as np
 
+    if block is None:
+        block = DEPOSIT_BLOCK
     *lead, H, W = a.shape
     bh, bw = block
     Hp = round_up(H, bh)

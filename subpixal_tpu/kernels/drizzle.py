@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import DEPOSIT_BLOCK
 from ._common import block_partition as _block_partition
 from ._common import round_up as _round_up
 
@@ -53,7 +54,7 @@ __all__ = ["drizzle_deposit_pallas", "required_tile",
            "required_tile_device"]
 
 
-def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
+def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = DEPOSIT_BLOCK,
                   reach: float = 0.55, margin: int = 2) -> tuple[int, int]:
     """Exact per-block output-tile size for a concrete (host) pixmap.
 
@@ -104,7 +105,7 @@ def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = (8, 128),
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def _block_extents_device(x, y, live, block: tuple[int, int] = (8, 128)):
+def _block_extents_device(x, y, live, block: tuple[int, int] = DEPOSIT_BLOCK):
     """Device-side per-block bbox extents for :func:`required_tile`.
 
     Same walk as the numpy path, but as one jitted reduction over the
@@ -135,7 +136,7 @@ def _block_extents_device(x, y, live, block: tuple[int, int] = (8, 128)):
 
 
 def required_tile_device(x_out, y_out, wht=None,
-                         block: tuple[int, int] = (8, 128),
+                         block: tuple[int, int] = DEPOSIT_BLOCK,
                          reach: float = 0.55, margin: int = 2
                          ) -> tuple[int, int]:
     """:func:`required_tile` for device-resident pixmaps (one reduction
@@ -266,7 +267,7 @@ def drizzle_deposit_pallas(
     pixfrac: float = 1.0,
     pscale_ratio: float = 1.0,
     kernel: str = "square",
-    block: tuple[int, int] = (8, 128),
+    block: tuple[int, int] = DEPOSIT_BLOCK,
     tile: tuple[int, int] | None = None,
     max_rot: float = 0.27,
     interpret: bool = False,

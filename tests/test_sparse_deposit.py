@@ -81,7 +81,9 @@ def test_live_blocks_padding_and_bucketing():
     cd, cw, cx, cy = _compact_blocks(
         jnp.asarray(data), jnp.asarray(wht), jnp.asarray(px),
         jnp.asarray(py), jnp.asarray(idx), jnp.asarray(valid))
-    cw = np.asarray(cw).reshape(E, L, 8, 128)
+    from subpixal_tpu.kernels._common import DEPOSIT_BLOCK
+    bh, bw = DEPOSIT_BLOCK
+    cw = np.asarray(cw).reshape(E, L, bh, bw)
     for e in range(E):
         dead = ~valid[e]
         assert np.all(cw[e][dead] == 0)
