@@ -420,4 +420,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # the tunneled TPU runtime intermittently aborts a call after
+        # Pallas work (relay-side flake, see .claude/skills/verify/
+        # SKILL.md); one retry in a fresh attempt usually succeeds
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench: transient failure, retrying once", file=sys.stderr)
+        main()
