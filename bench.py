@@ -247,8 +247,8 @@ def bench_kernels():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return run
 
-    dt_b = _dev_time_per_iter(blot_loop, iters=(1, 11))
-    dt_d = _dev_time_per_iter(driz_loop, iters=(1, 11))
+    dt_b = _dev_time_per_iter(blot_loop, iters=(1, 21))
+    dt_d = _dev_time_per_iter(driz_loop, iters=(1, 21))
     return {
         "pallas_blot_poly5_mpix_per_s": round(B * h * w / dt_b / 1e6, 1),
         "pallas_drizzle_mpix_per_s": round(H * W / dt_d / 1e6, 1),
