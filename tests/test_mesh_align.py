@@ -92,3 +92,16 @@ def test_mesh_align_rejects_otf():
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="otf"):
         align_images(exposures=exps, mesh=mesh, wcsupdate="otf", **COMMON)
+
+
+def test_mesh_align_more_frames_than_devices():
+    """E > n_devices: each device deposits MULTIPLE local frames (the
+    static unroll over Ep // D slots) and frame padding still rounds Ep
+    up to the mesh size."""
+    exps, planted = _scene(E=6, seed=17)
+    res1 = align_images(exposures=exps, **COMMON)
+    exps, _ = _scene(E=6, seed=17)
+    res2 = align_images(exposures=exps, mesh=make_mesh(4), **COMMON)
+    np.testing.assert_allclose(np.asarray(res1.shifts),
+                               np.asarray(res2.shifts), atol=5e-4)
+    assert res1.n_iterations == res2.n_iterations
