@@ -76,7 +76,7 @@ def test_batched_random_subpixel_shifts_rmse():
     assert rmse < 2e-3, f"shift RMSE {rmse*1e3:.2f} mpix"
 
 
-@pytest.mark.parametrize("usfac", [5, 10])
+@pytest.mark.parametrize("usfac", [5, 10, 50, 100])
 def test_config3_upsampled_precision(usfac):
     """BASELINE config 3: Fourier-domain upsampled correlation <0.01 pix."""
     rng = np.random.default_rng(7)
