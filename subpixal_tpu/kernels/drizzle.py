@@ -79,8 +79,6 @@ def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = DEPOSIT_BLOCK
     y = y.reshape(-1, H, W)
     E = x.shape[0]
     bh, bw = block
-    Hp = -(-H // bh) * bh
-    Wp = -(-W // bw) * bw
     live = (np.ones((E, H, W), bool) if wht is None
             else np.broadcast_to(np.asarray(wht) > 0, x.shape).copy())
 
