@@ -105,3 +105,15 @@ def test_mesh_align_more_frames_than_devices():
     np.testing.assert_allclose(np.asarray(res1.shifts),
                                np.asarray(res2.shifts), atol=5e-4)
     assert res1.n_iterations == res2.n_iterations
+
+
+def test_mesh_align_with_sparse_deposit():
+    """Frame-padded COMPACT deposit arrays under the mesh: the sparse
+    compaction and the SPMD sharding compose (XLA deposit path)."""
+    exps, planted = _scene(E=3, shape=(256, 512), seed=23)
+    res1 = align_images(exposures=exps, sparse_deposit=True, **COMMON)
+    exps, _ = _scene(E=3, shape=(256, 512), seed=23)
+    res2 = align_images(exposures=exps, mesh=make_mesh(4),
+                        sparse_deposit=True, **COMMON)
+    np.testing.assert_allclose(np.asarray(res1.shifts),
+                               np.asarray(res2.shifts), atol=5e-4)
