@@ -4,7 +4,7 @@ Covers SURVEY §4 items 1–2 and BASELINE configs 1–3:
 - single 64x64 Gaussian-star pair with known 0.3-pix shift (config 1);
 - NCC gain/offset invariance;
 - batched random subpixel shifts with an RMSE bound (property test);
-- 10x Fourier upsampling <0.01-pix precision (config 3).
+- 5-100x Fourier upsampling <0.01-pix precision (config 3).
 """
 
 import jax.numpy as jnp

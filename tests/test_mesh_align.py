@@ -98,7 +98,7 @@ def test_mesh_align_more_frames_than_devices():
     """E > n_devices: each device deposits MULTIPLE local frames (the
     static unroll over Ep // D slots) and frame padding still rounds Ep
     up to the mesh size."""
-    exps, planted = _scene(E=6, seed=17)
+    exps, _ = _scene(E=6, seed=17)
     res1 = align_images(exposures=exps, **COMMON)
     exps, _ = _scene(E=6, seed=17)
     res2 = align_images(exposures=exps, mesh=make_mesh(4), **COMMON)
@@ -107,13 +107,42 @@ def test_mesh_align_more_frames_than_devices():
     assert res1.n_iterations == res2.n_iterations
 
 
+def _sparse_scene(E=3, shape=(256, 1024), nstars=10, seed=23):
+    """Wide frame with sources confined to the left third so the sparse
+    live set genuinely engages (block columns are 128 px wide)."""
+    rng = np.random.default_rng(seed)
+    cd = (0.05 / 3600.0) * np.array([[-1.0, 0.0], [0.0, 1.0]])
+    stars = np.stack([rng.uniform(40, 300, nstars),
+                      rng.uniform(30, shape[0] - 30, nstars)], 1)
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    exps, planted = [], []
+    for e in range(E):
+        dx, dy = rng.uniform(-0.4, 0.4, 2)
+        planted.append((dx, dy))
+        img = rng.normal(0, 0.01, shape).astype(np.float32)
+        for x0, y0 in stars:
+            r2 = (xx - x0 - dx) ** 2 + (yy - y0 - dy) ** 2
+            img += np.where(r2 < 64.0,
+                            20.0 * np.exp(-r2 / (2 * 1.6 ** 2)),
+                            0.0).astype(np.float32)
+        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
+                     crval=np.array([150.0, 2.0]), cd=cd)
+        exps.append(Exposure(img, wcs, name=f"sp{e}"))
+    return exps
+
+
 def test_mesh_align_with_sparse_deposit():
     """Frame-padded COMPACT deposit arrays under the mesh: the sparse
     compaction and the SPMD sharding compose (XLA deposit path)."""
-    exps, planted = _scene(E=3, shape=(256, 512), seed=23)
+    exps = _sparse_scene()
     res1 = align_images(exposures=exps, sparse_deposit=True, **COMMON)
-    exps, _ = _scene(E=3, shape=(256, 512), seed=23)
+    exps = _sparse_scene()
     res2 = align_images(exposures=exps, mesh=make_mesh(4),
                         sparse_deposit=True, **COMMON)
+    # compaction must actually have ENGAGED in both runs (the recorded
+    # live fraction only exists when the deposit was compacted)
+    assert res1.setup_breakdown.get("sparse_live_frac", 1.0) < 0.85
+    assert res2.setup_breakdown.get("sparse_live_frac", 1.0) < 0.85
     np.testing.assert_allclose(np.asarray(res1.shifts),
                                np.asarray(res2.shifts), atol=5e-4)
+    assert res1.n_iterations == res2.n_iterations
