@@ -430,5 +430,11 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc(file=sys.stderr)
+        try:  # a crash between start_trace/stop_trace leaves the
+            import jax  # profiler active; the retry must not re-start it
+
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
         print("bench: transient failure, retrying once", file=sys.stderr)
         main()

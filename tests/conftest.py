@@ -12,12 +12,18 @@ any backend is initialized.
 """
 
 import os
+import re
 
+# force (or CORRECT — a pre-existing smaller count would silently run
+# the mesh suite on too few devices) the 8-device virtual CPU platform
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_want = "--xla_force_host_platform_device_count=8"
+if "xla_force_host_platform_device_count" in _flags:
+    _flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                    _want, _flags)
+else:
+    _flags = (_flags + " " + _want).strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -26,9 +32,14 @@ jax.config.update("jax_platforms", "cpu")
 # SURVEY §5 "race detection / sanitizers": CI can run the whole suite with
 # NaN trapping and/or x64 on to catch dtype bugs —
 #   SUBPIXAL_TPU_DEBUG_NANS=1 SUBPIXAL_TPU_X64=1 pytest tests/
-if os.environ.get("SUBPIXAL_TPU_DEBUG_NANS"):
+def _env_on(name: str) -> bool:
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "off", "no")
+
+
+if _env_on("SUBPIXAL_TPU_DEBUG_NANS"):
     jax.config.update("jax_debug_nans", True)
-if os.environ.get("SUBPIXAL_TPU_X64"):
+if _env_on("SUBPIXAL_TPU_X64"):
     jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: most of the suite's runtime is jit
