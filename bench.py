@@ -269,44 +269,17 @@ def bench_align_smoke():
     if jax.default_backend() not in ("tpu", "axon"):
         return {}
     from subpixal_tpu.align import align_images
-    from subpixal_tpu.resample import Exposure
-    from subpixal_tpu.wcs.wcs import TanWCS
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
 
-    rng = np.random.default_rng(11)
-    E, shape, nstars = 8, (1024, 1024), 60
-    scale = 0.05 / 3600.0
-    cd = scale * np.array([[-1.0, 0.0], [0.0, 1.0]])
-    stars = np.stack([rng.uniform(20, shape[1] - 20, nstars),
-                      rng.uniform(20, shape[0] - 20, nstars)], 1)
-    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
-    exps, planted = [], []
-    for e in range(E):
-        dx, dy = rng.uniform(-0.5, 0.5, 2)
-        planted.append((dx, dy))
-        img = rng.normal(0, 0.01, shape).astype(np.float32)
-        for x0, y0 in stars:
-            r2 = (xx - x0 - dx) ** 2 + (yy - y0 - dy) ** 2
-            img += np.where(r2 < 81.0,
-                            25.0 * np.exp(-r2 / (2 * 1.8 ** 2)),
-                            0.0).astype(np.float32)
-        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
-                     crval=np.array([150.0, 2.0]), cd=cd)
-        exps.append(Exposure(img, wcs, name=f"b{e}"))
+    exps, planted = simulate_stack(n_exp=8, shape=(1024, 1024),
+                                   n_stars=60, seed=11)
     # eps_shift pinned tiny so exactly max_iterations device iterations
     # run — align_iter_ms then amortizes the single host sync over a
     # fixed count instead of varying with convergence speed
     res = align_images(exposures=exps, fitgeom="shift", max_iterations=4,
                        eps_shift=1e-7,
                        usfac=8, fit_type="gaussian", use_pallas=True)
-    sh = np.asarray(res.shifts)
-    errs = []
-    for i in range(E):
-        for j in range(E):
-            got = sh[i] - sh[j]
-            want = (planted[j][0] - planted[i][0],
-                    planted[j][1] - planted[i][1])
-            errs.append(np.hypot(got[0] - want[0], got[1] - want[1]))
-    err_mpix = 1e3 * max(errs)
+    err_mpix = 1e3 * pairwise_shift_errors(res.shifts, planted)
     assert err_mpix < 10.0, f"align smoke fit error {err_mpix:.2f} mpix"
     iters = [recs[0].iter_s for recs in res.history]
     steady = iters[1:] or iters  # first call carries the jit compile
@@ -332,41 +305,14 @@ def bench_align_2k():
     if jax.default_backend() not in ("tpu", "axon"):
         return {}
     from subpixal_tpu.align import align_images
-    from subpixal_tpu.resample import Exposure
-    from subpixal_tpu.wcs.wcs import TanWCS
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
 
-    rng = np.random.default_rng(17)
-    E, shape, nstars = 4, (2048, 2048), 40
-    scale = 0.05 / 3600.0
-    cd = scale * np.array([[-1.0, 0.0], [0.0, 1.0]])
-    stars = np.stack([rng.uniform(40, shape[1] - 40, nstars),
-                      rng.uniform(40, shape[0] - 40, nstars)], 1)
-    # paint stars patch-wise (full-frame r2 per star would cost minutes)
-    R = 20
-    pyy, pxx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
-    exps, planted = [], []
-    for e in range(E):
-        dx, dy = rng.uniform(-0.5, 0.5, 2)
-        planted.append((dx, dy))
-        img = rng.normal(0, 0.01, shape).astype(np.float32)
-        for x0, y0 in stars:
-            cx, cy = int(round(x0)), int(round(y0))
-            r2 = (pxx + cx - x0 - dx) ** 2 + (pyy + cy - y0 - dy) ** 2
-            img[cy - R:cy + R + 1, cx - R:cx + R + 1] += np.where(
-                r2 < 81.0, 25.0 * np.exp(-r2 / (2 * 1.8 ** 2)), 0.0)
-        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
-                     crval=np.array([150.0, 2.0]), cd=cd)
-        exps.append(Exposure(img, wcs, name=f"k{e}"))
+    exps, planted = simulate_stack(n_exp=4, shape=(2048, 2048),
+                                   n_stars=40, seed=17)
     res = align_images(exposures=exps, fitgeom="shift", max_iterations=3,
                        eps_shift=1e-7, usfac=8, fit_type="gaussian",
                        use_pallas=True)
-    sh = np.asarray(res.shifts)
-    errs = [np.hypot((sh[i] - sh[j])[0]
-                     - (planted[j][0] - planted[i][0]),
-                     (sh[i] - sh[j])[1]
-                     - (planted[j][1] - planted[i][1]))
-            for i in range(E) for j in range(E)]
-    err_mpix = 1e3 * max(errs)
+    err_mpix = 1e3 * pairwise_shift_errors(res.shifts, planted)
     assert err_mpix < 10.0, f"2k align fit error {err_mpix:.2f} mpix"
     iters = [recs[0].iter_s for recs in res.history]
     steady = iters[1:] or iters

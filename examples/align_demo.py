@@ -26,48 +26,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from subpixal_tpu import align_images
 from subpixal_tpu.pipeline import align_fits
 from subpixal_tpu.io.fits import HDU, Header, write_fits
-from subpixal_tpu.resample import Drizzle, Exposure
+from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
 from subpixal_tpu.utils import enable_compilation_cache
 from subpixal_tpu.wcs.fitswcs import wcs_to_header
-from subpixal_tpu.wcs.wcs import TanWCS
-
-
-def simulate_stack(n_exp=4, shape=(512, 512), n_stars=30, seed=42):
-    """Dithered exposures whose data carry TRUE sub-pixel offsets the
-    header WCS does not know about (the alignment problem)."""
-    rng = np.random.default_rng(seed)
-    cd = (0.05 / 3600.0) * np.array([[-1.0, 0.0], [0.0, 1.0]])
-    stars = np.stack([rng.uniform(25, shape[1] - 25, n_stars),
-                      rng.uniform(25, shape[0] - 25, n_stars)], 1)
-    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
-    exps, planted = [], []
-    for e in range(n_exp):
-        dx, dy = rng.uniform(-0.5, 0.5, 2)  # the unknown pointing error
-        planted.append((dx, dy))
-        img = rng.normal(0, 0.01, shape).astype(np.float32)
-        for x0, y0 in stars:
-            r2 = (xx - x0 - dx) ** 2 + (yy - y0 - dy) ** 2
-            img += np.where(r2 < 81.0,
-                            25.0 * np.exp(-r2 / (2 * 1.8 ** 2)),
-                            0.0).astype(np.float32)
-        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
-                     crval=np.array([150.0, 2.0]), cd=cd)
-        exps.append(Exposure(img, wcs, name=f"sim{e}"))
-    return exps, planted
 
 
 def report(res, planted):
-    sh = np.asarray(res.shifts)
     print(f"  converged={res.converged} after {res.n_iterations} "
           f"iteration(s); setup {res.setup_s:.1f}s")
-    errs = []
-    for i in range(len(planted)):
-        for j in range(len(planted)):
-            got = sh[i] - sh[j]
-            want = (planted[j][0] - planted[i][0],
-                    planted[j][1] - planted[i][1])
-            errs.append(np.hypot(got[0] - want[0], got[1] - want[1]))
-    print(f"  max pairwise error vs planted: {1e3 * max(errs):.2f} mpix")
+    err = pairwise_shift_errors(res.shifts, planted)
+    print(f"  max pairwise error vs planted: {1e3 * err:.2f} mpix")
     for recs in res.history[-1:]:
         for r in recs:
             print(f"  {r.name}: shift=({r.shift[0]:+.4f}, "

@@ -335,3 +335,15 @@ def test_zero_weight_frame_keeps_identity():
     M1 = np.asarray(res.matrices[1])
     assert np.allclose(M1, np.eye(2), atol=1e-3), M1
     assert np.linalg.det(M1) > 0.5  # never the zero matrix
+
+
+def test_testing_simulate_stack_roundtrip():
+    """The public synthetic-scene helper produces alignable stacks and
+    pairwise_shift_errors scores the recovery."""
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
+
+    exps, planted = simulate_stack(n_exp=3, shape=(256, 256), n_stars=12,
+                                   seed=5)
+    res = align_images(exposures=exps, fitgeom="shift", max_iterations=3,
+                       usfac=4, fit_type="gaussian", min_sources=3)
+    assert pairwise_shift_errors(res.shifts, planted) < 0.02
