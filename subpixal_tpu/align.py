@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .blot import compute_pixmap
+from .blot import (DEVICE_PIXMAP_MIN_PIXELS, compute_pixmap,
+                   compute_pixmap_device)
 from .catalogs import ImageCatalog, ImageSourceCatalog
 from .cutout import create_primary_cutouts
 from .ops.correlate import find_displacement
@@ -1001,8 +1002,7 @@ def align_images(
         src_valid = np.zeros((E, N), bool)
         exp_data = np.zeros((E,) + exps[0].data.shape, np.float32)
         exp_wht = np.ones((E,) + exps[0].data.shape, np.float32)
-        dri_px = np.zeros((E,) + exps[0].data.shape, np.float32)
-        dri_py = np.zeros((E,) + exps[0].data.shape, np.float32)
+        dri_maps: list = []  # per-frame drizzle pixmaps (host or device)
 
         ra_cat, dec_cat = ref_wcs.pixel_to_world(xy_cat[:, 0], xy_cat[:, 1])
         seg_f = np.asarray(seg, np.float32)
@@ -1020,11 +1020,16 @@ def align_images(
             base_w, mask_w = exposure_pixel_weight(exp, wht_type)
             exp_wht[e] = base_w if mask_w is None else base_w * mask_w
             H, W = exp.data.shape
-            # full-frame pixmap for drizzle (f64 -> f32)
+            # full-frame pixmap for drizzle: float64 on host for small
+            # frames; ON DEVICE in f32 at mosaic scale (the host trig
+            # costs ~13 s per 4k^2 frame; the deposit only needs
+            # mpix-class grids — see compute_pixmap_device)
             t = time.time()
-            px, py = compute_pixmap(exp.wcs, ref_wcs, (H, W))
-            dri_px[e] = px
-            dri_py[e] = py
+            if H * W >= DEVICE_PIXMAP_MIN_PIXELS:
+                dri_maps.append(
+                    compute_pixmap_device(exp.wcs, ref_wcs, (H, W)))
+            else:
+                dri_maps.append(compute_pixmap(exp.wcs, ref_wcs, (H, W)))
             t = _mark("frame_pixmaps", t)
             # predicted source positions in this exposure
             sx, sy = exp.wcs.world_to_pixel(ra_cat, dec_cat)
@@ -1068,8 +1073,10 @@ def align_images(
         exp_wht = jnp.asarray(exp_wht)
         cut_px_j = jnp.asarray(cut_px)
         cut_py_j = jnp.asarray(cut_py)
-        dri_px_j = jnp.asarray(dri_px, jnp.float32)
-        dri_py_j = jnp.asarray(dri_py, jnp.float32)
+        dri_px_j = jnp.stack(
+            [jnp.asarray(p, jnp.float32) for p, _ in dri_maps])
+        dri_py_j = jnp.stack(
+            [jnp.asarray(q, jnp.float32) for _, q in dri_maps])
         img_cut, img_msk, seg_cut = _stage_device_inputs(
             exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
             cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),

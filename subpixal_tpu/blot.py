@@ -16,7 +16,10 @@ evaluated once per iteration) — or on device when handed JAX arrays.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .ops.interp import sample_image
@@ -96,6 +99,108 @@ def compute_pixmap(
     if new_bytes <= _PIXMAP_CACHE_BYTES:
         _PIXMAP_CACHE[key] = (xt, yt)
     return xt, yt
+
+
+#: frames with at least this many pixels evaluate their DRIZZLE pixmaps
+#: on device in float32 (host float64 trig costs ~13 s per 4k^2 frame
+#: on one CPU; the f32 grid is mpix-accurate, far below the deposit
+#: kernel's sensitivity). Cutout pixmaps and Jacobians — the
+#: measurement-critical geometry — always stay float64 on host.
+DEVICE_PIXMAP_MIN_PIXELS = 2048 * 2048
+
+
+def _poly2d_j(C, u, v):
+    """Σ_ij C[i, j] u^i v^j on device (static coefficient shape)."""
+    n = C.shape[0]
+    up = [jnp.ones_like(u)]
+    vp = [jnp.ones_like(v)]
+    for _ in range(n - 1):
+        up.append(up[-1] * u)
+        vp.append(vp[-1] * v)
+    acc = jnp.float32(0.0)
+    for i in range(n):
+        for j in range(n):
+            acc = acc + C[i, j] * (up[i] * vp[j])
+    return acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode"))
+def _pixmap_device_core(crpix1, cd1, A, B_, M, icd2, AP2, BP2, A2, B2,
+                        crpix2, blc, *, shape, sip_mode, sip2_mode):
+    """One jitted program; cached per (shape, SIP configuration)."""
+    h, w = shape
+    yy = (jnp.arange(h, dtype=jnp.float32)[:, None]
+          + blc[0].astype(jnp.float32))
+    xx = (jnp.arange(w, dtype=jnp.float32)[None, :]
+          + blc[1].astype(jnp.float32))
+    u = xx - crpix1[0]
+    v = yy - crpix1[1]
+    if sip_mode:  # forward SIP of the source frame
+        du = _poly2d_j(A, u, v)
+        dv = _poly2d_j(B_, u, v)
+        u, v = u + du, v + dv
+    d2r = jnp.float32(np.pi / 180.0)
+    x = (cd1[0, 0] * u + cd1[0, 1] * v) * d2r
+    y = (cd1[1, 0] * u + cd1[1, 1] * v) * d2r
+    w0 = M[0, 0] + M[0, 1] * x + M[0, 2] * y
+    xi2 = (M[1, 0] + M[1, 1] * x + M[1, 2] * y) / w0 / d2r
+    eta2 = (M[2, 0] + M[2, 1] * x + M[2, 2] * y) / w0 / d2r
+    up = icd2[0, 0] * xi2 + icd2[0, 1] * eta2
+    vp = icd2[1, 0] * xi2 + icd2[1, 1] * eta2
+    if sip2_mode == "inverse":
+        u2 = up + _poly2d_j(AP2, up, vp)
+        v2 = vp + _poly2d_j(BP2, up, vp)
+    elif sip2_mode == "newton":
+        u2, v2 = up, vp
+        for _ in range(3):
+            u2 = up - _poly2d_j(A2, u2, v2)
+            v2 = vp - _poly2d_j(B2, u2, v2)
+    else:
+        u2, v2 = up, vp
+    return (jnp.broadcast_to(u2 + crpix2[0], shape),
+            jnp.broadcast_to(v2 + crpix2[1], shape))
+
+
+def compute_pixmap_device(
+    from_wcs: TanWCS,
+    to_wcs: TanWCS,
+    shape: tuple[int, int],
+    blc: tuple[int, int] = (0, 0),
+):
+    """:func:`compute_pixmap` evaluated ON DEVICE in float32.
+
+    Same composition (pixel -> tangent incl. SIP -> exact 3x3 tangent
+    homography -> pixel), as ONE jitted program whose WCS parameters are
+    dynamic array inputs — a single compilation (per shape / SIP order)
+    serves every WCS. Accuracy vs the float64 host path is mpix-class
+    (float32 ulp at 4096 px is ~0.5 mpix) — ample for drizzle DEPOSIT
+    grids, whose kernels are smooth at that scale; use the host path for
+    measurement-critical cutout geometry. Returns float32 jax arrays.
+    """
+    from .wcs.wcs import tangent_homography
+
+    f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)  # noqa: E731
+    z1 = np.zeros((1, 1), np.float32)
+    sip_mode = from_wcs.a is not None
+    if to_wcs.a is None:
+        sip2_mode = "none"
+    elif to_wcs.ap is not None:
+        sip2_mode = "inverse"
+    else:
+        sip2_mode = "newton"
+    M = tangent_homography(from_wcs.crval, to_wcs.crval)
+    return _pixmap_device_core(
+        f32(from_wcs.crpix), f32(from_wcs.cd),
+        f32(from_wcs.a if sip_mode else z1),
+        f32(from_wcs.b if sip_mode else z1),
+        f32(M), f32(np.linalg.inv(to_wcs.cd)),
+        f32(to_wcs.ap if sip2_mode == "inverse" else z1),
+        f32(to_wcs.bp if sip2_mode == "inverse" else z1),
+        f32(to_wcs.a if sip2_mode == "newton" else z1),
+        f32(to_wcs.b if sip2_mode == "newton" else z1),
+        f32(to_wcs.crpix), f32(np.asarray(blc, np.float32)),
+        shape=tuple(shape), sip_mode=sip_mode, sip2_mode=sip2_mode)
 
 
 def blot_image(

@@ -394,17 +394,28 @@ class Drizzle(Resample):
         # IDENTICAL static tile -> the setup drizzle and the in-loop
         # deposits share one Mosaic compile.
         return required_tile_device(
-            jnp.asarray(np.stack([p[0] for p in pixmaps]), jnp.float32),
-            jnp.asarray(np.stack([p[1] for p in pixmaps]), jnp.float32),
+            jnp.stack([jnp.asarray(p[0], jnp.float32) for p in pixmaps]),
+            jnp.stack([jnp.asarray(p[1], jnp.float32) for p in pixmaps]),
             reach=reach + 0.1, margin=4)
 
+    @staticmethod
+    def _frame_pixmap(wcs, owcs, shape):
+        """Drizzle pixmap: f64 host for small frames, f32 device at
+        mosaic scale (host trig costs ~13 s per 4k^2 frame; the deposit
+        only needs mpix-class grids — see compute_pixmap_device)."""
+        from ..blot import (DEVICE_PIXMAP_MIN_PIXELS, compute_pixmap,
+                            compute_pixmap_device)
+
+        if shape[0] * shape[1] >= DEVICE_PIXMAP_MIN_PIXELS:
+            return compute_pixmap_device(wcs, owcs, shape)
+        return compute_pixmap(wcs, owcs, shape)
+
     def _deposit(self, exp: Exposure, tile=None, pixmap=None):
-        from ..blot import compute_pixmap
         from ..kernels import use_pallas as _use_pallas
 
         H, W = exp.data.shape
         px, py = (pixmap if pixmap is not None
-                  else compute_pixmap(exp.wcs, self._owcs, (H, W)))
+                  else self._frame_pixmap(exp.wcs, self._owcs, (H, W)))
         ratio = exp.wcs.pscale / self._owcs.pscale
         data = exposure_rate_data(exp)
         base, mask = exposure_pixel_weight(exp, self.wht_type)
@@ -463,12 +474,13 @@ class Drizzle(Resample):
                 and len({e.data.shape for e in self.exposures}) == 1):
             # evaluate each pixmap exactly once (robust to stacks larger
             # than the pixmap memo-cache) and size one shared tile;
-            # deposits consume f32, so keep f32 copies (half the memory
-            # of the cache's f64 originals at stack scale)
+            # deposits consume f32 (device pixmaps already are; host f64
+            # copies are halved)
             pixmaps = [
                 tuple(np.asarray(p, np.float32)
-                      for p in compute_pixmap(e.wcs, self._owcs,
-                                              e.data.shape))
+                      if not hasattr(p, "devices") else p
+                      for p in self._frame_pixmap(e.wcs, self._owcs,
+                                                  e.data.shape))
                 for e in self.exposures]
             tile = self._shared_tile(pixmaps)
         for exp, pm in zip(self.exposures, pixmaps):

@@ -188,3 +188,32 @@ def test_sip_missing_partner_is_zero():
                cd=(1.0 / 3600.0) * np.eye(2), a=a)  # no b
     xi, eta = w.pixel_to_tangent(150.0, 160.0)  # must not raise
     assert np.isfinite(xi) and np.isfinite(eta)
+
+
+def test_compute_pixmap_device_matches_host():
+    """The device (f32) pixmap agrees with the f64 host path to
+    mpix-class accuracy, for plain TAN and SIP-distorted frames."""
+    import jax
+
+    from subpixal_tpu.blot import compute_pixmap, compute_pixmap_device
+
+    cd = (0.05 / 3600.0) * np.array([[-0.9998, 0.02], [0.021, 1.0001]])
+    a = np.zeros((4, 4))
+    a[0, 2] = 1e-7
+    a[2, 0] = -2e-7
+    b = np.zeros((4, 4))
+    b[0, 2] = -1e-7
+    w_sip = TanWCS(crpix=np.array([512.0, 512.0]),
+                   crval=np.array([150.0, 2.0]), cd=cd, a=a, b=b)
+    w_tan = TanWCS(crpix=np.array([520.0, 505.0]),
+                   crval=np.array([150.002, 2.001]),
+                   cd=(0.05 / 3600.0) * np.array([[-1.0, 0.0],
+                                                  [0.0, 1.0]]))
+    shape = (1024, 1024)
+    for src, dst in ((w_sip, w_tan), (w_tan, w_sip), (w_tan, w_tan)):
+        hx, hy = compute_pixmap(src, dst, shape)
+        dx, dy = compute_pixmap_device(src, dst, shape)
+        jax.block_until_ready((dx, dy))
+        ex = float(np.abs(np.asarray(dx, np.float64) - hx).max())
+        ey = float(np.abs(np.asarray(dy, np.float64) - hy).max())
+        assert ex < 5e-3 and ey < 5e-3, (ex, ey)
