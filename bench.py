@@ -102,13 +102,20 @@ def _np_find_displacement(ref, img, usfac=10, kfit=5):
     return dx, dy
 
 
-def bench_cpu_reference(refs, imgs, n_pairs=40):
-    t0 = time.perf_counter()
+def bench_cpu_reference(refs, imgs, n_pairs=200, repeats=3):
+    """Serial-numpy baseline rate: median of ``repeats`` timed passes over
+    ``n_pairs`` pairs (a single 40-pair pass drifted ~15% between rounds
+    from CPU-side noise — VERDICT r2 weak #6)."""
     out = []
-    for b in range(n_pairs):
-        out.append(_np_find_displacement(refs[b], imgs[b]))
-    dt = time.perf_counter() - t0
-    return n_pairs / dt, np.asarray(out)  # cc/s, (n_pairs, 2) dx/dy
+    rates = []
+    for rep in range(repeats):
+        t0 = time.perf_counter()
+        res = [_np_find_displacement(refs[b], imgs[b])
+               for b in range(n_pairs)]
+        rates.append(n_pairs / (time.perf_counter() - t0))
+        if rep == 0:
+            out = res
+    return float(np.median(rates)), np.asarray(out)
 
 
 def _dev_time_per_iter(make_loop, iters=(1, 21)):

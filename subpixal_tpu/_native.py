@@ -40,9 +40,30 @@ def _build_and_load() -> ctypes.CDLL | None:
     out = os.path.join(_CSRC, f"_subpixal_native_{tag}.so")
     try:
         if not os.path.exists(out):
-            cmd = ["g++", "-O3", "-shared", "-fPIC",
-                   "-std=c++17", src, "-o", out]
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            # a read-only package dir (system site-packages) cannot hold
+            # the binary: build into a per-user cache dir instead
+            if not os.access(_CSRC, os.W_OK):
+                cache = os.path.join(
+                    os.path.expanduser("~"), ".cache", "subpixal_tpu")
+                os.makedirs(cache, exist_ok=True)
+                out = os.path.join(cache, os.path.basename(out))
+            if not os.path.exists(out):
+                cmd = ["g++", "-O3", "-shared", "-fPIC",
+                       "-std=c++17", src, "-o", out]
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            # a successful build makes every other hash-tagged sibling
+            # stale (old source revision or foreign machine) — delete
+            # them so edits/arch changes don't accumulate binaries
+            keep = os.path.basename(out)
+            for d in {os.path.dirname(out), _CSRC}:
+                try:
+                    for f_ in os.listdir(d):
+                        if (f_.startswith("_subpixal_native_")
+                                and f_.endswith(".so") and f_ != keep):
+                            os.unlink(os.path.join(d, f_))
+                except OSError:
+                    pass
         lib = ctypes.CDLL(out)
     except (OSError, subprocess.SubprocessError):
         return None

@@ -81,9 +81,10 @@ class AlignConfig:
     # TPU-build knobs (no reference counterpart):
     usfac: int = 1
     peak_fit_box: int = 5
-    # coarse-peak confinement around zero lag (reference
-    # find_peak(peak_search_box='fitbox'); None = whole surface)
-    peak_search_box: int | str | tuple | None = None
+    # coarse-peak confinement around zero lag (reference default
+    # find_peak(peak_search_box='fitbox'); None = whole surface, for
+    # stacks whose initial WCS errors exceed ~peak_fit_box/2 px)
+    peak_search_box: int | str | tuple | None = "fitbox"
     fit_type: str = "quadratic"
     interp: str = "poly5"
     cutout_shape: tuple[int, int] | None = None
@@ -184,7 +185,8 @@ from functools import partial
 
 @partial(jax.jit, static_argnames=("cut_shape", "use_seg"))
 def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
-                         src_ids, *, cut_shape, use_seg=True):
+                         src_ids, src_cat, seg_ok, *, cut_shape,
+                         use_seg=True):
     """One device program staging all per-exposure loop inputs.
 
     Batched over exposures: fixed-shape cutout gathers from the image
@@ -192,6 +194,11 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
     pixmaps. Replaces a per-frame host<->device ping-pong (upload frame,
     gather, download, re-upload) that paid several relay round trips per
     exposure on tunneled TPU runtimes.
+
+    ``seg_f`` is a (C, H, W) stack of per-CATALOG segmentation planes
+    (reference plural-catalogs semantics, SURVEY §3.1): source ``n`` is
+    masked against plane ``src_cat[n]``; sources whose catalog has no
+    segmentation (``seg_ok[n]`` False) get an all-ones mask.
     """
     cb = jax.vmap(lambda im, c: extract_cutouts(im, c, cut_shape)
                   )(exp_data, centers)
@@ -200,11 +207,20 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
         # footprint test fail and combine_seg_mask would zero every
         # measurement — without segmentation there IS no mask
         return cb.data, cb.mask, jnp.ones_like(cb.data)
-    sseg, _ = jax.vmap(
-        lambda px, py: sample_image(seg_f, px, py, interp="nearest")
-    )(cut_px, cut_py)
+
+    def samp(plane):  # (E, N, h, w) nearest-neighbour seg samples
+        return jax.vmap(
+            lambda px, py: sample_image(plane, px, py, interp="nearest")[0]
+        )(cut_px, cut_py)
+
+    sseg = samp(seg_f[0])
+    for ci in range(1, seg_f.shape[0]):  # static unroll: C is small
+        sseg = jnp.where(src_cat[None, :, None, None] == ci,
+                         samp(seg_f[ci]), sseg)
     seg_cut = (jnp.abs(sseg - src_ids[None, :, None, None]) < 0.5
                ).astype(jnp.float32)
+    seg_cut = jnp.maximum(
+        seg_cut, (~seg_ok)[None, :, None, None].astype(jnp.float32))
     return cb.data, cb.mask, seg_cut
 
 
@@ -779,6 +795,7 @@ def _build_device_loop(step, max_iterations: int, E: int, cache_key=None):
     ``loop(Ms, ts, eps, *args) -> (Ms, ts, n_iter, hist-dict)``.
     """
     if cache_key is not None and cache_key in _LOOP_CACHE:
+        _LOOP_CACHE[cache_key] = _LOOP_CACHE.pop(cache_key)  # LRU refresh
         return _LOOP_CACHE[cache_key][1]
     T = int(max_iterations)
 
@@ -813,8 +830,10 @@ def _build_device_loop(step, max_iterations: int, E: int, cache_key=None):
 
     out = jax.jit(loop)
     if cache_key is not None:
-        if len(_LOOP_CACHE) > 32:
-            _LOOP_CACHE.clear()
+        if len(_LOOP_CACHE) > 32:  # LRU-pop the oldest entry only — a
+            # wholesale clear() would force the 33rd geometry to
+            # recompile all 32 cached loops (VERDICT r2 weak #5)
+            _LOOP_CACHE.pop(next(iter(_LOOP_CACHE)))
         # hold the step too: cache keys include id(step), which must not
         # be recycled by the GC while its loop entry is alive
         _LOOP_CACHE[cache_key] = (step, out)
@@ -914,28 +933,41 @@ def align_images(
         out_shape = resample.output_shape
         t = _mark("output_sci", t)
 
-        # -- catalog + segmentation on the reference --------------------- #
+        # -- catalog(s) + segmentation on the reference ------------------ #
+        # Reference parity (SURVEY §3.1 `for catalog in catalogs`): a
+        # LIST holds one catalog per input exposure set; the union of
+        # every catalog's sources drives the measurement, each source
+        # masked against ITS OWN catalog's segmentation plane.
         if catalogs is None:
-            catalog_obj: ImageCatalog = ImageSourceCatalog(drz_sci)
+            cat_list: list[ImageCatalog] = [ImageSourceCatalog(drz_sci)]
         elif isinstance(catalogs, (list, tuple)):
-            catalog_obj = catalogs[0]
+            cat_list = list(catalogs)
         else:
-            catalog_obj = catalogs
-        cat = catalog_obj.catalog
-        seg = catalog_obj.segmentation
+            cat_list = [catalogs]
+        if not cat_list:
+            raise ValueError("catalogs must not be an empty sequence")
+        cats = [c.catalog for c in cat_list]   # lazily .execute()s each
+        seg_planes = [c.segmentation for c in cat_list]
         t = _mark("catalog", t)
-        have_seg = seg is not None
-        if not have_seg:
-            seg = np.zeros(out_shape, np.int32)  # host placeholder
-        if len(cat) < cfg.min_sources:
+        have_seg = any(s is not None for s in seg_planes)
+        n_tot = sum(len(c) for c in cats)
+        if n_tot < cfg.min_sources:
             raise ValueError(
-                f"only {len(cat)} sources found (need >= {cfg.min_sources})"
+                f"only {n_tot} sources found (need >= {cfg.min_sources})"
             )
 
-        prim = create_primary_cutouts(
-            cat, seg, drz_sci, ref_wcs,
-            combine_seg_mask=False,  # masking happens on device per iter
-        )
+        prim = []
+        src_cat_l: list[int] = []
+        for ci, (cat, seg_i) in enumerate(zip(cats, seg_planes)):
+            p_i = create_primary_cutouts(
+                cat,
+                seg_i if seg_i is not None
+                else np.zeros(out_shape, np.int32),
+                drz_sci, ref_wcs,
+                combine_seg_mask=False,  # masking happens on device
+            )
+            prim.extend(p_i)
+            src_cat_l.extend([ci] * len(p_i))
         if len(prim) < cfg.min_sources:
             raise ValueError("too few usable primary cutouts")
         t = _mark("primary_cutouts", t)
@@ -973,6 +1005,9 @@ def align_images(
 
         xy_cat = np.array([c.src_pos_parent for c in prim], np.float64)
         src_ids = np.array([c.src_id for c in prim], np.int64)
+        src_cat = np.array(src_cat_l, np.int64)  # source -> catalog index
+        seg_ok = np.array([seg_planes[ci] is not None for ci in src_cat_l],
+                          bool)
         flux_w = np.array([c.src_weight for c in prim], np.float64)
         flux_w = flux_w / max(flux_w.max(), 1e-12)
 
@@ -989,6 +1024,9 @@ def align_images(
                 [xy_cat, np.tile([[cxc, cyc]], (N_pad - N, 1))])
             src_ids = np.concatenate(
                 [src_ids, np.full(N_pad - N, -1, np.int64)])
+            src_cat = np.concatenate(
+                [src_cat, np.zeros(N_pad - N, np.int64)])
+            seg_ok = np.concatenate([seg_ok, np.ones(N_pad - N, bool)])
             flux_w = np.concatenate([flux_w, np.zeros(N_pad - N)])
             N = N_pad
         real_src = np.arange(N) < n_real
@@ -1005,7 +1043,11 @@ def align_images(
         dri_maps: list = []  # per-frame drizzle pixmaps (host or device)
 
         ra_cat, dec_cat = ref_wcs.pixel_to_world(xy_cat[:, 0], xy_cat[:, 1])
-        seg_f = np.asarray(seg, np.float32)
+        # (C, H, W) per-catalog segmentation stack (zero plane = no seg)
+        seg_f = np.stack([
+            np.zeros(out_shape, np.float32) if s is None
+            else np.asarray(s, np.float32)
+            for s in seg_planes])
 
         wht_type = getattr(resample, "wht_type", "exptime")
         for e, exp in enumerate(exps):
@@ -1080,6 +1122,7 @@ def align_images(
         img_cut, img_msk, seg_cut = _stage_device_inputs(
             exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
             cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),
+            jnp.asarray(src_cat, jnp.int32), jnp.asarray(seg_ok),
             cut_shape=cut_shape, use_seg=have_seg)
         t = _mark("device_stage", t)
 

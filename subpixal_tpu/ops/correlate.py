@@ -143,6 +143,14 @@ def _dft_consts(H: int, W: int):
 
 
 def _use_matmul_dft(H: int, W: int) -> bool:
+    """Whether (H, W) transforms take the matmul-DFT path.
+
+    The ``SUBPIXAL_TPU_FFT`` escape hatch ('fft'|'matmul') is consulted
+    at TRACE time: the choice is baked into each jit / persistent-cache
+    entry, so set it BEFORE the first displacement call for a given
+    shape — toggling it mid-process does not retrace already-compiled
+    shapes (clear caches or use a fresh process to switch).
+    """
     import os
 
     forced = os.environ.get("SUBPIXAL_TPU_FFT", "").lower()
@@ -334,7 +342,7 @@ def find_displacement(
     fit_type: str = "quadratic",
     ref_mask: jax.Array | None = None,
     img_mask: jax.Array | None = None,
-    peak_search_box=None,
+    peak_search_box="fitbox",
 ) -> Displacement:
     """Measure the subpixel displacement of ``img`` relative to ``ref``.
 
@@ -360,9 +368,10 @@ def find_displacement(
         window around ZERO lag, so a far alias/noise peak cannot outvote
         the true near-zero peak on low-SNR cutouts. An int gives the
         window side in pixels of lag; a 4-tuple gives explicit (row,
-        col) bounds on the fftshifted surface. Default None searches the
-        whole surface (the round-1 behavior; the reference defaults to
-        'fitbox' — pass that for strict parity).
+        col) bounds on the fftshifted surface. The DEFAULT is 'fitbox'
+        (reference parity): shifts larger than ~``peak_fit_box/2`` px
+        are outside the search window — pass ``None``/``'all'`` (or an
+        int window) to measure large displacements.
 
     Returns
     -------

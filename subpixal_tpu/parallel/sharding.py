@@ -121,7 +121,7 @@ def sharded_measure_and_fit(
     fitgeom: str = "general",
     nclip: int = 3,
     sigma: float = 3.0,
-    peak_search_box=None,
+    peak_search_box="fitbox",
 ) -> tuple[Displacement, LinearFitResult]:
     """One SPMD alignment measurement for ONE exposure (or jointly for a
     stack flattened over (exposure, source)).
@@ -189,7 +189,7 @@ def make_sharded_align_step(
     fitgeom: str = "general",
     nclip: int = 3,
     sigma: float = 3.0,
-    peak_search_box=None,
+    peak_search_box="fitbox",
     interp: str = "poly5",
     use_pallas: bool | str = False,
     blot_tile: tuple[int, int] = (128, 128),

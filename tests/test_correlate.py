@@ -41,7 +41,8 @@ def test_config1_single_pair_64x64_knownshift():
 
 def test_integer_shift_exact():
     ref, img = shifted_pair(dx=5.0, dy=-3.0)
-    d = find_displacement(ref, img, cc_type="CC")
+    # a 5-px shift is outside the default 'fitbox' search window
+    d = find_displacement(ref, img, cc_type="CC", peak_search_box=None)
     assert abs(float(d.dx) - 5.0) < 1e-2
     assert abs(float(d.dy) + 3.0) < 1e-2
 
@@ -101,7 +102,8 @@ def test_config3_upsampled_precision(usfac):
 def test_upsampled_large_coarse_shift():
     """Upsampling must compose correctly with a large integer part."""
     ref, img = shifted_pair(dx=11.3, dy=-7.25, sigma=2.5)
-    d = find_displacement(ref, img, cc_type="NCC", usfac=10, fit_type="gaussian")
+    d = find_displacement(ref, img, cc_type="NCC", usfac=10,
+                          fit_type="gaussian", peak_search_box=None)
     assert abs(float(d.dx) - 11.3) < 0.01
     assert abs(float(d.dy) + 7.25) < 0.01
 
@@ -157,13 +159,19 @@ def test_peak_search_box_rejects_far_alias(usfac):
     dx, dy = 0.3, -0.2
     ref, img = _alias_pair(dx=dx, dy=dy)
     # global search: the bright-contaminant cross-term wins at large lag
-    d_glob = find_displacement(ref, img, cc_type="NCC", usfac=usfac)
+    d_glob = find_displacement(ref, img, cc_type="NCC", usfac=usfac,
+                               peak_search_box=None)
     assert np.hypot(float(d_glob.dx) - dx, float(d_glob.dy) - dy) > 5.0
     # confined search: the true near-zero peak is the only candidate
     d_box = find_displacement(ref, img, cc_type="NCC", usfac=usfac,
                               peak_search_box="fitbox")
     assert abs(float(d_box.dx) - dx) < 0.1
     assert abs(float(d_box.dy) - dy) < 0.1
+    # 'fitbox' is the DEFAULT (reference parity, round-3): omitting the
+    # kwarg must behave like the confined search
+    d_def = find_displacement(ref, img, cc_type="NCC", usfac=usfac)
+    assert abs(float(d_def.dx) - float(d_box.dx)) < 1e-6
+    assert abs(float(d_def.dy) - float(d_box.dy)) < 1e-6
 
 
 def test_peak_search_box_int_and_tuple_forms():

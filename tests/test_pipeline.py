@@ -161,3 +161,51 @@ def test_drizzle_config_ignores_astrodrizzle_stage_keys():
     assert any("AstroDrizzle config key" in str(w.message) for w in rec)
     with pytest.raises(ValueError, match="unknown Drizzle config"):
         Drizzle(config={"final_pixfrc": 0.9})  # typo must stay loud
+
+
+def test_multi_sci_expansion_roundtrip(tmp_path):
+    """A 2-chip FITS file (SCI,1 + SCI,2) expands to one Exposure per
+    chip, and align_fits writes each chip's OWN corrected WCS back to
+    its own header (VERDICT r2 missing #2 / round-3 task 5)."""
+    err = np.array([(0.0, 0.0), (0.8, -0.4), (-0.5, 0.6), (0.4, 0.3)])
+    exps, _, ref_frame, stars = planted_scene(n_exp=4, shift_err=err)
+    paths = []
+    for f in range(2):
+        hdus = [HDU()]
+        for chip in range(2):
+            e = exps[2 * f + chip]
+            h = Header()
+            h["EXTNAME"] = "SCI"
+            h["EXTVER"] = chip + 1
+            h["EXPTIME"] = 1.0
+            wcs_to_header(e.wcs, h)
+            hdus.append(HDU(e.data, h))
+        p = str(tmp_path / f"twochip{f}_flt.fits")
+        write_fits(p, hdus)
+        paths.append(p)
+
+    loaded = load_exposures(paths)
+    assert len(loaded) == 4
+    assert loaded[0].name.endswith("[sci,1]")
+    assert loaded[1].name.endswith("[sci,2]")
+    # explicit ext spec still loads exactly one chip
+    (one,) = load_exposures([paths[0] + "[sci,2]"])
+    np.testing.assert_allclose(one.wcs.crpix, exps[1].wcs.crpix, atol=1e-9)
+
+    res = align_fits(paths, fitgeom="shift", max_iterations=6,
+                     eps_shift=0.004, fit_type="gaussian", min_sources=5)
+    assert len(res.exposures) == 4
+
+    # every chip header carries its own correction: relative predicted
+    # positions must change by -(planted relative error) per chip
+    ra, dec = ref_frame.pixel_to_world(stars[:, 0], stars[:, 1])
+    orig = [e.wcs.world_to_pixel(ra, dec) for e in exps]
+    locs = [(0, 1), (0, 2), (1, 1), (1, 2)]
+    new = [wcs_from_header(read_fits(paths[f])[("SCI", v)].header
+                           ).world_to_pixel(ra, dec) for f, v in locs]
+    for i in range(1, 4):
+        drel_x = (new[i][0] - new[0][0]) - (orig[i][0] - orig[0][0])
+        drel_y = (new[i][1] - new[0][1]) - (orig[i][1] - orig[0][1])
+        want = err[i] - err[0]
+        np.testing.assert_allclose(drel_x, -want[0], atol=0.02)
+        np.testing.assert_allclose(drel_y, -want[1], atol=0.02)
