@@ -204,6 +204,42 @@ def bench_tpu(refs, imgs, dxs, dys):
     return refs.shape[0] / dt, rmse_mpix, dxy, mfu
 
 
+# Speed-of-light throughput estimates for the kernel roofline fractions
+# (docs/architecture.md §Roofline, v5e): blot poly5 ≈ 4 µs MXU matmul +
+# 5 µs VPU band build per 64² cutout → ~440 Mpix/s ceiling; drizzle
+# square ≈ 0.87 ms matmul + 0.19 ms tile RMW + band build per 1024²
+# frame → ~806 Mpix/s ceiling. Emitted as achieved/SoL fractions so a
+# kernel perf regression is machine-visible in BENCH_r*.json, not only
+# prose-visible (VERDICT r2 task 10).
+BLOT_SOL_MPIX_S = 440.0
+DRIZZLE_SOL_MPIX_S = 806.0
+
+
+def bench_align_parity_ref():
+    """XLA-path single-iteration align on the smoke scene — the
+    reference half of the Pallas-vs-XLA parity gate (VERDICT r2 task 8).
+
+    Runs BEFORE any Mosaic compile in this process (compile-order rule:
+    XLA compiles issued after Pallas work intermittently stall minutes
+    on the tunneled runtime). Returns the per-exposure first-iteration
+    fitted shifts, compared later against ``bench_align_smoke``'s
+    Pallas first iteration on the identical scene.
+    """
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.testing import simulate_stack
+
+    exps, _ = simulate_stack(n_exp=8, shape=(1024, 1024), n_stars=60,
+                             seed=11)
+    res = align_images(exposures=exps, fitgeom="shift", max_iterations=1,
+                       eps_shift=1e-7, usfac=8, fit_type="gaussian",
+                       use_pallas=False)
+    return np.asarray([r.shift for r in res.history[0]])
+
+
 def bench_kernels():
     """Pallas blot/drizzle kernel throughput (TPU only; see SURVEY §2a).
 
@@ -256,13 +292,19 @@ def bench_kernels():
 
     dt_b = _dev_time_per_iter(blot_loop, iters=(1, 21))
     dt_d = _dev_time_per_iter(driz_loop, iters=(1, 21))
+    blot_rate = B * h * w / dt_b / 1e6
+    driz_rate = H * W / dt_d / 1e6
     return {
-        "pallas_blot_poly5_mpix_per_s": round(B * h * w / dt_b / 1e6, 1),
-        "pallas_drizzle_mpix_per_s": round(H * W / dt_d / 1e6, 1),
+        "pallas_blot_poly5_mpix_per_s": round(blot_rate, 1),
+        "pallas_drizzle_mpix_per_s": round(driz_rate, 1),
+        # achieved / speed-of-light (see BLOT_SOL_MPIX_S above)
+        "pallas_blot_sol_frac": round(blot_rate / BLOT_SOL_MPIX_S, 3),
+        "pallas_drizzle_sol_frac": round(driz_rate / DRIZZLE_SOL_MPIX_S,
+                                         3),
     }
 
 
-def bench_align_smoke():
+def bench_align_smoke(parity_ref=None):
     """Full use_pallas align smoke on the real chip (SURVEY §3.1 hot loop;
     VERDICT r1 item 5): an 8-frame 1024² scene, 4 device iterations.
 
@@ -270,6 +312,12 @@ def bench_align_smoke():
     emits ms/iter (host-loop step time incl. the ~relay round trip, same
     definition as ImageAlignInfo.iter_s) + setup seconds. Runs LAST:
     Mosaic compiles must follow every pure-XLA compile in the process.
+
+    ``parity_ref``: first-iteration shifts from the pure-XLA run on the
+    identical scene (``bench_align_parity_ref``) — the comparison is the
+    on-hardware Pallas-vs-XLA assertion gate (`align_parity_ok`): a
+    Mosaic regression that degrades ACCURACY (not speed) flips the
+    boolean even when timings look healthy.
     """
     import jax
 
@@ -290,12 +338,21 @@ def bench_align_smoke():
     assert err_mpix < 10.0, f"align smoke fit error {err_mpix:.2f} mpix"
     iters = [recs[0].iter_s for recs in res.history]
     steady = iters[1:] or iters  # first call carries the jit compile
-    return {
+    out = {
         "align_iter_ms": round(1e3 * float(np.median(steady)), 1),
         "align_fit_err_mpix": round(err_mpix, 3),
         "align_setup_s": round(res.setup_s, 2),
         "align_n_iterations": res.n_iterations,
     }
+    if parity_ref is not None:
+        first = np.asarray([r.shift for r in res.history[0]])
+        dmax = float(np.abs(first - parity_ref).max())
+        out["align_parity_max_dpix"] = round(dmax, 6)
+        out["align_parity_ok"] = bool(dmax < 1e-3)
+        assert out["align_parity_ok"], (
+            f"Pallas-vs-XLA first-iteration shifts differ by {dmax:.2e} "
+            "px on hardware")
+    return out
 
 
 def bench_align_2k():
@@ -346,6 +403,7 @@ def main():
     tpu_ccs, rmse_mpix, tpu_dxy, mfu = bench_tpu(refs, imgs, dxs, dys)
     if trace_dir:
         jax.profiler.stop_trace()
+    parity_ref = bench_align_parity_ref()  # pure-XLA; BEFORE any Mosaic
     cpu_ccs, cpu_dxy = bench_cpu_reference(refs, imgs)
     # BASELINE metric "shift RMSE vs reference": same data, TPU vs the
     # reference algorithm's own measurements (data noise cancels).
@@ -353,7 +411,7 @@ def main():
     vs_ref = 1e3 * float(
         np.sqrt(np.mean(np.sum((tpu_dxy[:n] - cpu_dxy) ** 2, axis=1))))
     extras = bench_kernels()  # pallas sections last (compile-order rule)
-    extras.update(bench_align_smoke())
+    extras.update(bench_align_smoke(parity_ref))
     extras.update(bench_align_2k())
 
     print(json.dumps({

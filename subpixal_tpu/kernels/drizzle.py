@@ -51,7 +51,54 @@ from ._common import block_partition as _block_partition
 from ._common import round_up as _round_up
 
 __all__ = ["drizzle_deposit_pallas", "required_tile",
-           "required_tile_device"]
+           "required_tile_device", "required_tile_wcs"]
+
+
+def required_tile_wcs(wcs_list, to_wcs, shape,
+                      block: tuple[int, int] = DEPOSIT_BLOCK,
+                      reach: float = 0.55, margin: int = 2,
+                      n_samples: int = 7) -> tuple[int, int]:
+    """Static deposit tile bound from the WCSs alone (host float64).
+
+    Bounds every (bh, bw) input block's output bbox span by the maximum
+    absolute Jacobian of the pixel→pixel composition, sampled on an
+    ``n_samples``² grid per frame — exact for affine maps, conservative
+    for SIP curvature at block scale (the (8, 128) tile quantization
+    absorbs the sub-pixel slack). This replaces the device-pixmap
+    reduction (:func:`required_tile_device`) in the align/resample
+    setup path: on the tunneled TPU runtime, the tiny device→host
+    scalar fetch that sizing from device pixmaps requires stalls for
+    minutes when issued right after the pixmap programs (round-3
+    measurement: ~150-530 s per occurrence, while ``block_until_ready``
+    returns instantly — it is not a true sync there). The host bound
+    needs no device work at all.
+    """
+    import numpy as np
+
+    H, W = shape
+    bh, bw = block
+    ys = np.linspace(0.0, H - 1.0, n_samples)
+    xs = np.linspace(0.0, W - 1.0, n_samples)
+    gx, gy = np.meshgrid(xs, ys)
+    ey = ex = 0.0
+    for wcs in wcs_list:
+        def _ref(px, py, _w=wcs):
+            ra, dec = _w.pixel_to_world(px, py)
+            return to_wcs.world_to_pixel(ra, dec)
+
+        xr, yr = _ref(gx + 0.5, gy)
+        xl, yl = _ref(gx - 0.5, gy)
+        xu, yu = _ref(gx, gy + 0.5)
+        xd, yd = _ref(gx, gy - 0.5)
+        dxdx = float(np.abs(np.asarray(xr) - np.asarray(xl)).max())
+        dydx = float(np.abs(np.asarray(yr) - np.asarray(yl)).max())
+        dxdy = float(np.abs(np.asarray(xu) - np.asarray(xd)).max())
+        dydy = float(np.abs(np.asarray(yu) - np.asarray(yd)).max())
+        ex = max(ex, dxdx * (bw - 1) + dxdy * (bh - 1))
+        ey = max(ey, dydx * (bw - 1) + dydy * (bh - 1))
+    th = int(math.ceil(ey + 2 * reach + 1)) + margin
+    tw = int(math.ceil(ex + 2 * reach + 1)) + margin
+    return (-(-th // 8) * 8, -(-tw // 128) * 128)
 
 
 def required_tile(x_out, y_out, wht=None, block: tuple[int, int] = DEPOSIT_BLOCK,
@@ -139,6 +186,12 @@ def required_tile_device(x_out, y_out, wht=None,
                          ) -> tuple[int, int]:
     """:func:`required_tile` for device-resident pixmaps (one reduction
     on device, two scalars fetched)."""
+    # sync the inputs BEFORE issuing the scalar fetch: on the tunneled
+    # TPU runtime a device->host fetch whose dependency chain (e.g. the
+    # device pixmap programs) has not yet executed reliably stalls for
+    # many minutes (relay-side; measured 170-530 s per call in round 3),
+    # while the same fetch after an explicit sync completes in ~1 s
+    jax.block_until_ready((x_out, y_out))
     live = (jnp.ones(x_out.shape[-2:], jnp.float32) if wht is None
             else wht)
     ey, ex = _block_extents_device(x_out, y_out, live, block=block)

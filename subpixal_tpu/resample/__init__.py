@@ -370,18 +370,16 @@ class Drizzle(Resample):
             self._owcs = self._owcs or owcs
             self._oshape = self._oshape or oshape
 
-    def _shared_tile(self, pixmaps):
+    def _shared_tile(self):
         """One static Pallas tile covering every exposure's deposit.
 
-        Sized by a single device-side reduction over the stacked pixmaps
-        (same-shape exposures only; ``pixmaps`` = the per-exposure
-        (px, py) pairs the caller computed, so each pixmap is evaluated
-        exactly once per ``execute()`` regardless of stack size vs the
-        pixmap memo-cache capacity). A shared tile means ONE Pallas
+        Sized on host from the WCSs' Jacobian bound
+        (:func:`~subpixal_tpu.kernels.drizzle.required_tile_wcs`;
+        same-shape exposures only). A shared tile means ONE Pallas
         compile and no per-exposure host ``required_tile`` block walk —
         the walks dominated warm ``execute()`` time at stack scale.
         """
-        from ..kernels.drizzle import required_tile_device
+        from ..kernels.drizzle import required_tile_wcs
         from ..ops.drizzle import kernel_reach
 
         reach = 0.0
@@ -392,21 +390,24 @@ class Drizzle(Resample):
         # same padding/margin convention as the align loop's tile sizing
         # (align.py driz_tile): identical scenes then quantize to the
         # IDENTICAL static tile -> the setup drizzle and the in-loop
-        # deposits share one Mosaic compile.
-        return required_tile_device(
-            jnp.stack([jnp.asarray(p[0], jnp.float32) for p in pixmaps]),
-            jnp.stack([jnp.asarray(p[1], jnp.float32) for p in pixmaps]),
-            reach=reach + 0.1, margin=4)
+        # deposits share one Mosaic compile. Sized from the WCSs on
+        # host (required_tile_wcs) — needs NO pixmaps, so execute() can
+        # build each frame's pixmap right before its deposit and free
+        # it, bounding peak HBM to one pixmap (ADVICE r2 #2), and no
+        # device->host fetch can stall the tunneled runtime.
+        return required_tile_wcs(
+            [e.wcs for e in self.exposures], self._owcs,
+            self.exposures[0].data.shape, reach=reach + 0.1, margin=4)
 
     @staticmethod
     def _frame_pixmap(wcs, owcs, shape):
         """Drizzle pixmap: f64 host for small frames, f32 device at
         mosaic scale (host trig costs ~13 s per 4k^2 frame; the deposit
         only needs mpix-class grids — see compute_pixmap_device)."""
-        from ..blot import (DEVICE_PIXMAP_MIN_PIXELS, compute_pixmap,
-                            compute_pixmap_device)
+        from ..blot import (compute_pixmap, compute_pixmap_device,
+                            device_pixmap_min_pixels)
 
-        if shape[0] * shape[1] >= DEVICE_PIXMAP_MIN_PIXELS:
+        if shape[0] * shape[1] >= device_pixmap_min_pixels():
             return compute_pixmap_device(wcs, owcs, shape)
         return compute_pixmap(wcs, owcs, shape)
 
@@ -431,12 +432,21 @@ class Drizzle(Resample):
         if _use_pallas(self.use_pallas) and self.kernel != "tophat":
             # MXU matmul-deposit kernel; tile sized exactly from the
             # concrete host pixmap (SURVEY §2a/§7)
-            from ..kernels.drizzle import drizzle_deposit_pallas, required_tile
+            from ..kernels.drizzle import (drizzle_deposit_pallas,
+                                           required_tile,
+                                           required_tile_wcs)
             from ..ops.drizzle import kernel_reach
 
             reach = kernel_reach(self.kernel, self.pixfrac, ratio)
             if tile is None:
-                tile = required_tile(px, py, wht=wht, reach=reach)
+                if hasattr(px, "devices"):
+                    # device pixmap: size from the WCS Jacobian bound
+                    # instead of fetching the pixmap back (the tiny
+                    # post-pixmap fetch stalls the tunneled runtime)
+                    tile = required_tile_wcs([exp.wcs], self._owcs,
+                                             (H, W), reach=reach)
+                else:
+                    tile = required_tile(px, py, wht=wht, reach=reach)
             s, w = drizzle_deposit_pallas(
                 jnp.asarray(data), wht_j,
                 jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
@@ -468,23 +478,20 @@ class Drizzle(Resample):
         from ..kernels import use_pallas as _use_pallas
 
         tile = None
-        pixmaps = [None] * len(self.exposures)
         if (_use_pallas(self.use_pallas) and self.kernel != "tophat"
                 and len(self.exposures) > 1
                 and len({e.data.shape for e in self.exposures}) == 1):
-            # evaluate each pixmap exactly once (robust to stacks larger
-            # than the pixmap memo-cache) and size one shared tile;
-            # deposits consume f32 (device pixmaps already are; host f64
-            # copies are halved)
-            pixmaps = [
-                tuple(np.asarray(p, np.float32)
-                      if not hasattr(p, "devices") else p
-                      for p in self._frame_pixmap(e.wcs, self._owcs,
-                                                  e.data.shape))
-                for e in self.exposures]
-            tile = self._shared_tile(pixmaps)
-        for exp, pm in zip(self.exposures, pixmaps):
-            s, w = self._deposit(exp, tile=tile, pixmap=pm)
+            # one shared tile for the whole stack, sized on host from
+            # the WCSs (no pixmaps needed) -> one Mosaic compile
+            tile = self._shared_tile()
+        for exp in self.exposures:
+            # each deposit builds (and frees) its own pixmap: peak HBM
+            # is bounded by ONE pixmap regardless of stack size
+            # (ADVICE r2 #2; a 40-frame 4k^2 stack would otherwise pin
+            # ~5 GB of f32 pixmaps). Host pixmaps come from the
+            # compute_pixmap memo-cache; device pixmaps re-evaluate in
+            # ~2 ms.
+            s, w = self._deposit(exp, tile=tile)
             self._per_exp[exp.name] = (s, w)
             sci = sci + s
             wht = wht + w

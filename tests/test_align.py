@@ -383,3 +383,52 @@ def test_plural_catalogs_union():
     for res in (res_one, res_both):
         rel = res.shifts - res.shifts[0]
         assert np.abs(rel[1] - (err[1] - err[0])).max() < 0.02, rel
+
+
+def test_cutout_pixmaps_device_matches_host():
+    """cutout_pixmaps='device' (f32 on-device geometry, the TPU default)
+    must agree with the exact float64 host path to well under a mpix on
+    a 256² scene (round-3 setup-time work, VERDICT r2 weak #2)."""
+    err = np.array([(0.0, 0.0), (1.2, -0.7), (-0.9, 0.5)])
+    exps, _, _, _ = planted_scene(n_exp=3, shift_err=err)
+
+    def run(mode):
+        es = [Exposure(e.data.copy(), e.wcs.copy(), name=e.name)
+              for e in exps]
+        return align_images(
+            resample=Drizzle(es, pixfrac=1.0), fitgeom="shift",
+            max_iterations=8, eps_shift=0.004, usfac=1,
+            fit_type="gaussian", min_sources=5, cutout_pixmaps=mode)
+
+    r_host = run("host")
+    r_dev = run("device")
+    assert r_dev.converged and r_host.converged
+    np.testing.assert_allclose(r_dev.shifts, r_host.shifts, atol=2e-4)
+    np.testing.assert_allclose(r_dev.matrices, r_host.matrices, atol=1e-5)
+    # and both recover the planted relative shifts
+    for res in (r_dev, r_host):
+        rel = res.shifts - res.shifts[0]
+        rel_true = err - err[0]
+        assert np.abs(rel - rel_true).max() < 0.01
+
+
+def test_cutout_pixmaps_device_with_sip():
+    """Device cutout pixmaps must honor SIP distortion (the Jacobians
+    come from f64 host evaluations; the grids from the f32 device
+    composition)."""
+    from subpixal_tpu.blot import (compute_cutout_pixmaps_device,
+                                   compute_pixmap)
+
+    exps, _, ref_frame, stars = planted_scene(n_exp=1, shift_err=[(0, 0)])
+    w = exps[0].wcs
+    a = np.zeros((3, 3)); b = np.zeros((3, 3))
+    a[2, 0] = 4e-6; a[0, 2] = -2.5e-6; b[1, 1] = 3e-6
+    wsip = w.replace(a=a, b=b)
+    blc = np.array([[40.0, 60.0], [120.0, 90.0], [200.0, 30.0]])
+    px_d, py_d = compute_cutout_pixmaps_device(wsip, ref_frame, blc,
+                                               (32, 32))
+    for i, (x0, y0) in enumerate(blc):
+        px_h, py_h = compute_pixmap(wsip, ref_frame, (32, 32),
+                                    blc=(int(y0), int(x0)))
+        assert np.abs(np.asarray(px_d[i]) - px_h).max() < 5e-4
+        assert np.abs(np.asarray(py_d[i]) - py_h).max() < 5e-4
