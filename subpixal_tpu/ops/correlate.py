@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .peaks import find_peak, normalize_search_box
 
@@ -203,8 +204,43 @@ def _irfft2(G: jax.Array, s: tuple[int, int]) -> jax.Array:
     return jnp.fft.irfft2(G, s=s)
 
 
+def _use_fused_xspec(H: int, W: int) -> bool:
+    """Whether the fused Pallas normalize+DFT cross-spectrum kernel runs.
+
+    OPT-IN (``SUBPIXAL_TPU_FUSED_XSPEC=1``, read at trace time like
+    ``SUBPIXAL_TPU_FFT``): measured on v5e the per-cutout (64-wide)
+    matmuls starve the MXU — 661 µs/batch vs the XLA einsum path's
+    198 µs, whose batched matmuls XLA lane-packs automatically. The
+    kernel is kept as the starting point for a lane-packed redesign."""
+    import os
+
+    forced = os.environ.get("SUBPIXAL_TPU_FUSED_XSPEC", "").lower()
+    if forced not in ("1", "true", "on"):
+        return False
+    if not _use_matmul_dft(H, W):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def _cross_spectrum(ref, img, cc_type, ref_mask, img_mask):
-    """G = fft2(img) * conj(fft2(ref)) for normalized inputs, via rfft2."""
+    """G = fft2(img) * conj(fft2(ref)) for normalized inputs, via rfft2.
+
+    On TPU the whole front end (masked NCC statistics + normalize + the
+    forward W/H matmul-DFT passes + the conjugate product) runs as ONE
+    Pallas kernel (:func:`subpixal_tpu.kernels.correlate.
+    cross_spectrum_pallas`): the normalized cutouts and per-side spectra
+    stay in VMEM instead of round-tripping HBM — the displacement
+    pipeline's HBM-bound stage (docs/architecture.md §Roofline).
+    """
+    if _use_fused_xspec(*ref.shape[-2:]):
+        from ..kernels.correlate import cross_spectrum_pallas
+
+        Gr, Gi = cross_spectrum_pallas(ref, img, ref_mask, img_mask,
+                                       cc_type=cc_type)
+        return jax.lax.complex(Gr, Gi)
     r = _normalize(ref, ref_mask, cc_type)
     i = _normalize(img, img_mask, cc_type)
     if _use_matmul_dft(*r.shape[-2:]):
@@ -272,6 +308,23 @@ def _us_phase_diag(s0: jax.Array, nfreq: int, period: int) -> jax.Array:
                           period)[:, 0, :]
 
 
+def _hermitian_weights(W: int) -> jax.Array:
+    """(Wr,) fold weights: the missing half-spectrum columns are the
+    conjugates of columns 1..W-Wr (with the u axis reversed), and their
+    contribution to the REAL correlation equals the real part of the
+    half-spectrum term — so weighting the interior columns by 2 (the
+    v=0 and, for even W, the Nyquist column are self-conjugate) makes
+    any ``Re{Ky @ G_half ⊙ w @ Kxᵀ}`` contraction exact without ever
+    materializing the full spectrum (same identity the irfft2 constants
+    in :func:`_dft_consts` use)."""
+    Wr = W // 2 + 1
+    wv = np.full((Wr,), 2.0, np.float32)
+    wv[0] = 1.0
+    if W % 2 == 0:
+        wv[-1] = 1.0
+    return jnp.asarray(wv)
+
+
 def _upsampled_correlation(
     G: jax.Array,
     s0y: jax.Array,
@@ -299,38 +352,77 @@ def _upsampled_correlation(
     the spectrum plus two matmuls with *shared* small operands, which XLA
     fuses into two large MXU contractions over the flattened batch::
 
-        C = Re{ K2y @ (Dy_b ⊙ G_full ⊙ Dx_b) @ K2yᵀ }
+        C = Re{ K2y @ (Dy_b ⊙ G ⊙ w_v ⊙ Dx_b) @ K2xᵀ }
 
-    (~20× less device time than the per-cutout-matmul form at B=500).
-    The rfft half-spectrum is expanded to the full spectrum with
-    flip/roll (reversal ops, no gathers).
+    (~20× less device time than the per-cutout-matmul form at B=500),
+    operating directly on the HALF spectrum via the hermitian fold
+    weights ``w_v`` (:func:`_hermitian_weights`) — the round-2 version
+    materialized the full (B, H, W) spectrum with flip/roll first,
+    doubling both the contraction width and the HBM traffic.
     """
+    Wr = G.shape[-1]
     tf = (jnp.arange(nwin, dtype=jnp.float32) - nwin // 2) / usfac
     zero = jnp.zeros((1,), jnp.int32)
-    K2y = _us_dft_kernel(zero, tf, H, H)[0]   # (nwin, H), batch-free
-    K2x = _us_dft_kernel(zero, tf, W, W)[0]   # (nwin, W)
-    Dy = _us_phase_diag(s0y, H, H)            # (B, H)
-    Dx = _us_phase_diag(s0x, W, W)            # (B, W)
+    K2y = _us_dft_kernel(zero, tf, H, H)[0]    # (nwin, H), batch-free
+    K2x = _us_dft_kernel(zero, tf, Wr, W)[0]   # (nwin, Wr)
+    Dy = _us_phase_diag(s0y, H, H)             # (B, H)
+    Dx = _us_phase_diag(s0x, Wr, W)            # (B, Wr)
 
-    # full spectrum from the rfft half-spectrum, via reversals only:
-    # G_full[u, v] = conj(G[(-u) mod H, (W - v) mod W]) for v >= Wr
-    Wr = G.shape[-1]
-    Gu = jnp.roll(jnp.flip(G, axis=1), 1, axis=1)        # G[(-u) mod H]
-    G_hi = jnp.conj(jnp.flip(Gu[:, :, 1:W - Wr + 1], axis=2))
-    G_full = jnp.concatenate([G, G_hi], axis=-1)         # (B, H, W)
-
-    # per-cutout integer-shift phase twist (elementwise, VPU)
-    Gd = G_full * Dy[:, :, None] * Dx[:, None, :]
+    # per-cutout integer-shift phase twist + fold weights (VPU)
+    Gd = G * Dy[:, :, None] * (Dx * _hermitian_weights(W))[:, None, :]
 
     # two shared-operand MXU contractions over the whole batch.
     # Precision.HIGHEST: full f32 accumulation — these matmuls set the
     # upsampled-correlation subpixel precision (<0.01 pix target).
+    # The second contraction is written in explicit real arithmetic:
+    # only Re(C) is consumed, so its imaginary half (which a complex
+    # einsum would also compute) is never formed.
     P = jax.lax.Precision.HIGHEST
     tmp = jnp.einsum("iu,buv->biv", K2y, Gd, precision=P)
-    C = jnp.einsum("jv,biv->bij", K2x, tmp, precision=P)
+    C = (jnp.einsum("jv,biv->bij", jnp.real(K2x), jnp.real(tmp),
+                    precision=P)
+         - jnp.einsum("jv,biv->bij", jnp.imag(K2x), jnp.imag(tmp),
+                      precision=P))
     off_y = s0y.astype(jnp.float32) - (nwin // 2) / usfac
     off_x = s0x.astype(jnp.float32) - (nwin // 2) / usfac
-    return C.real / (H * W), off_y, off_x
+    return C / (H * W), off_y, off_x
+
+
+#: largest search-window side evaluated via the windowed matrix-DFT
+#: instead of the full inverse transform (the coarse argmax with the
+#: default 'fitbox' confinement needs only a handful of lags, so the
+#: full irfft2 — the displacement pipeline's single largest stage,
+#: ~35% measured — is skipped entirely)
+_WINDOWED_COARSE_MAX = 17
+
+
+def _windowed_coarse_surface(G, bounds, H: int, W: int):
+    """Correlation values at the integer lags inside ``bounds`` only.
+
+    ``bounds`` = (r0, r1, c0, c1) on the fftshifted surface. Returns
+    (C, lag_y0, lag_x0, ny, nx): C is (B, ny, nx) with
+    ``C[b, i, j] = cc[b, lag_y0 + i, lag_x0 + j]`` in signed-lag space —
+    a direct half-spectrum matrix-DFT (hermitian fold), evaluating
+    ny·nx lags instead of the full H·W inverse transform.
+    """
+    r0, r1, c0, c1 = bounds
+    ny, nx = r1 - r0, c1 - c0
+    lag_y0 = r0 - H // 2
+    lag_x0 = c0 - W // 2
+    Wr = G.shape[-1]
+    zero = jnp.zeros((1,), jnp.int32)
+    ty = jnp.arange(ny, dtype=jnp.float32) + lag_y0
+    tx = jnp.arange(nx, dtype=jnp.float32) + lag_x0
+    Ky = _us_dft_kernel(zero, ty, H, H)[0]    # (ny, H)
+    Kx = _us_dft_kernel(zero, tx, Wr, W)[0]   # (nx, Wr)
+    Gw = G * _hermitian_weights(W)[None, None, :]
+    P = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("iu,buv->biv", Ky, Gw, precision=P)
+    C = (jnp.einsum("jv,biv->bij", jnp.real(Kx), jnp.real(tmp),
+                    precision=P)
+         - jnp.einsum("jv,biv->bij", jnp.imag(Kx), jnp.imag(tmp),
+                      precision=P))
+    return C / (H * W), lag_y0, lag_x0, ny, nx
 
 
 def find_displacement(
@@ -386,32 +478,50 @@ def find_displacement(
     B, H, W = ref_b.shape
 
     G = _cross_spectrum(ref_b, img_b, cc_type, ref_mask, img_mask)
-    cc = _irfft2(G, s=(H, W))
-    cc_s = jnp.fft.fftshift(cc, axes=(-2, -1))
 
     if usfac <= 1:
+        cc_s = jnp.fft.fftshift(_irfft2(G, s=(H, W)), axes=(-2, -1))
         pk = find_peak(cc_s, peak_fit_box=peak_fit_box, fit_type=fit_type,
                        peak_search_box=peak_search_box)
         dx = pk.x - W // 2
         dy = pk.y - H // 2
         res = Displacement(dx=dx, dy=dy, peak=pk.value, fit_ok=pk.fit_ok)
     else:
-        # Coarse integer shift from the plain surface (optionally confined
-        # to the search box around zero lag).
-        search = cc_s
+        # Coarse integer shift (optionally confined to the search box
+        # around zero lag). With a SMALL search window — the 'fitbox'
+        # default — the handful of needed lags is evaluated directly
+        # from the half-spectrum (windowed matrix-DFT): the full
+        # irfft2 + fftshift + whole-surface argmax, the pipeline's
+        # single largest stage, is skipped entirely.
         bounds = normalize_search_box(peak_search_box, H, W, peak_fit_box)
-        if bounds is not None:
-            r0, r1, c0, c1 = bounds
-            rows = jnp.arange(H)[None, :, None]
-            cols = jnp.arange(W)[None, None, :]
-            inside = ((rows >= r0) & (rows < r1)
-                      & (cols >= c0) & (cols < c1))
-            search = jnp.where(inside, search, -jnp.inf)
-        flat = jnp.argmax(search.reshape(B, -1), axis=-1)
-        s0y = (flat // W).astype(jnp.int32) - H // 2
-        s0x = (flat % W).astype(jnp.int32) - W // 2
-        # Window: cover ±0.5 coarse pixels (= usfac upsampled px) + fit box.
-        nwin = int(usfac) + int(peak_fit_box) + 3
+        if (bounds is not None
+                and bounds[1] - bounds[0] <= _WINDOWED_COARSE_MAX
+                and bounds[3] - bounds[2] <= _WINDOWED_COARSE_MAX):
+            Cc, ly0, lx0, ny, nx = _windowed_coarse_surface(
+                G, bounds, H, W)
+            flat = jnp.argmax(Cc.reshape(B, -1), axis=-1)
+            s0y = (flat // nx).astype(jnp.int32) + ly0
+            s0x = (flat % nx).astype(jnp.int32) + lx0
+        else:
+            cc_s = jnp.fft.fftshift(_irfft2(G, s=(H, W)), axes=(-2, -1))
+            search = cc_s
+            if bounds is not None:
+                r0, r1, c0, c1 = bounds
+                rows = jnp.arange(H)[None, :, None]
+                cols = jnp.arange(W)[None, None, :]
+                inside = ((rows >= r0) & (rows < r1)
+                          & (cols >= c0) & (cols < c1))
+                search = jnp.where(inside, search, -jnp.inf)
+            flat = jnp.argmax(search.reshape(B, -1), axis=-1)
+            s0y = (flat // W).astype(jnp.int32) - H // 2
+            s0x = (flat % W).astype(jnp.int32) - W // 2
+        # Window: cover ±0.5 coarse pixels (= usfac upsampled px) + the
+        # fit box, rounded up to a multiple of 8 (sublane-aligned — an
+        # odd window size wastes a relayout on TPU). Coverage proof:
+        # the true peak lies within usfac/2 upsampled px of the window
+        # center and the fit box needs peak_fit_box//2 more;
+        # (nwin-1)/2 >= (usfac + peak_fit_box + 1 - 1)/2 covers both.
+        nwin = -(-(int(usfac) + int(peak_fit_box) + 1) // 8) * 8
         C, off_y, off_x = _upsampled_correlation(G, s0y, s0x, int(usfac), nwin, H, W)
         pk = find_peak(C, peak_fit_box=peak_fit_box, fit_type=fit_type)
         dx = off_x + pk.x / usfac

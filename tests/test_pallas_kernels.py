@@ -208,3 +208,75 @@ def test_drizzle_tophat_not_separable_raises(driz_scene):
     with pytest.raises(ValueError, match="tophat"):
         drizzle_deposit_pallas(data, wht, gx, gy, out_shape,
                                kernel="tophat", interpret=True)
+
+
+class TestFusedCrossSpectrum:
+    """kernels/correlate.py: fused normalize+DFT cross-spectrum must
+    match ops.correlate._cross_spectrum (the XLA path) exactly-ish."""
+
+    def _batch(self, B=11, h=64, w=64, seed=4):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        dx = rng.uniform(-0.5, 0.5, B)[:, None, None]
+        dy = rng.uniform(-0.5, 0.5, B)[:, None, None]
+        ref = np.broadcast_to(
+            np.exp(-((xx - w / 2) ** 2 + (yy - h / 2) ** 2) / 8.0),
+            (B, h, w)).astype(np.float32)
+        img = np.exp(-((xx - w / 2 - dx) ** 2 + (yy - h / 2 - dy) ** 2)
+                     / 8.0).astype(np.float32)
+        ref = ref + rng.normal(0, 1e-3, ref.shape).astype(np.float32)
+        img = img + rng.normal(0, 1e-3, img.shape).astype(np.float32)
+        return jnp.asarray(ref), jnp.asarray(img)
+
+    def _check(self, ref, img, cc_type="NCC", rmask=None, imask=None):
+        import subpixal_tpu.ops.correlate as C
+        from subpixal_tpu.kernels.correlate import cross_spectrum_pallas
+
+        orig = C._use_matmul_dft
+        C._use_matmul_dft = lambda H, W: True  # force the oracle's path
+        try:
+            G = C._cross_spectrum(ref, img, cc_type, rmask, imask)
+        finally:
+            C._use_matmul_dft = orig
+        Gr, Gi = cross_spectrum_pallas(ref, img, rmask, imask,
+                                       cc_type=cc_type, block_cutouts=4,
+                                       interpret=True)
+        scale = max(1.0, float(jnp.abs(G).max()))
+        assert np.abs(np.asarray(Gr) - np.real(G)).max() / scale < 2e-6
+        assert np.abs(np.asarray(Gi) - np.imag(G)).max() / scale < 2e-6
+
+    def test_matches_xla_ncc(self):
+        ref, img = self._batch()
+        self._check(ref, img, "NCC")
+
+    def test_matches_xla_cc(self):
+        ref, img = self._batch(seed=5)
+        self._check(ref, img, "CC")
+
+    def test_matches_xla_masked(self):
+        ref, img = self._batch(B=6, seed=6)
+        rng = np.random.default_rng(7)
+        rmask = jnp.asarray(rng.random(ref.shape) > 0.1)
+        imask = jnp.asarray(rng.random(img.shape) > 0.1)
+        self._check(ref, img, "NCC", rmask, imask)
+
+    def test_matches_xla_shared_mask_zncc(self):
+        ref, img = self._batch(B=5, seed=8)
+        rng = np.random.default_rng(9)
+        m = jnp.asarray(rng.random(ref.shape) > 0.2)
+        self._check(ref, img, "ZNCC", m, m)
+
+    def test_odd_batch_and_shape(self):
+        # B not a multiple of block_cutouts; non-square, non-64 shapes
+        rng = np.random.default_rng(10)
+        ref = jnp.asarray(rng.normal(size=(7, 32, 48)).astype(np.float32))
+        img = jnp.asarray(rng.normal(size=(7, 32, 48)).astype(np.float32))
+        self._check(ref, img, "NCC")
+
+    def test_rejects_unknown_cc_type(self):
+        ref, img = self._batch(B=2)
+        import pytest as _pytest
+        from subpixal_tpu.kernels.correlate import cross_spectrum_pallas
+        with _pytest.raises(ValueError, match="cc_type"):
+            cross_spectrum_pallas(ref, img, cc_type="nope",
+                                  interpret=True)
