@@ -102,10 +102,12 @@ def _np_find_displacement(ref, img, usfac=10, kfit=5):
     return dx, dy
 
 
-def bench_cpu_reference(refs, imgs, n_pairs=200, repeats=3):
-    """Serial-numpy baseline rate: median of ``repeats`` timed passes over
-    ``n_pairs`` pairs (a single 40-pair pass drifted ~15% between rounds
-    from CPU-side noise — VERDICT r2 weak #6)."""
+def bench_cpu_reference(refs, imgs, n_pairs=200, repeats=5):
+    """Serial-numpy baseline rate: BEST of ``repeats`` timed passes over
+    ``n_pairs`` pairs. A single 40-pair pass drifted ~15% between rounds
+    and even a median-of-3 swung 2x when this (single-core, shared)
+    host was busy — the max is the honest capability number and the one
+    robust to one-sided slowdown noise (VERDICT r2 weak #6)."""
     out = []
     rates = []
     for rep in range(repeats):
@@ -115,7 +117,7 @@ def bench_cpu_reference(refs, imgs, n_pairs=200, repeats=3):
         rates.append(n_pairs / (time.perf_counter() - t0))
         if rep == 0:
             out = res
-    return float(np.median(rates)), np.asarray(out)
+    return float(np.max(rates)), np.asarray(out)
 
 
 def _dev_time_per_iter(make_loop, iters=(1, 21)):

@@ -40,8 +40,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .blot import (compute_cutout_pixmaps_device, compute_pixmap,
-                   compute_pixmap_device, device_pixmap_min_pixels)
+from .blot import (compute_cutout_pixmaps_device,
+                   compute_cutout_pixmaps_device_stack, compute_pixmap,
+                   compute_pixmap_device, compute_pixmap_device_stack,
+                   device_pixmap_min_pixels)
 from .catalogs import ImageCatalog, ImageSourceCatalog
 from .cutout import create_primary_cutouts
 from .ops.correlate import find_displacement
@@ -1154,11 +1156,11 @@ def align_images(
             # costs ~13 s per 4k^2 frame; the deposit only needs
             # mpix-class grids — see compute_pixmap_device)
             t = time.time()
-            if H * W >= device_pixmap_min_pixels():
-                dri_maps.append(
-                    compute_pixmap_device(exp.wcs, ref_wcs, (H, W)))
-            else:
+            if H * W < device_pixmap_min_pixels():
                 dri_maps.append(compute_pixmap(exp.wcs, ref_wcs, (H, W)))
+            # else: device pixmaps for the WHOLE stack are built in one
+            # program after this loop (per-frame dispatches cost ~65 ms
+            # each on tunneled runtimes)
             t = _mark("frame_pixmaps", t)
             # predicted source positions in this exposure
             sx, sy = exp.wcs.world_to_pixel(ra_cat, dec_cat)
@@ -1237,19 +1239,39 @@ def align_images(
         exp_data = jnp.asarray(exp_data)
         exp_wht = jnp.asarray(exp_wht)
         if use_dev_cut:
-            maps = [compute_cutout_pixmaps_device(
-                        exp.wcs, ref_wcs, blc_all[e], cut_shape)
-                    for e, exp in enumerate(exps)]
-            cut_px_j = jnp.stack([m[0] for m in maps])
-            cut_py_j = jnp.stack([m[1] for m in maps])
+            # ONE device program for the whole stack's cutout pixmaps
+            # (falls back to per-frame programs for mixed-SIP stacks)
+            st = compute_cutout_pixmaps_device_stack(
+                [e.wcs for e in exps], ref_wcs, blc_all, cut_shape)
+            if st is None:
+                maps = [compute_cutout_pixmaps_device(
+                            exp.wcs, ref_wcs, blc_all[e], cut_shape)
+                        for e, exp in enumerate(exps)]
+                cut_px_j = jnp.stack([m[0] for m in maps])
+                cut_py_j = jnp.stack([m[1] for m in maps])
+            else:
+                cut_px_j, cut_py_j = st
             t = _mark("cutout_pixmaps", t)
         else:
             cut_px_j = jnp.asarray(cut_px)
             cut_py_j = jnp.asarray(cut_py)
-        dri_px_j = jnp.stack(
-            [jnp.asarray(p, jnp.float32) for p, _ in dri_maps])
-        dri_py_j = jnp.stack(
-            [jnp.asarray(q, jnp.float32) for _, q in dri_maps])
+        if dri_maps:  # host pixmaps (small frames / CPU backend)
+            dri_px_j = jnp.stack(
+                [jnp.asarray(p, jnp.float32) for p, _ in dri_maps])
+            dri_py_j = jnp.stack(
+                [jnp.asarray(q, jnp.float32) for _, q in dri_maps])
+        else:
+            st = compute_pixmap_device_stack(
+                [e.wcs for e in exps], ref_wcs, exps[0].data.shape)
+            if st is None:  # mixed SIP structure: per-frame programs
+                dri_maps = [compute_pixmap_device(
+                                e.wcs, ref_wcs, e.data.shape)
+                            for e in exps]
+                dri_px_j = jnp.stack([p for p, _ in dri_maps])
+                dri_py_j = jnp.stack([q for _, q in dri_maps])
+            else:
+                dri_px_j, dri_py_j = st
+            t = _mark("frame_pixmaps", t)
         img_cut, img_msk, seg_cut = _stage_device_inputs(
             exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
             cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),

@@ -208,6 +208,74 @@ def _cutout_pixmaps_device_core(crpix1, cd1, A, B_, M, icd2, AP2, BP2,
             jnp.broadcast_to(v2 + crpix2[1], (N, h, w)))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode"))
+def _cutout_pixmaps_stack_core(params, blc, *, shape, sip_mode,
+                               sip2_mode):
+    """vmap of :func:`_cutout_pixmaps_device_core` over a leading
+    exposure axis: params are (E, ...)-stacked, blc is (E, N, 2).
+    Returns (E, N, h, w) pairs — ONE dispatch for the whole stack."""
+    def one(p, b):
+        return _cutout_pixmaps_device_core(
+            *p, b, shape=shape, sip_mode=sip_mode, sip2_mode=sip2_mode)
+
+    return jax.vmap(one)(params, blc)
+
+
+def _stacked_wcs_params(wcs_list, to_wcs):
+    """(E, ...)-stacked f32 param pack when every WCS shares one SIP
+    configuration (and coefficient shapes) — else None (fall back to
+    per-frame programs)."""
+    packs = [_device_wcs_params(w, to_wcs) for w in wcs_list]
+    modes = {(s1, s2) for _, s1, s2 in packs}
+    shapes = {tuple(p.shape for p in pk) for pk, _, _ in packs}
+    if len(modes) != 1 or len(shapes) != 1:
+        return None, None, None
+    sip_mode, sip2_mode = modes.pop()
+    stacked = tuple(jnp.stack([pk[i] for pk, _, _ in packs])
+                    for i in range(len(packs[0][0])))
+    return stacked, sip_mode, sip2_mode
+
+
+def compute_cutout_pixmaps_device_stack(wcs_list, to_wcs, blc, shape):
+    """:func:`compute_cutout_pixmaps_device` for a whole exposure stack
+    in ONE device program (per-frame dispatches cost ~65 ms each on
+    tunneled runtimes). ``blc`` is (E, N, 2); returns (E, N, h, w)
+    pairs, or None when the WCSs mix SIP configurations (caller falls
+    back to per-frame calls)."""
+    stacked, sip_mode, sip2_mode = _stacked_wcs_params(wcs_list, to_wcs)
+    if stacked is None:
+        return None
+    blc_j = jnp.asarray(np.asarray(blc, np.float32))
+    return _cutout_pixmaps_stack_core(
+        stacked, blc_j, shape=tuple(shape), sip_mode=sip_mode,
+        sip2_mode=sip2_mode)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode"))
+def _pixmap_stack_core(params, *, shape, sip_mode, sip2_mode):
+    zero = jnp.zeros((2,), jnp.float32)
+
+    def one(p):
+        return _pixmap_device_core(*p, zero, shape=shape,
+                                   sip_mode=sip_mode,
+                                   sip2_mode=sip2_mode)
+
+    return jax.vmap(one)(params)
+
+
+def compute_pixmap_device_stack(wcs_list, to_wcs, shape):
+    """:func:`compute_pixmap_device` for a whole same-shape exposure
+    stack in ONE device program. Returns (E, H, W) pairs or None when
+    the WCSs mix SIP configurations."""
+    stacked, sip_mode, sip2_mode = _stacked_wcs_params(wcs_list, to_wcs)
+    if stacked is None:
+        return None
+    return _pixmap_stack_core(stacked, shape=tuple(shape),
+                              sip_mode=sip_mode, sip2_mode=sip2_mode)
+
+
 def _device_wcs_params(from_wcs: TanWCS, to_wcs: TanWCS):
     """f32 parameter pack + static SIP modes for the device pixmap cores."""
     from .wcs.wcs import tangent_homography

@@ -17,6 +17,7 @@ cached so ``add_image``/``drop_image`` are O(1 exposure), not O(stack).
 
 from __future__ import annotations
 
+import functools
 import warnings
 from typing import Sequence
 
@@ -26,6 +27,36 @@ import jax.numpy as jnp
 
 from ..ops.drizzle import drizzle_combine, drizzle_deposit
 from ..wcs.wcs import TanWCS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "sip_mode", "sip2_mode", "oshape",
+                     "pixfrac", "kernel", "tile", "ratios",
+                     "interpret"))
+def _deposit_stack_core(params, data, wht, scales, *, shape, sip_mode,
+                        sip2_mode, oshape, pixfrac, kernel, tile,
+                        ratios, interpret=False):
+    """ONE device program: stack pixmaps (vmap'd WCS composition) + all
+    Pallas deposits + the stack sums. Per-frame dispatches cost ~65 ms
+    each on tunneled TPU runtimes, so a warm 8-frame execute() pays ~1 s
+    in dispatch alone when issued frame-by-frame."""
+    from ..blot import _pixmap_stack_core
+    from ..kernels.drizzle import drizzle_deposit_pallas
+
+    px, py = _pixmap_stack_core(params, shape=shape, sip_mode=sip_mode,
+                                sip2_mode=sip2_mode)
+    ss, ws = [], []
+    for e in range(data.shape[0]):  # static unroll
+        s, w = drizzle_deposit_pallas(
+            data[e], wht[e], px[e], py[e], oshape, pixfrac=pixfrac,
+            pscale_ratio=ratios[e], kernel=kernel, tile=tile,
+            interpret=interpret)
+        ss.append(s * scales[e])
+        ws.append(w * scales[e])
+    sci_s = jnp.stack(ss)
+    wht_s = jnp.stack(ws)
+    return sci_s, wht_s, jnp.sum(sci_s, axis=0), jnp.sum(wht_s, axis=0)
 
 __all__ = ["Resample", "Drizzle", "Exposure", "make_output_wcs",
            "make_static_mask", "exposure_rate_data",
@@ -465,6 +496,51 @@ class Drizzle(Resample):
             w = w * jnp.float32(scale)
         return s, w
 
+    #: the stacked one-program execute path materializes every frame's
+    #: pixmap at once in HBM — gate it by total pixmap bytes so mosaic-
+    #: scale stacks keep the one-pixmap-at-a-time flow (ADVICE r2 #2)
+    _STACK_EXEC_MAX_PIXMAP_BYTES = 1_500_000_000
+
+    def _execute_stack(self, tile, _interpret=False):
+        """All pixmaps + deposits as ONE device program (per-frame
+        dispatches cost ~65 ms each on tunneled runtimes). Returns
+        (sci_stack, wht_stack, sci_sum, wht_sum) or None when the stack
+        is not eligible (mixed SIP structure, host-pixmap regime, or a
+        pixmap footprint beyond the HBM gate)."""
+        from ..blot import _stacked_wcs_params, device_pixmap_min_pixels
+
+        shape = self.exposures[0].data.shape
+        E = len(self.exposures)
+        if shape[0] * shape[1] < device_pixmap_min_pixels():
+            return None
+        if E * shape[0] * shape[1] * 8 > self._STACK_EXEC_MAX_PIXMAP_BYTES:
+            return None
+        stacked, sip_mode, sip2_mode = _stacked_wcs_params(
+            [e.wcs for e in self.exposures], self._owcs)
+        if stacked is None:
+            return None
+        data = np.stack([exposure_rate_data(e) for e in self.exposures])
+        whts, scales = [], []
+        for exp in self.exposures:
+            base, mask = exposure_pixel_weight(exp, self.wht_type)
+            if np.isscalar(base) or np.ndim(base) == 0:
+                scales.append(float(base))
+                whts.append(np.ones(shape, np.float32) if mask is None
+                            else np.asarray(mask, np.float32))
+            else:
+                scales.append(1.0)
+                whts.append(np.asarray(
+                    base if mask is None else base * mask, np.float32))
+        ratios = tuple(round(float(e.wcs.pscale / self._owcs.pscale), 6)
+                       for e in self.exposures)
+        return _deposit_stack_core(
+            stacked, jnp.asarray(data), jnp.asarray(np.stack(whts)),
+            jnp.asarray(np.asarray(scales, np.float32)),
+            shape=tuple(shape), sip_mode=sip_mode, sip2_mode=sip2_mode,
+            oshape=self._oshape, pixfrac=self.pixfrac,
+            kernel=self.kernel, tile=tile, ratios=ratios,
+            interpret=_interpret)
+
     # -- public API ------------------------------------------------------ #
     def execute(self) -> None:
         """(Re)drizzle the full stack; caches per-exposure deposits."""
@@ -484,6 +560,13 @@ class Drizzle(Resample):
             # one shared tile for the whole stack, sized on host from
             # the WCSs (no pixmaps needed) -> one Mosaic compile
             tile = self._shared_tile()
+            out = self._execute_stack(tile)
+            if out is not None:
+                sci_s, wht_s, sci, wht = out
+                for e, exp in enumerate(self.exposures):
+                    self._per_exp[exp.name] = (sci_s[e], wht_s[e])
+                self._sci_acc, self._wht_acc = sci, wht
+                return
         for exp in self.exposures:
             # each deposit builds (and frees) its own pixmap: peak HBM
             # is bounded by ONE pixmap regardless of stack size
