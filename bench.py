@@ -344,6 +344,15 @@ def bench_align_smoke(parity_ref=None):
         "align_iter_ms": round(1e3 * float(np.median(steady)), 1),
         "align_fit_err_mpix": round(err_mpix, 3),
         "align_setup_s": round(res.setup_s, 2),
+        # machine-visible per-stage breakdown (VERDICT r2 task 2): the
+        # three historically dominant stages + whatever else is >0.25 s
+        "align_setup_breakdown": {
+            k: round(v, 2) for k, v in
+            (res.setup_breakdown or {}).items()
+            if isinstance(v, float) and
+            (v > 0.25 or k in ("resample_execute", "cutout_pixmaps",
+                               "frame_pixmaps"))
+        },
         "align_n_iterations": res.n_iterations,
     }
     if parity_ref is not None:
@@ -384,6 +393,7 @@ def bench_align_2k():
     steady = iters[1:] or iters
     return {
         "align2k_iter_ms": round(1e3 * float(np.median(steady)), 1),
+        "align2k_setup_s": round(res.setup_s, 2),
         "align2k_fit_err_mpix": round(err_mpix, 3),
         "align2k_sparse_live_frac":
             res.setup_breakdown.get("sparse_live_frac", 1.0),
