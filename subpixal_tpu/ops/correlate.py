@@ -225,16 +225,66 @@ def _use_fused_xspec(H: int, W: int) -> bool:
         return False
 
 
+def _rfft2_parts(x: jax.Array):
+    """(re, im) rfft2 via the MXU matmul-DFT when gated on, else jnp.fft."""
+    if _use_matmul_dft(*x.shape[-2:]):
+        return _rfft2_matmul(x)
+    F = jnp.fft.rfft2(x)
+    return jnp.real(F), jnp.imag(F)
+
+
+def _spectral_ncc_product(ref, img):
+    """Unmasked-NCC cross-spectrum computed ENTIRELY in the Fourier domain.
+
+    For mask-free NCC/ZNCC the spatial normalize stage is algebraically
+    redundant: subtracting the mean only zeroes the DC bin (the spectrum
+    of ``a - mean(a)`` equals that of ``a`` away from (0, 0)), and the
+    per-side scale ``1/(sigma*sqrt(n))`` follows from Parseval on the
+    DC-free half-spectrum power ``P = sum_k w_k |X_k|^2 - X_00^2``
+    (``w_k`` the hermitian fold weights): ``sigma*sqrt(n) = sqrt(P/n)``.
+    So the raw cutouts go STRAIGHT into the forward matmul-DFT and the
+    whole normalize stage — two extra passes over the cutout batch, the
+    front end's largest HBM cost (docs/architecture.md §Roofline) —
+    disappears. Matches :func:`_normalize`'s semantics exactly in exact
+    arithmetic (reference parity: `subpixal/cc.py · build_cc_image`
+    normalized correlation).
+    """
+    H, W = ref.shape[-2:]
+    n = float(H * W)
+    Rr, Ri = _rfft2_parts(ref.astype(jnp.float32))
+    Ir, Ii = _rfft2_parts(img.astype(jnp.float32))
+    wk = _hermitian_weights(W)
+
+    def dc_free_power(Xr, Xi):
+        p = jnp.sum(wk * (Xr * Xr + Xi * Xi), axis=(-2, -1))
+        return p - Xr[..., 0, 0] ** 2      # X_00 is real for real input
+
+    # 1/(sigma*sqrt(n)) per side, combined; rsqrt'd separately so huge-
+    # amplitude cutouts cannot overflow the f32 product of powers
+    scale = (n * jax.lax.rsqrt(jnp.maximum(dc_free_power(Rr, Ri), 1e-20))
+             * jax.lax.rsqrt(jnp.maximum(dc_free_power(Ir, Ii), 1e-20)))
+    scale = scale[..., None, None]
+    Gr = (Ir * Rr + Ii * Ri) * scale
+    Gi = (Ii * Rr - Ir * Ri) * scale
+    # both sides' means subtracted => the DC bin vanishes (Gi_00 already
+    # is 0: both imaginary parts are 0 at DC)
+    Gr = Gr.at[..., 0, 0].set(0.0)
+    return jax.lax.complex(Gr, Gi)
+
+
 def _cross_spectrum(ref, img, cc_type, ref_mask, img_mask):
     """G = fft2(img) * conj(fft2(ref)) for normalized inputs, via rfft2.
 
-    On TPU the whole front end (masked NCC statistics + normalize + the
-    forward W/H matmul-DFT passes + the conjugate product) runs as ONE
-    Pallas kernel (:func:`subpixal_tpu.kernels.correlate.
-    cross_spectrum_pallas`): the normalized cutouts and per-side spectra
-    stay in VMEM instead of round-tripping HBM — the displacement
-    pipeline's HBM-bound stage (docs/architecture.md §Roofline).
+    Mask-free NCC/ZNCC takes the spectral-normalization path
+    (:func:`_spectral_ncc_product`) — no spatial normalize pass at all.
+    The opt-in fused Pallas kernel (:func:`subpixal_tpu.kernels.
+    correlate.cross_spectrum_pallas`) keeps masked statistics +
+    normalize + forward DFT + product VMEM-resident for the masked case.
     """
+    if (cc_type in ("NCC", "ZNCC") and ref_mask is None
+            and img_mask is None
+            and not _use_fused_xspec(*ref.shape[-2:])):
+        return _spectral_ncc_product(ref, img)
     if _use_fused_xspec(*ref.shape[-2:]):
         from ..kernels.correlate import cross_spectrum_pallas
 

@@ -49,7 +49,8 @@ def _deposit_stack_core(params, data, wht, scales, *, shape, sip_mode,
     ss, ws = [], []
     for e in range(data.shape[0]):  # static unroll
         s, w = drizzle_deposit_pallas(
-            data[e], wht[e], px[e], py[e], oshape, pixfrac=pixfrac,
+            data[e], None if wht is None else wht[e], px[e], py[e],
+            oshape, pixfrac=pixfrac,
             pscale_ratio=ratios[e], kernel=kernel, tile=tile,
             interpret=interpret)
         ss.append(s * scales[e])
@@ -525,16 +526,26 @@ class Drizzle(Resample):
             base, mask = exposure_pixel_weight(exp, self.wht_type)
             if np.isscalar(base) or np.ndim(base) == 0:
                 scales.append(float(base))
-                whts.append(np.ones(shape, np.float32) if mask is None
+                whts.append(None if mask is None
                             else np.asarray(mask, np.float32))
             else:
                 scales.append(1.0)
                 whts.append(np.asarray(
                     base if mask is None else base * mask, np.float32))
+        if all(w is None for w in whts):
+            # unweighted stack: let the deposit kernel synthesize unit
+            # weights on device — an all-ones (E, H, W) stack would
+            # double the host->device payload (268 MB at 4x4k^2), the
+            # dominant cost of a tunneled mosaic-scale execute()
+            wht_stack = None
+        else:
+            wht_stack = jnp.asarray(np.stack(
+                [np.ones(shape, np.float32) if w is None else w
+                 for w in whts]))
         ratios = tuple(round(float(e.wcs.pscale / self._owcs.pscale), 6)
                        for e in self.exposures)
         return _deposit_stack_core(
-            stacked, jnp.asarray(data), jnp.asarray(np.stack(whts)),
+            stacked, jnp.asarray(data), wht_stack,
             jnp.asarray(np.asarray(scales, np.float32)),
             shape=tuple(shape), sip_mode=sip_mode, sip2_mode=sip2_mode,
             oshape=self._oshape, pixfrac=self.pixfrac,

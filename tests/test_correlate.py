@@ -248,3 +248,45 @@ class TestMatmulDFT:
             C._use_matmul_dft = orig
         assert np.abs(np.asarray(d_mm.dx) - np.asarray(d_fft.dx)).max() < 1e-4
         assert np.abs(np.asarray(d_mm.dy) - np.asarray(d_fft.dy)).max() < 1e-4
+
+
+class TestSpectralNCC:
+    """The mask-free NCC cross-spectrum is computed entirely in the
+    Fourier domain (DC-bin zeroing + Parseval scale) — must match the
+    explicit spatial normalize to f32 rounding."""
+
+    def test_matches_spatial_normalize(self):
+        import jax.numpy as jnp
+        import subpixal_tpu.ops.correlate as C
+
+        rng = np.random.default_rng(7)
+        B, h, w = 8, 32, 32
+        ref = rng.normal(50.0, 9.0, (B, h, w)).astype(np.float32)
+        img = rng.normal(-3.0, 2.5, (B, h, w)).astype(np.float32)
+        for cc_type in ("NCC", "ZNCC"):
+            G_fast = np.asarray(C._cross_spectrum(
+                jnp.asarray(ref), jnp.asarray(img), cc_type, None, None))
+            r = C._normalize(jnp.asarray(ref), None, cc_type)
+            i = C._normalize(jnp.asarray(img), None, cc_type)
+            G_ref = np.asarray(jnp.fft.rfft2(i) * np.conj(jnp.fft.rfft2(r)))
+            scale = max(1.0, np.abs(G_ref).max())
+            # 5e-5: DFT-ing the RAW data leaves mean-cancellation f32
+            # rounding (~eps * mean * n per bin) the spatial path avoids
+            # by subtracting the mean first; ~1e-5 relative at mean/sigma
+            # ~ 6 — far below the <0.01-pix displacement target
+            assert np.abs(G_fast - G_ref).max() / scale < 5e-5
+
+    def test_gain_offset_invariance_and_peak(self):
+        import subpixal_tpu.ops.correlate as C
+
+        rng = np.random.default_rng(3)
+        h = w = 48
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        base = np.exp(-((xx - 24.0)**2 + (yy - 23.6)**2) / 6.0)
+        ref = base.astype(np.float32)
+        img = (250.0 * np.exp(-((xx - 24.4)**2 + (yy - 23.6)**2) / 6.0)
+               + 77.0).astype(np.float32)
+        d = C.find_displacement(ref, img, cc_type="NCC", usfac=10,
+                                fit_type="gaussian")
+        assert abs(float(d.dx) - 0.4) < 0.02
+        assert abs(float(d.dy)) < 0.02
