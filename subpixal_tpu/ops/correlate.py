@@ -42,6 +42,20 @@ from .peaks import find_peak, normalize_search_box
 __all__ = ["cross_correlate", "find_displacement", "Displacement"]
 
 _P = jax.lax.Precision.HIGHEST
+#: forward-transform precision: HIGH (3-pass bf16, ~2^-21 relative) is
+#: enough for the FORWARD DFTs — their output feeds normalized
+#: correlation surfaces whose sub-pixel read-out tolerates ~1e-5
+#: relative spectrum error (the spectral-NCC scale factor already
+#: carries that much f32 rounding) — and halves the MXU passes of the
+#: displacement pipeline's largest remaining stage. The upsampled /
+#: windowed read-out contractions stay HIGHEST: they set the final
+#: <0.01-pix precision. Override with SUBPIXAL_TPU_FWD_PRECISION=
+#: highest (read at trace time, like SUBPIXAL_TPU_FFT).
+import os as _os
+
+_P_FWD = (jax.lax.Precision.HIGHEST
+          if _os.environ.get("SUBPIXAL_TPU_FWD_PRECISION", "").lower()
+          == "highest" else jax.lax.Precision.HIGH)
 
 
 class Displacement(NamedTuple):
@@ -177,8 +191,8 @@ def _rfft2_matmul(x: jax.Array):
     H, W = x.shape[-2:]
     Wr = W // 2 + 1
     CWS, CHS, _, _ = _dft_consts(H, W)
-    X = jnp.einsum("...hw,kw->...hk", x, CWS, precision=_P)  # [Xr|Xi]
-    Q = jnp.einsum("gh,...hk->...gk", CHS, X, precision=_P)
+    X = jnp.einsum("...hw,kw->...hk", x, CWS, precision=_P_FWD)  # [Xr|Xi]
+    Q = jnp.einsum("gh,...hk->...gk", CHS, X, precision=_P_FWD)
     Yr = Q[..., :H, :Wr] - Q[..., H:, Wr:]   # CH@Xr - SH@Xi
     Yi = Q[..., :H, Wr:] + Q[..., H:, :Wr]   # CH@Xi + SH@Xr
     return Yr, Yi
