@@ -126,6 +126,14 @@ class AlignConfig:
     # no longer reproduces. Set False to debug per-iteration state from
     # the host.
     device_loop: bool | str = "auto"
+    # default-catalog (catalogs=None) source detection: 'device' runs
+    # the TPU finder (catalogs/device.py) on the device-resident
+    # drizzled reference — the mosaic is NEVER fetched to host (multi-MB
+    # d2h fetches stall 100-500 s on tunneled runtimes); 'host' fetches
+    # and runs the native host finder (deblending included); 'auto' =
+    # device on accelerator backends. Documented deviation: the device
+    # finder does not deblend merged sources (docs/parity.md).
+    device_catalog: str = "auto"
 
 
 @dataclasses.dataclass
@@ -231,6 +239,73 @@ def _stage_device_inputs(exp_data, centers, seg_f, cut_px, cut_py,
     seg_cut = jnp.maximum(
         seg_cut, (~seg_ok)[None, :, None, None].astype(jnp.float32))
     return cb.data, cb.mask, seg_cut
+
+
+class _PrimMeta:
+    """Shape/position/id/flux of one primary cutout WITHOUT its pixels.
+
+    The align setup consumes only these four attributes of the primary
+    cutouts (`align_images` below); on the device-catalog path the
+    mosaic pixels never reach the host, so the Cutout objects are
+    replaced by this metadata view (``.data`` is an allocation-free
+    broadcast view solely for ``.data.shape``).
+    """
+
+    __slots__ = ("data", "src_id", "src_pos_parent", "src_weight")
+
+    def __init__(self, shape, src_id, pos, weight):
+        self.data = np.broadcast_to(np.float32(0.0), shape)
+        self.src_id = src_id
+        self.src_pos_parent = pos
+        self.src_weight = weight
+
+
+def _prim_meta_from_catalog(cat, out_shape, pad: int = 1,
+                            min_box_size: int = 8,
+                            max_box_size: int = 512):
+    """Primary-cutout metadata from a catalog table's bbox columns.
+
+    Mirrors :func:`subpixal_tpu.cutout.create_primary_cutouts`'s box
+    sizing and rejection logic (footprint + pad, min/max box size,
+    no-overlap skip) using only the table — no reference-image pixels.
+    """
+    Hs, Ws = out_shape
+    n = len(cat)
+    ids = (np.asarray(cat["id"], int) if "id" in cat
+           else np.arange(1, n + 1))
+    xs = np.asarray(cat["x"], float)
+    ys = np.asarray(cat["y"], float)
+    flux = (np.asarray(cat["flux"], float) if "flux" in cat
+            else np.ones(n))
+    has_bb = all(k in cat for k in ("xmin", "xmax", "ymin", "ymax"))
+    out = []
+    for k in range(n):
+        if has_bb and int(np.asarray(cat["ymax"])[k]) >= 0:
+            fy0 = int(np.asarray(cat["ymin"])[k])
+            fy1 = int(np.asarray(cat["ymax"])[k])
+            fx0 = int(np.asarray(cat["xmin"])[k])
+            fx1 = int(np.asarray(cat["xmax"])[k])
+            y0 = fy0 - pad
+            x0 = fx0 - pad
+            h = fy1 - y0 + 1 + pad
+            w = fx1 - x0 + 1 + pad
+            if h < min_box_size or w < min_box_size:
+                cy, cx = (fy0 + fy1) / 2, (fx0 + fx1) / 2
+                h = w = max(h, w, min_box_size)
+                y0 = int(round(cy)) - h // 2
+                x0 = int(round(cx)) - w // 2
+            if h > max_box_size or w > max_box_size:
+                continue  # reject absurd footprints (blended junk)
+        else:
+            y0 = int(round(ys[k])) - min_box_size // 2
+            x0 = int(round(xs[k])) - min_box_size // 2
+            h = w = min_box_size
+        if y0 >= Hs or x0 >= Ws or y0 + h <= 0 or x0 + w <= 0:
+            continue  # NoOverlapError parity
+        out.append(_PrimMeta((h, w), int(ids[k]),
+                             (float(xs[k]), float(ys[k])),
+                             float(flux[k])))
+    return out
 
 
 from .kernels._common import DEPOSIT_BLOCK
@@ -1000,9 +1075,29 @@ def align_images(
         if cfg.reject_cr and len(resample.exposures) >= 3:
             resample.reject_cr()
         t = _mark("resample_execute", t)
-        drz_sci = resample.output_sci
         ref_wcs = resample.output_wcs
         out_shape = resample.output_shape
+        # default-catalog detection on DEVICE (cfg.device_catalog): the
+        # drizzled reference never crosses to host — see catalogs/device
+        if cfg.device_catalog not in ("auto", "device", "host"):
+            raise ValueError(
+                f"device_catalog must be 'auto'|'device'|'host', got "
+                f"{cfg.device_catalog!r}")
+        use_dev_catalog = (
+            catalogs is None
+            and (cfg.device_catalog == "device"
+                 or (cfg.device_catalog == "auto"
+                     and jax.default_backend() in ("tpu", "axon", "gpu")))
+            and getattr(resample, "_sci_acc", None) is not None)
+        if use_dev_catalog:
+            from .ops.drizzle import drizzle_combine
+
+            drz_sci = None  # never fetched; detection reads this:
+            drz_sci_dev = drizzle_combine(
+                resample._sci_acc, resample._wht_acc,
+                fill=getattr(resample, "fillval", 0.0))
+        else:
+            drz_sci = resample.output_sci
         t = _mark("output_sci", t)
 
         # -- catalog(s) + segmentation on the reference ------------------ #
@@ -1011,7 +1106,13 @@ def align_images(
         # every catalog's sources drives the measurement, each source
         # masked against ITS OWN catalog's segmentation plane.
         if catalogs is None:
-            cat_list: list[ImageCatalog] = [ImageSourceCatalog(drz_sci)]
+            if use_dev_catalog:
+                from .catalogs.device import DeviceSourceCatalog
+
+                cat_list: list[ImageCatalog] = [
+                    DeviceSourceCatalog(drz_sci_dev)]
+            else:
+                cat_list = [ImageSourceCatalog(drz_sci)]
         elif isinstance(catalogs, (list, tuple)):
             cat_list = list(catalogs)
         else:
@@ -1019,7 +1120,10 @@ def align_images(
         if not cat_list:
             raise ValueError("catalogs must not be an empty sequence")
         cats = [c.catalog for c in cat_list]   # lazily .execute()s each
-        seg_planes = [c.segmentation for c in cat_list]
+        # prefer device-resident segmentation planes (no host roundtrip)
+        seg_planes = [getattr(c, "segmentation_device", None)
+                      if getattr(c, "segmentation_device", None)
+                      is not None else c.segmentation for c in cat_list]
         t = _mark("catalog", t)
         have_seg = any(s is not None for s in seg_planes)
         n_tot = sum(len(c) for c in cats)
@@ -1031,13 +1135,21 @@ def align_images(
         prim = []
         src_cat_l: list[int] = []
         for ci, (cat, seg_i) in enumerate(zip(cats, seg_planes)):
-            p_i = create_primary_cutouts(
-                cat,
-                seg_i if seg_i is not None
-                else np.zeros(out_shape, np.int32),
-                drz_sci, ref_wcs,
-                combine_seg_mask=False,  # masking happens on device
-            )
+            if use_dev_catalog:
+                # box/filter logic of create_primary_cutouts from the
+                # table's bbox columns alone — the mosaic pixels stay
+                # on device (only shapes/ids/positions are consumed
+                # downstream; the measurement reference is blotted from
+                # the device mosaic, never from host cutouts)
+                p_i = _prim_meta_from_catalog(cat, out_shape)
+            else:
+                p_i = create_primary_cutouts(
+                    cat,
+                    seg_i if seg_i is not None
+                    else np.zeros(out_shape, np.int32),
+                    drz_sci, ref_wcs,
+                    combine_seg_mask=False,  # masking happens on device
+                )
             prim.extend(p_i)
             src_cat_l.extend([ci] * len(p_i))
         if len(prim) < cfg.min_sources:
@@ -1127,16 +1239,41 @@ def align_images(
         jac = np.zeros((E, N, 2, 2), np.float32)
         xy0 = np.zeros((E, N, 2), np.float32)
         src_valid = np.zeros((E, N), bool)
-        exp_data = np.zeros((E,) + exps[0].data.shape, np.float32)
-        exp_wht = np.ones((E,) + exps[0].data.shape, np.float32)
+        # reuse the device-resident rate-data stack the stacked
+        # Drizzle.execute() just built for these SAME exposures (keyed
+        # on object identities): re-shipping it across the host->device
+        # tunnel is the dominant mosaic-scale setup cost (268 MB at
+        # 4x4k^2, ~15-40 MB/s measured on the tunneled runtime)
+        from .resample import _exposure_stack_key as _stack_key  # noqa
+        _ds = getattr(resample, "_data_stack", None)
+        reuse_data = (
+            _ds is not None
+            and getattr(resample, "_data_stack_key", None)
+            == _stack_key(exps)
+            and tuple(_ds.shape) == (E,) + tuple(exps[0].data.shape))
+        exp_data = (None if reuse_data
+                    else np.zeros((E,) + exps[0].data.shape, np.float32))
+        # weights: per-pixel arrays only when some exposure actually has
+        # them; the common scalar-weight case synthesizes ones ON DEVICE
+        # (an all-ones (E, H, W) host stack would pay the tunnel too)
+        wht_scalars = np.ones(E, np.float32)
+        exp_wht = None  # host (E, H, W) stack, built lazily
         dri_maps: list = []  # per-frame drizzle pixmaps (host or device)
 
         ra_cat, dec_cat = ref_wcs.pixel_to_world(xy_cat[:, 0], xy_cat[:, 1])
-        # (C, H, W) per-catalog segmentation stack (zero plane = no seg)
-        seg_f = np.stack([
-            np.zeros(out_shape, np.float32) if s is None
-            else np.asarray(s, np.float32)
-            for s in seg_planes])
+        # (C, H, W) per-catalog segmentation stack (zero plane = no seg).
+        # Device-resident planes (device catalog) stay put — stacking on
+        # host would fetch AND re-upload 64 MB per plane at 4k^2.
+        if any(isinstance(s, jax.Array) for s in seg_planes):
+            seg_f = jnp.stack([
+                jnp.zeros(out_shape, jnp.float32) if s is None
+                else jnp.asarray(s).astype(jnp.float32)
+                for s in seg_planes])
+        else:
+            seg_f = np.stack([
+                np.zeros(out_shape, np.float32) if s is None
+                else np.asarray(s, np.float32)
+                for s in seg_planes])
 
         wht_type = getattr(resample, "wht_type", "exptime")
         for e, exp in enumerate(exps):
@@ -1146,10 +1283,19 @@ def align_images(
             # rate-units data + wht_type statistical weights so the
             # in-loop re-drizzle matches Drizzle's combine semantics
             # (mixed-exptime / counts-units stacks combine correctly)
-            data_r = exposure_rate_data(exp)
-            exp_data[e] = data_r
+            if not reuse_data:
+                exp_data[e] = exposure_rate_data(exp)
             base_w, mask_w = exposure_pixel_weight(exp, wht_type)
-            exp_wht[e] = base_w if mask_w is None else base_w * mask_w
+            scalar_w = ((np.isscalar(base_w) or np.ndim(base_w) == 0)
+                        and mask_w is None)
+            if scalar_w and exp_wht is None:
+                wht_scalars[e] = float(base_w)
+            else:
+                if exp_wht is None:  # first per-pixel weight: go host
+                    exp_wht = np.ones((E,) + exps[0].data.shape,
+                                      np.float32)
+                    exp_wht *= wht_scalars[:, None, None]
+                exp_wht[e] = base_w if mask_w is None else base_w * mask_w
             H, W = exp.data.shape
             # full-frame pixmap for drizzle: float64 on host for small
             # frames; ON DEVICE in f32 at mosaic scale (the host trig
@@ -1236,8 +1382,12 @@ def align_images(
         # 'CC' — and the per-source segmentation masks sampled from the
         # ref-frame segmentation at the initial pixmaps). The staged
         # arrays STAY on device: they are the loop args.
-        exp_data = jnp.asarray(exp_data)
-        exp_wht = jnp.asarray(exp_wht)
+        exp_data = _ds if reuse_data else jnp.asarray(exp_data)
+        if exp_wht is None:  # scalar weights: synthesized on device
+            exp_wht = (jnp.ones(exp_data.shape, jnp.float32)
+                       * jnp.asarray(wht_scalars)[:, None, None])
+        else:
+            exp_wht = jnp.asarray(exp_wht)
         if use_dev_cut:
             # ONE device program for the whole stack's cutout pixmaps
             # (falls back to per-frame programs for mixed-SIP stacks)

@@ -1,0 +1,303 @@
+"""TPU-device source detection: stats, threshold, CCL, moments — no fetch.
+
+Reference parity: the detection semantics mirror
+:func:`subpixal_tpu.catalogs.find_sources` (the SExtractor-replacement
+stage, SURVEY §2 #6/§2a — reference `subpixal/catalogs.py ·
+SExImageCatalog`): threshold = median + nsigma*std from sigma-clipped
+statistics, 8-connected component labeling, ``area >= npixels``
+filtering, flux moments measured on ``image - threshold``.
+
+TPU-first rationale: the host finder needs the drizzled mosaic ON HOST
+— a 64 MB device->host fetch at 4k^2 that stalls 100-500 s on tunneled
+TPU runtimes whenever the relay degrades (measured 2026-08-17,
+docs/architecture.md §Tunnel transfers). This module keeps the mosaic
+device-resident: statistics run on a single device sort + prefix sums,
+labeling is a `lax.while_loop` of neighbor-min + pointer-jumping steps
+(O(log diameter) iterations), and per-source moments are `segment_sum`
+reductions into a static ``max_sources`` table. Only the KB-class
+catalog table ever crosses to host; the segmentation plane STAYS on
+device for the align loop's mask sampling.
+
+Documented deviation: the device path does not deblend merged sources
+(SExtractor DEBLEND_NTHRESH/DEBLEND_MINCONT, `catalogs._deblend`);
+crowded-field users should force the host finder
+(``AlignConfig.device_catalog='off'``) — see docs/parity.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ImageCatalog, Table
+
+__all__ = ["sigma_clipped_stats_device", "label_components_device",
+           "find_sources_device", "DeviceSourceCatalog"]
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "maxiters"))
+def sigma_clipped_stats_device(data, sigma: float = 3.0,
+                               maxiters: int = 5):
+    """(mean, median, std) with iterative sigma clipping, on device.
+
+    Same fixed point as the host :func:`~subpixal_tpu.catalogs.
+    sigma_clipped_stats`, computed without fetching ``data``: the clip
+    keeps a VALUE interval, so on the sorted array every iteration's
+    kept set is a contiguous slice — one O(n log n) sort plus prefix
+    sums replace ``maxiters`` full passes, and each iteration is two
+    binary searches.
+    """
+    x = jnp.ravel(data).astype(jnp.float32)
+    finite = jnp.isfinite(x)
+    n_tot = x.shape[0]
+    m = jnp.sum(finite.astype(jnp.int32))          # finite count
+    s = jnp.sort(jnp.where(finite, x, jnp.inf))    # finite first
+    # prefix sums of MEDIAN-CENTERED values: f32 cumsums over 10^7+
+    # elements would otherwise lose the (sum-difference) statistics to
+    # cancellation when the background level is large
+    med0 = s[jnp.maximum(m // 2, 0)]
+    sz = jnp.where(jnp.isfinite(s), s - med0, 0.0)
+    c1 = jnp.cumsum(sz)
+    c2 = jnp.cumsum(sz * sz)
+
+    def seg_stats(lo, hi):
+        cnt = jnp.maximum(hi - lo, 1)
+        s1 = c1[hi - 1] - jnp.where(lo > 0, c1[lo - 1], 0.0)
+        s2 = c2[hi - 1] - jnp.where(lo > 0, c2[lo - 1], 0.0)
+        mean_c = s1 / cnt
+        var = jnp.maximum(s2 / cnt - mean_c * mean_c, 0.0)
+        # np.median parity: average the two middle order statistics
+        med = 0.5 * (s[lo + (cnt - 1) // 2] + s[lo + cnt // 2])
+        return ((med0 + mean_c).astype(jnp.float32), med,
+                jnp.sqrt(var).astype(jnp.float32))
+
+    lo = jnp.int32(0)
+    hi = m
+    for _ in range(maxiters):
+        _, med, std = seg_stats(lo, hi)
+        lo = jnp.searchsorted(s, med - sigma * std, side="left"
+                              ).astype(jnp.int32)
+        hi = jnp.minimum(
+            jnp.searchsorted(s, med + sigma * std, side="right"
+                             ).astype(jnp.int32), m)
+        hi = jnp.maximum(hi, lo + 1)
+    mean, med, std = seg_stats(lo, hi)
+    del n_tot
+    return mean, med, std
+
+
+def _shift_min(a, dy, dx, fill):
+    """``a`` shifted by (dy, dx) with ``fill`` padding (static shifts)."""
+    H, W = a.shape
+    out = a
+    if dy:
+        pad = jnp.full((abs(dy), W), fill, a.dtype)
+        out = (jnp.concatenate([pad, out[:-dy]], 0) if dy > 0
+               else jnp.concatenate([out[-dy:], pad], 0))
+    if dx:
+        pad = jnp.full((H, abs(dx)), fill, a.dtype)
+        out = (jnp.concatenate([pad, out[:, :-dx]], 1) if dx > 0
+               else jnp.concatenate([out[:, -dx:], pad], 1))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def label_components_device(det, connectivity: int = 8,
+                            max_iters: int = 64):
+    """Connected-component labels of a boolean mask, on device.
+
+    Returns an int32 (H, W) plane whose foreground value is the flat
+    index of the component's ROOT pixel (its row-major minimum) and
+    ``H*W`` on background. Algorithm: each `lax.while_loop` iteration
+    takes the neighborhood minimum (4- or 8-connected) and then
+    pointer-jumps twice (``lab <- lab[lab]``), so convergence needs
+    O(log diameter) iterations; the loop exits on a device-side
+    fixed-point test — no host round trip.
+    """
+    H, W = det.shape
+    BIG = jnp.int32(H * W)
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    lab0 = jnp.where(det, idx, BIG)
+    offs = ([(0, 1), (0, -1), (1, 0), (-1, 0)] if connectivity == 4 else
+            [(0, 1), (0, -1), (1, 0), (-1, 0),
+             (1, 1), (1, -1), (-1, 1), (-1, -1)])
+
+    def jump(f):
+        tgt = jnp.where(f < BIG, f, 0)
+        return jnp.where(f < BIG, jnp.take(f, tgt), BIG)
+
+    def body(state):
+        lab, _, it = state
+        m = lab
+        for dy, dx in offs:
+            m = jnp.minimum(m, _shift_min(lab, dy, dx, BIG))
+        m = jnp.where(det, m, BIG)
+        f = jump(jump(m.ravel())).reshape(H, W)
+        return f, jnp.any(f != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab0, jnp.bool_(True), jnp.int32(0)))
+    return lab
+
+
+@functools.partial(
+    jax.jit, static_argnames=("connectivity", "max_sources", "max_iters"))
+def _find_sources_core(img, threshold, *, connectivity, max_sources,
+                       max_iters=64):
+    """Device detection program: threshold -> CCL -> dense ids -> moments.
+
+    Returns (seg_id_plane int32 (H, W), table dict of (max_sources+1,)
+    per-id arrays, n_components, n_overflow). Table row ``i`` describes
+    source id ``i`` (row 0 = background, unused).
+    """
+    H, W = img.shape
+    finite = jnp.isfinite(img)
+    det = finite & (img > threshold)
+    lab = label_components_device(det, connectivity=connectivity,
+                                  max_iters=max_iters)
+    flat_lab = lab.ravel()
+    idx = jnp.arange(H * W, dtype=jnp.int32)
+    is_root = det.ravel() & (flat_lab == idx)
+    dense = jnp.cumsum(is_root.astype(jnp.int32))   # root -> 1..K
+    n_comp = dense[-1]
+    ids = jnp.where(det.ravel(),
+                    jnp.take(dense, jnp.where(flat_lab < H * W,
+                                              flat_lab, 0)),
+                    0)
+    n_overflow = jnp.maximum(n_comp - max_sources, 0)
+    ids = jnp.where(ids <= max_sources, ids, 0)     # cap: drop overflow
+    K = max_sources + 1
+
+    data = jnp.where(det, img - threshold, 0.0).astype(jnp.float32).ravel()
+    xs = (idx % W).astype(jnp.float32)
+    ys = (idx // W).astype(jnp.float32)
+    one = det.ravel().astype(jnp.float32)
+    area = jax.ops.segment_sum(one, ids, num_segments=K)
+    flux = jax.ops.segment_sum(data, ids, num_segments=K)
+    sx = jax.ops.segment_sum(data * xs, ids, num_segments=K)
+    sy = jax.ops.segment_sum(data * ys, ids, num_segments=K)
+    peak = jax.ops.segment_max(jnp.where(det.ravel(), data, -jnp.inf),
+                               ids, num_segments=K)
+    big = jnp.float32(H * W)
+    xmin = jax.ops.segment_min(jnp.where(det.ravel(), xs, big), ids,
+                               num_segments=K)
+    ymin = jax.ops.segment_min(jnp.where(det.ravel(), ys, big), ids,
+                               num_segments=K)
+    xmax = jax.ops.segment_max(jnp.where(det.ravel(), xs, -1.0), ids,
+                               num_segments=K)
+    ymax = jax.ops.segment_max(jnp.where(det.ravel(), ys, -1.0), ids,
+                               num_segments=K)
+    safe = jnp.where(flux > 0, flux, 1.0)
+    table = dict(area=area, flux=flux, cx=sx / safe, cy=sy / safe,
+                 peak=peak, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax)
+    return lab, ids.reshape(H, W), table, n_comp, n_overflow
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _apply_keep(seg, keep_lut):
+    """Zero rejected ids in the segmentation plane (LUT gather)."""
+    return jnp.where(jnp.take(keep_lut, seg), seg, 0)
+
+
+def find_sources_device(image, threshold: float | None = None,
+                        nsigma: float = 3.0, npixels: int = 5,
+                        connectivity: int = 8,
+                        max_sources: int = 8192):
+    """Device analogue of :func:`subpixal_tpu.catalogs.find_sources`
+    (no deblending — module docstring).
+
+    Returns (Table, seg_id_plane) where the Table (host, KB-class) has
+    the host finder's columns and ``seg_id_plane`` is a DEVICE int32
+    (H, W) plane with catalog ``id`` values (0 = background).
+    """
+    img = jnp.asarray(image, jnp.float32)
+    if threshold is None:
+        _, med, std = sigma_clipped_stats_device(img)
+        threshold = med + nsigma * std
+    thr = jnp.asarray(threshold, jnp.float32)
+    _, seg, table, n_comp, n_overflow = _find_sources_core(
+        img, thr, connectivity=connectivity, max_sources=max_sources)
+    # KB-class table fetch (device->host); the (H, W) plane stays put
+    host = {k: np.asarray(v) for k, v in table.items()}
+    n_comp = int(n_comp)
+    n_over = int(n_overflow)
+    if n_over:
+        import warnings
+
+        warnings.warn(
+            f"device source finder capped at {max_sources} sources "
+            f"({n_over} dropped); raise max_sources", stacklevel=2)
+    n = min(n_comp, max_sources)
+    keep = host["area"][1:n + 1] >= npixels
+    ids = np.nonzero(keep)[0].astype(np.int32) + 1
+    sl = ids  # table rows are id-indexed
+    cat = Table({
+        "id": ids,
+        "x": host["cx"][sl],
+        "y": host["cy"][sl],
+        "flux": host["flux"][sl].astype(np.float64),
+        "area": host["area"][sl].astype(np.int64),
+        "peak": host["peak"][sl],
+        "xmin": host["xmin"][sl].astype(np.int64),
+        "xmax": host["xmax"][sl].astype(np.int64),
+        "ymin": host["ymin"][sl].astype(np.int64),
+        "ymax": host["ymax"][sl].astype(np.int64),
+    })
+    if not keep.all() or n < n_comp:
+        keep_lut = np.zeros(max_sources + 1, bool)
+        keep_lut[ids] = True
+        seg = _apply_keep(seg, jnp.asarray(keep_lut))
+    return cat, seg
+
+
+class DeviceSourceCatalog(ImageCatalog):
+    """`ImageCatalog` whose finder runs on device; the segmentation
+    plane stays device-resident (``segmentation_device``).
+
+    Drop-in for :class:`~subpixal_tpu.catalogs.ImageSourceCatalog` on
+    the align driver's default path (``catalogs=None``) when the
+    drizzled reference is already on device. ``.segmentation`` fetches
+    to host lazily ONLY if asked (it can stall on tunneled runtimes —
+    prefer ``segmentation_device``).
+    """
+
+    def __init__(self, image, threshold: float | None = None,
+                 nsigma: float = 3.0, npixels: int = 5,
+                 connectivity: int = 8, max_sources: int = 8192):
+        super().__init__()
+        self._image = image
+        self.threshold = threshold
+        self.nsigma = nsigma
+        self.npixels = npixels
+        self.connectivity = connectivity
+        self.max_sources = max_sources
+        self.segmentation_device = None
+
+    def execute(self) -> None:
+        cat, seg = find_sources_device(
+            self._image, threshold=self.threshold, nsigma=self.nsigma,
+            npixels=self.npixels, connectivity=self.connectivity,
+            max_sources=self.max_sources)
+        self._rawcat = cat
+        self.segmentation_device = seg
+
+    @property
+    def segmentation(self):  # host np view, on demand only
+        if getattr(self, "_seg_host", None) is not None:
+            return self._seg_host
+        if self.segmentation_device is None and self._rawcat is None:
+            self.execute()
+        if self.segmentation_device is None:
+            return None
+        return np.asarray(self.segmentation_device)
+
+    @segmentation.setter
+    def segmentation(self, value):  # base-class __init__ compatibility
+        self._seg_host = value

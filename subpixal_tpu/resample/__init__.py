@@ -64,6 +64,14 @@ __all__ = ["Resample", "Drizzle", "Exposure", "make_output_wcs",
            "exposure_pixel_weight"]
 
 
+def _exposure_stack_key(exposures):
+    """Identity key for a cached device rate-data stack: any rebinding
+    of an exposure's ``.data`` (e.g. ``match_sky``) or a different
+    exposure list produces a different key."""
+    return tuple((id(e), id(e.data), float(e.exptime), str(e.data_units))
+                 for e in exposures)
+
+
 def make_static_mask(exposures: "Sequence[Exposure]",
                      nsigma: float = 4.0) -> np.ndarray:
     """Static bad-pixel mask in the DETECTOR frame (True = bad).
@@ -374,6 +382,8 @@ class Drizzle(Resample):
         self._wht_acc = None
         self._per_exp: dict[str, tuple] = {}  # name -> (sci_dep, wht_dep)
         self._combine_warm = False
+        self._data_stack = None   # device rate-data stack (stacked path)
+        self._data_stack_key = None
 
     def _warm_combine(self):
         """Compile the XLA combine BEFORE any Pallas deposit runs.
@@ -544,13 +554,22 @@ class Drizzle(Resample):
                  for w in whts]))
         ratios = tuple(round(float(e.wcs.pscale / self._owcs.pscale), 6)
                        for e in self.exposures)
-        return _deposit_stack_core(
-            stacked, jnp.asarray(data), wht_stack,
+        data_j = jnp.asarray(data)
+        out = _deposit_stack_core(
+            stacked, data_j, wht_stack,
             jnp.asarray(np.asarray(scales, np.float32)),
             shape=tuple(shape), sip_mode=sip_mode, sip2_mode=sip2_mode,
             oshape=self._oshape, pixfrac=self.pixfrac,
             kernel=self.kernel, tile=tile, ratios=ratios,
             interpret=_interpret)
+        # keep the device-resident rate-data stack for reuse by the
+        # align loop's staging (the SAME (E, H, W) stack would otherwise
+        # cross the host->device tunnel a second time — 268 MB at
+        # 4x4k^2, the dominant mosaic-scale setup cost). Keyed on object
+        # identities so any .data reassignment (match_sky) invalidates.
+        self._data_stack = data_j
+        self._data_stack_key = _exposure_stack_key(self.exposures)
+        return out
 
     # -- public API ------------------------------------------------------ #
     def execute(self) -> None:
@@ -561,6 +580,7 @@ class Drizzle(Resample):
         sci = jnp.zeros((Ho, Wo), jnp.float32)
         wht = jnp.zeros((Ho, Wo), jnp.float32)
         self._per_exp.clear()
+        self._data_stack = self._data_stack_key = None  # free stale HBM
         from ..blot import compute_pixmap
         from ..kernels import use_pallas as _use_pallas
 
@@ -635,7 +655,8 @@ class Drizzle(Resample):
     def output_sci(self) -> np.ndarray:
         if self._sci_acc is None:
             self.execute()
-        return np.asarray(
+        from ..utils import fetch_to_host
+        return fetch_to_host(
             drizzle_combine(self._sci_acc, self._wht_acc, fill=self.fillval)
         )
 
@@ -743,6 +764,7 @@ class Drizzle(Resample):
 
         from ..blot import compute_pixmap
         from ..ops.interp import sample_image
+        from ..utils import fetch_to_host
 
         if len(self.exposures) < 3:
             raise ValueError("CR rejection needs >= 3 exposures")
@@ -754,8 +776,8 @@ class Drizzle(Resample):
         planes = np.full((len(self.exposures), Ho, Wo), np.nan, np.float32)
         for e, exp in enumerate(self.exposures):
             s, w = self._per_exp[exp.name]
-            s = np.asarray(s)
-            w = np.asarray(w)
+            s = fetch_to_host(s)
+            w = fetch_to_host(w)
             good = w > 0
             planes[e][good] = s[good] / w[good]
         with warnings.catch_warnings():
@@ -771,7 +793,7 @@ class Drizzle(Resample):
             blot, ok = sample_image(med_j, jnp.asarray(px, jnp.float32),
                                     jnp.asarray(py, jnp.float32),
                                     interp=interp)
-            blot = np.asarray(blot)
+            blot = fetch_to_host(blot)
             ok = np.asarray(ok)
             # local gradient of the blotted model (driz_cr's derivative
             # image): max abs difference to the 4 neighbors
@@ -809,7 +831,8 @@ class Drizzle(Resample):
     def output_wht(self) -> np.ndarray:
         if self._wht_acc is None:
             self.execute()
-        return np.asarray(self._wht_acc)
+        from ..utils import fetch_to_host
+        return fetch_to_host(self._wht_acc)
 
     @property
     def output_wcs(self) -> TanWCS:

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["parse_file_name", "py2round", "enable_compilation_cache"]
+__all__ = ["parse_file_name", "py2round", "enable_compilation_cache",
+           "fetch_to_host"]
 
 
 def enable_compilation_cache(path: str | None = None,
@@ -68,3 +69,43 @@ def py2round(x: float) -> float:
     import math
 
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+#: default chunk size for device->host fetches (bytes); 0 = fetch
+#: whole (the default). Measured on the tunneled runtime (2026-08-17):
+#: in its degraded state EVERY multi-MB d2h fetch stalls 80-500 s
+#: regardless of size (8 MB chunks each stalled: 693 s total vs 319 s
+#: whole), while KB-class fetches never stall — so chunking multiplies
+#: the stall lottery and is OFF by default; the
+#: SUBPIXAL_TPU_FETCH_CHUNK_BYTES env knob remains for direct-attached
+#: hardware experiments. The align driver's answer is to not fetch
+#: mosaics at all (device catalog, catalogs/device.py).
+FETCH_CHUNK_BYTES = 0
+
+
+def fetch_to_host(arr, chunk_bytes: int | None = None):
+    """Device->host fetch of a 2-D+ array in bounded row slices.
+
+    ``np.asarray`` on a multi-hundred-MB device buffer is pathological
+    on tunneled runtimes (see :data:`FETCH_CHUNK_BYTES`); slicing the
+    leading axis bounds each transfer. Override the chunk size with
+    ``chunk_bytes`` or the ``SUBPIXAL_TPU_FETCH_CHUNK_BYTES`` env var.
+    """
+    import os
+
+    import numpy as np
+
+    if chunk_bytes is None:
+        chunk_bytes = int(os.environ.get("SUBPIXAL_TPU_FETCH_CHUNK_BYTES",
+                                         FETCH_CHUNK_BYTES))
+    if not hasattr(arr, "shape") or arr.ndim < 2:
+        return np.asarray(arr)
+    n = arr.shape[0]
+    row_bytes = max(1, int(np.prod(arr.shape[1:])) * arr.dtype.itemsize)
+    if chunk_bytes <= 0 or n * row_bytes <= chunk_bytes:
+        return np.asarray(arr)
+    step = max(1, chunk_bytes // row_bytes)
+    out = np.empty(arr.shape, arr.dtype)
+    for i in range(0, n, step):
+        out[i:i + step] = np.asarray(arr[i:i + step])
+    return out

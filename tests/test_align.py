@@ -432,3 +432,19 @@ def test_cutout_pixmaps_device_with_sip():
                                     blc=(int(y0), int(x0)))
         assert np.abs(np.asarray(px_d[i]) - px_h).max() < 5e-4
         assert np.abs(np.asarray(py_d[i]) - py_h).max() < 5e-4
+
+
+def test_device_catalog_align_matches_host():
+    """`device_catalog='device'` (TPU source finding, no-fetch setup)
+    must reproduce the host-finder align result (catalogs/device.py)."""
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
+
+    shifts = {}
+    for mode in ("host", "device"):
+        exps, planted = simulate_stack(n_exp=4, shape=(256, 256),
+                                       n_stars=25, seed=7)
+        res = align_images(exposures=exps, nclip=1, device_catalog=mode)
+        sh = np.asarray(res.shifts)
+        assert pairwise_shift_errors(sh, planted) < 5e-3
+        shifts[mode] = sh
+    assert np.abs(shifts["host"] - shifts["device"]).max() < 1e-3

@@ -197,3 +197,63 @@ def test_find_sources_deblend_keeps_faint_child():
     cat, _ = find_sources(img, threshold=1.0, deblend=True,
                           deblend_cont=0.005)
     assert len(cat) == 3, f"expected 3 deblended sources, got {len(cat)}"
+
+
+class TestDeviceCatalog:
+    """Device-side detection (catalogs/device.py) must match the host
+    finder (deblending off) — stats, catalog, segmentation footprint."""
+
+    def _scene(self):
+        rng = np.random.default_rng(11)
+        H = W = 256
+        img = rng.normal(5.0, 2.0, (H, W)).astype(np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        for (y0, x0), amp in zip(rng.uniform(20, H - 20, (12, 2)),
+                                 rng.uniform(40, 120, 12)):
+            img += (amp * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / 4.0)
+                    ).astype(np.float32)
+        return img
+
+    def test_stats_match_host(self):
+        from subpixal_tpu.catalogs import sigma_clipped_stats
+        from subpixal_tpu.catalogs.device import sigma_clipped_stats_device
+
+        img = self._scene()
+        m, med, std = sigma_clipped_stats(img)
+        md, medd, stdd = sigma_clipped_stats_device(img)
+        assert abs(float(md) - m) < 5e-3
+        assert abs(float(medd) - med) < 5e-3
+        assert abs(float(stdd) - std) < 5e-3
+
+    def test_find_sources_matches_host(self):
+        from subpixal_tpu.catalogs import find_sources
+        from subpixal_tpu.catalogs.device import find_sources_device
+
+        img = self._scene()
+        cat_h, seg_h = find_sources(img, deblend=False)
+        cat_d, seg_d = find_sources_device(img)
+        assert len(cat_h) == len(cat_d) > 5
+        oh = np.lexsort((cat_h["x"], cat_h["y"]))
+        od = np.lexsort((cat_d["x"], cat_d["y"]))
+        dpos = np.hypot(np.asarray(cat_h["x"])[oh] - np.asarray(cat_d["x"])[od],
+                        np.asarray(cat_h["y"])[oh] - np.asarray(cat_d["y"])[od])
+        assert dpos.max() < 1e-3
+        assert (np.asarray(cat_h["area"])[oh]
+                == np.asarray(cat_d["area"])[od]).all()
+        rel = (np.abs(np.asarray(cat_h["flux"])[oh]
+                      - np.asarray(cat_d["flux"])[od])
+               / np.asarray(cat_h["flux"])[oh].max())
+        assert rel.max() < 1e-5
+        assert ((np.asarray(seg_d) > 0) == (seg_h > 0)).all()
+
+    def test_npixels_filter_and_seg_zeroing(self):
+        from subpixal_tpu.catalogs.device import find_sources_device
+
+        img = np.zeros((64, 64), np.float32)
+        img[10, 10] = 100.0            # 1-px source: rejected (npixels=5)
+        img[30:33, 30:33] = 50.0       # 9-px source: kept
+        cat, seg = find_sources_device(img, threshold=10.0)
+        assert len(cat) == 1
+        seg = np.asarray(seg)
+        assert seg[10, 10] == 0
+        assert seg[31, 31] > 0
