@@ -1075,6 +1075,9 @@ def align_images(
         if cfg.reject_cr and len(resample.exposures) >= 3:
             resample.reject_cr()
         t = _mark("resample_execute", t)
+        for k, v in getattr(resample, "last_execute_breakdown",
+                            {}).items():
+            setup_breakdown[f"resample.{k}"] = round(v, 3)
         ref_wcs = resample.output_wcs
         out_shape = resample.output_shape
         # default-catalog detection on DEVICE (cfg.device_catalog): the

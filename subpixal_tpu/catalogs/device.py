@@ -18,10 +18,35 @@ reductions into a static ``max_sources`` table. Only the KB-class
 catalog table ever crosses to host; the segmentation plane STAYS on
 device for the align loop's mask sampling.
 
-Documented deviation: the device path does not deblend merged sources
-(SExtractor DEBLEND_NTHRESH/DEBLEND_MINCONT, `catalogs._deblend`);
-crowded-field users should force the host finder
-(``AlignConfig.device_catalog='off'``) — see docs/parity.md.
+Two detection methods (``find_sources_device(method=...)``):
+
+``'peaks'`` (default) — the TPU-first path. Detection is local-maxima
+based: threshold -> minarea prefilter (integral-image box count) ->
+local-max mask -> ``top_k`` by brightness -> per-peak windowed flood
+fill + dense moments on ``(B, win, win)`` batches. No full-resolution
+gathers, scatters or segment reductions ever run (each costs 170-210 ms
+at 4k^2 on v5e — measured 2026-08-17 — and the CCL path needs ~20 of
+them), so the whole finder is ~10x faster than ``'ccl'`` at mosaic
+scale. Sources are returned brightest-first, so a ``max_sources`` cap
+drops the FAINTEST sources — the ``'ccl'`` cap drops by image position.
+Peaks connected to a strictly brighter in-window pixel are merged into
+the brighter peak's source (dedup), so isolated sources match the CCL
+component exactly; maxima further apart than ``window`` split into
+separate rows (window-scale deblending).
+
+``'ccl'`` — exact connected-component topology: `lax.while_loop`
+neighbor-min + pointer-jumping labeling and ``segment_sum`` moment
+tables. Matches the host finder's component semantics bit-for-bit but
+costs seconds at mosaic scale; use it when exact SExtractor-like
+component areas of arbitrarily large sources matter.
+
+Documented deviation vs the host finder: ``'peaks'`` measures each
+source inside a ``window`` x ``window`` box (area/flux/bbox of sources
+larger than the window are truncated), and neither device method runs
+the multi-threshold deblender (SExtractor DEBLEND_NTHRESH/
+DEBLEND_MINCONT, `catalogs._deblend`); crowded-field users should force
+the host finder (``AlignConfig.device_catalog='off'``) — see
+docs/parity.md.
 """
 
 from __future__ import annotations
@@ -206,22 +231,228 @@ def _apply_keep(seg, keep_lut):
     return jnp.where(jnp.take(keep_lut, seg), seg, 0)
 
 
+def _shift3(a, dy, dx, fill):
+    """(B, h, w) batch shifted by (dy, dx) over the window axes with
+    ``fill`` padding (NOT roll: wraparound would connect a window's
+    opposite edges during the flood fill)."""
+    B, h, w = a.shape
+    out = a
+    if dy:
+        pad = jnp.full((B, abs(dy), w), fill, a.dtype)
+        out = (jnp.concatenate([pad, out[:, :-dy]], 1) if dy > 0
+               else jnp.concatenate([out[:, -dy:], pad], 1))
+    if dx:
+        pad = jnp.full((B, h, abs(dx)), fill, a.dtype)
+        out = (jnp.concatenate([pad, out[:, :, :-dx]], 2) if dx > 0
+               else jnp.concatenate([out[:, :, -dx:], pad], 2))
+    return out
+
+
+#: raster-order-earlier / -later neighbor offsets: a local maximum is
+#: STRICTLY above its raster-earlier neighbors and >= the later ones, so
+#: a flat plateau yields exactly ONE peak (its raster-first pixel)
+_EARLIER = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
+_LATER = ((0, 1), (1, -1), (1, 0), (1, 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_sources", "npixels", "window"))
+def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
+                             window):
+    """Device detection program, peaks method (module docstring).
+
+    Returns ``(seg_rank int32 (H, W), packed f32 (11, max_sources),
+    n_cand int32)``. ``seg_rank`` holds 1-based brightness ranks
+    (1 = brightest, 0 = background); ``packed`` rows are keep, area,
+    flux, cx, cy, peak, xmin, xmax, ymin, ymax, n_cand — one array so
+    the host fetches the whole table in a single transfer (per-column
+    fetches each pay a relay round trip on tunneled runtimes).
+    """
+    H, W = img.shape
+    B, win = max_sources, window
+    finite = jnp.isfinite(img)
+    x = jnp.where(finite, img, -jnp.inf)
+    det = finite & (img > threshold)
+
+    def nb(a, dy, dx, fill):
+        # value at (i+dy, j+dx); _shift_min moves content by (+dy, +dx)
+        return _shift_min(a, -dy, -dx, fill)
+
+    # minarea prefilter: a connected component of area >= npixels that
+    # contains pixel p has >= min(npixels, r+1) det pixels within
+    # Chebyshev radius r of p (path argument), so with r = npixels - 1
+    # the box count >= npixels is NECESSARY for the component test —
+    # no false rejects; false accepts fall to the exact area filter.
+    r = npixels - 1
+    if r > 0:
+        dp = jnp.pad(det.astype(jnp.int32), r)
+        ii = jnp.pad(jnp.cumsum(jnp.cumsum(dp, 0), 1), ((1, 0), (1, 0)))
+        s = 2 * r + 1
+        box = (ii[s:s + H, s:s + W] - ii[:H, s:s + W]
+               - ii[s:s + H, :W] + ii[:H, :W])
+        pk = det & (box >= npixels)
+    else:
+        pk = det
+    for dy, dx in _EARLIER:
+        pk = pk & (x > nb(x, dy, dx, -jnp.inf))
+    for dy, dx in _LATER:
+        pk = pk & (x >= nb(x, dy, dx, -jnp.inf))
+    n_cand = jnp.sum(pk.astype(jnp.int32))
+
+    # brightest-first candidate selection (ONE top_k, ~40 ms at 16.7M)
+    score = jnp.where(pk, x, -jnp.inf).ravel()
+    vals, flat = jax.lax.top_k(score, B)
+    valid = vals > -jnp.inf
+    py = (flat // W).astype(jnp.int32)
+    px = (flat % W).astype(jnp.int32)
+    y0 = jnp.clip(py - win // 2, 0, max(H - win, 0))
+    x0 = jnp.clip(px - win // 2, 0, max(W - win, 0))
+
+    # ONE batched window gather; det / local-max recompute from it
+    ar = jnp.arange(win, dtype=jnp.int32)
+    rows = y0[:, None] + ar[None, :]                     # (B, win)
+    cols = x0[:, None] + ar[None, :]
+    wimg = img[rows[:, :, None], cols[:, None, :]]       # (B, win, win)
+    wfin = jnp.isfinite(wimg)
+    wdet = wfin & (wimg > threshold)
+    wx = jnp.where(wfin, wimg, -jnp.inf)
+
+    # flood fill (8-connected) from the peak over the in-window det mask
+    seed = ((ar[None, :, None] == (py - y0)[:, None, None])
+            & (ar[None, None, :] == (px - x0)[:, None, None]))
+    grow0 = seed & wdet
+
+    def ff_body(_, g):
+        d = g
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    d = d | _shift3(g, dy, dx, False)
+        return d & wdet
+
+    grow = jax.lax.fori_loop(0, win, ff_body, grow0)
+
+    data = jnp.where(grow, wimg - threshold, 0.0).astype(jnp.float32)
+    absy = rows[:, :, None].astype(jnp.float32) + jnp.zeros((1, 1, win))
+    absx = cols[:, None, :].astype(jnp.float32) + jnp.zeros((1, win, 1))
+    area = jnp.sum(grow, axis=(1, 2)).astype(jnp.float32)
+    flux = jnp.sum(data, axis=(1, 2))
+    safe = jnp.where(flux > 0, flux, 1.0)
+    cx = jnp.sum(data * absx, axis=(1, 2)) / safe
+    cy = jnp.sum(data * absy, axis=(1, 2)) / safe
+    big = jnp.float32(H * W)
+    xmin = jnp.min(jnp.where(grow, absx, big), axis=(1, 2))
+    ymin = jnp.min(jnp.where(grow, absy, big), axis=(1, 2))
+    xmax = jnp.max(jnp.where(grow, absx, -1.0), axis=(1, 2))
+    ymax = jnp.max(jnp.where(grow, absy, -1.0), axis=(1, 2))
+    peakv = vals - threshold
+
+    # dedup: a peak whose component (within the window) contains a
+    # strictly brighter pixel belongs to that brighter bump's source;
+    # equal-valued twin peaks keep only the raster-first one. Local
+    # maxima are RECOMPUTED in-window (border-pixel misclassification
+    # only matters for exact-equal values >win/2 apart — negligible).
+    own = vals[:, None, None]
+    brighter = jnp.any(grow & (wx > own), axis=(1, 2))
+    wpk = wdet
+    for dy, dx in _EARLIER:
+        wpk = wpk & (wx > _shift3(wx, -dy, -dx, -jnp.inf))
+    for dy, dx in _LATER:
+        wpk = wpk & (wx >= _shift3(wx, -dy, -dx, -jnp.inf))
+    wflat = (rows[:, :, None] * W + cols[:, None, :])
+    eq_twin = jnp.any(grow & wpk & (wx == own)
+                      & (wflat < flat[:, None, None]), axis=(1, 2))
+    keep = valid & (area >= npixels) & ~brighter & ~eq_twin
+
+    # segmentation plane: scatter 1-based brightness ranks, brighter
+    # (smaller rank) wins overlaps — a windowed scatter-min, the only
+    # full-plane scatter in the program
+    rank = jnp.arange(1, B + 1, dtype=jnp.int32)
+    BIGI = jnp.int32(B + 2)
+    upd = jnp.where(grow & keep[:, None, None], rank[:, None, None],
+                    BIGI)
+    seg = jnp.full((H, W), BIGI, jnp.int32)
+    seg = seg.at[rows[:, :, None].astype(jnp.int32),
+                 cols[:, None, :].astype(jnp.int32)].min(upd)
+    seg = jnp.where(seg == BIGI, 0, seg)
+
+    packed = jnp.stack([
+        keep.astype(jnp.float32), area, flux, cx, cy, peakv,
+        xmin, xmax, ymin, ymax,
+        jnp.full((B,), n_cand, jnp.float32),
+    ])
+    return seg, packed, n_cand
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _remap_ranks(seg, lut):
+    """rank plane -> catalog-id plane (0 stays background)."""
+    return jnp.take(lut, seg)
+
+
 def find_sources_device(image, threshold: float | None = None,
                         nsigma: float = 3.0, npixels: int = 5,
                         connectivity: int = 8,
-                        max_sources: int = 8192):
+                        max_sources: int = 8192,
+                        method: str = "auto", window: int = 32):
     """Device analogue of :func:`subpixal_tpu.catalogs.find_sources`
-    (no deblending — module docstring).
+    (deblending: window-scale only — module docstring).
 
     Returns (Table, seg_id_plane) where the Table (host, KB-class) has
     the host finder's columns and ``seg_id_plane`` is a DEVICE int32
     (H, W) plane with catalog ``id`` values (0 = background).
+
+    ``method``: ``'peaks'`` (default via ``'auto'``) — brightest-first
+    windowed measurement, ~10x faster at mosaic scale; ``'ccl'`` —
+    exact component topology (module docstring). With ``'peaks'`` the
+    table rows are ordered brightest-first and a ``max_sources``
+    overflow drops the faintest candidates.
     """
+    if method not in ("auto", "peaks", "ccl"):
+        raise ValueError(
+            f"method must be 'auto'|'peaks'|'ccl', got {method!r}")
     img = jnp.asarray(image, jnp.float32)
     if threshold is None:
         _, med, std = sigma_clipped_stats_device(img)
         threshold = med + nsigma * std
     thr = jnp.asarray(threshold, jnp.float32)
+
+    if method != "ccl":
+        H, W = img.shape
+        win = max(2, min(window, H, W))
+        B = int(min(max_sources, H * W))
+        seg_rank, packed, _ = _find_sources_peaks_core(
+            img, thr, max_sources=B, npixels=npixels, window=win)
+        arr = np.asarray(packed)        # ONE device->host table fetch
+        keep = arr[0] > 0
+        n_cand = int(arr[10, 0])
+        if n_cand > B:
+            import warnings
+
+            warnings.warn(
+                f"device source finder capped at {B} sources; the "
+                f"{n_cand - B} FAINTEST candidates were dropped — "
+                "raise max_sources to keep them", stacklevel=2)
+        sl = np.nonzero(keep)[0]
+        ids = np.arange(1, len(sl) + 1, dtype=np.int32)
+        cat = Table({
+            "id": ids,
+            "x": arr[3][sl].astype(np.float64),
+            "y": arr[4][sl].astype(np.float64),
+            "flux": arr[2][sl].astype(np.float64),
+            "area": arr[1][sl].astype(np.int64),
+            "peak": arr[5][sl],
+            "xmin": arr[6][sl].astype(np.int64),
+            "xmax": arr[7][sl].astype(np.int64),
+            "ymin": arr[8][sl].astype(np.int64),
+            "ymax": arr[9][sl].astype(np.int64),
+        })
+        # rank plane -> dense id plane (kept ranks only)
+        lut = np.zeros(B + 1, np.int32)
+        lut[sl + 1] = ids
+        seg = _remap_ranks(seg_rank, jnp.asarray(lut))
+        return cat, seg
+
     _, seg, table, n_comp, n_overflow = _find_sources_core(
         img, thr, connectivity=connectivity, max_sources=max_sources)
     # KB-class table fetch (device->host); the (H, W) plane stays put
@@ -270,7 +501,8 @@ class DeviceSourceCatalog(ImageCatalog):
 
     def __init__(self, image, threshold: float | None = None,
                  nsigma: float = 3.0, npixels: int = 5,
-                 connectivity: int = 8, max_sources: int = 8192):
+                 connectivity: int = 8, max_sources: int = 8192,
+                 method: str = "auto", window: int = 32):
         super().__init__()
         self._image = image
         self.threshold = threshold
@@ -278,13 +510,16 @@ class DeviceSourceCatalog(ImageCatalog):
         self.npixels = npixels
         self.connectivity = connectivity
         self.max_sources = max_sources
+        self.method = method
+        self.window = window
         self.segmentation_device = None
 
     def execute(self) -> None:
         cat, seg = find_sources_device(
             self._image, threshold=self.threshold, nsigma=self.nsigma,
             npixels=self.npixels, connectivity=self.connectivity,
-            max_sources=self.max_sources)
+            max_sources=self.max_sources, method=self.method,
+            window=self.window)
         self._rawcat = cat
         self.segmentation_device = seg
 

@@ -18,6 +18,7 @@ cached so ``add_image``/``drop_image`` are O(1 exposure), not O(stack).
 from __future__ import annotations
 
 import functools
+import time
 import warnings
 from typing import Sequence
 
@@ -512,7 +513,7 @@ class Drizzle(Resample):
     #: scale stacks keep the one-pixmap-at-a-time flow (ADVICE r2 #2)
     _STACK_EXEC_MAX_PIXMAP_BYTES = 1_500_000_000
 
-    def _execute_stack(self, tile, _interpret=False):
+    def _execute_stack(self, tile, _interpret=False, _mark=None):
         """All pixmaps + deposits as ONE device program (per-frame
         dispatches cost ~65 ms each on tunneled runtimes). Returns
         (sci_stack, wht_stack, sci_sum, wht_sum) or None when the stack
@@ -520,6 +521,7 @@ class Drizzle(Resample):
         pixmap footprint beyond the HBM gate)."""
         from ..blot import _stacked_wcs_params, device_pixmap_min_pixels
 
+        _mark = _mark or (lambda name: None)
         shape = self.exposures[0].data.shape
         E = len(self.exposures)
         if shape[0] * shape[1] < device_pixmap_min_pixels():
@@ -530,6 +532,7 @@ class Drizzle(Resample):
             [e.wcs for e in self.exposures], self._owcs)
         if stacked is None:
             return None
+        _mark("wcs_params")
         data = np.stack([exposure_rate_data(e) for e in self.exposures])
         whts, scales = [], []
         for exp in self.exposures:
@@ -554,7 +557,10 @@ class Drizzle(Resample):
                  for w in whts]))
         ratios = tuple(round(float(e.wcs.pscale / self._owcs.pscale), 6)
                        for e in self.exposures)
+        _mark("rate_wht_host")
         data_j = jnp.asarray(data)
+        jax.block_until_ready(data_j)
+        _mark("h2d_stack")
         out = _deposit_stack_core(
             stacked, data_j, wht_stack,
             jnp.asarray(np.asarray(scales, np.float32)),
@@ -562,6 +568,7 @@ class Drizzle(Resample):
             oshape=self._oshape, pixfrac=self.pixfrac,
             kernel=self.kernel, tile=tile, ratios=ratios,
             interpret=_interpret)
+        _mark("deposit_stack")
         # keep the device-resident rate-data stack for reuse by the
         # align loop's staging (the SAME (E, H, W) stack would otherwise
         # cross the host->device tunnel a second time — 268 MB at
@@ -573,9 +580,24 @@ class Drizzle(Resample):
 
     # -- public API ------------------------------------------------------ #
     def execute(self) -> None:
-        """(Re)drizzle the full stack; caches per-exposure deposits."""
+        """(Re)drizzle the full stack; caches per-exposure deposits.
+
+        Per-stage wall times land in ``self.last_execute_breakdown``
+        (tracing subsystem, SURVEY §5) — the align driver folds them
+        into its ``setup_breakdown``.
+        """
+        bd = self.last_execute_breakdown = {}
+        t0 = time.time()
+
+        def _mark(name):
+            nonlocal t0
+            bd[name] = bd.get(name, 0.0) + (time.time() - t0)
+            t0 = time.time()
+
         self._ensure_output_grid()
+        _mark("output_grid")
         self._warm_combine()
+        _mark("warm_combine")
         Ho, Wo = self._oshape
         sci = jnp.zeros((Ho, Wo), jnp.float32)
         wht = jnp.zeros((Ho, Wo), jnp.float32)
@@ -591,7 +613,8 @@ class Drizzle(Resample):
             # one shared tile for the whole stack, sized on host from
             # the WCSs (no pixmaps needed) -> one Mosaic compile
             tile = self._shared_tile()
-            out = self._execute_stack(tile)
+            _mark("shared_tile")
+            out = self._execute_stack(tile, _mark=_mark)
             if out is not None:
                 sci_s, wht_s, sci, wht = out
                 for e, exp in enumerate(self.exposures):

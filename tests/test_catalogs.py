@@ -225,13 +225,14 @@ class TestDeviceCatalog:
         assert abs(float(medd) - med) < 5e-3
         assert abs(float(stdd) - std) < 5e-3
 
-    def test_find_sources_matches_host(self):
+    @pytest.mark.parametrize("method", ["peaks", "ccl"])
+    def test_find_sources_matches_host(self, method):
         from subpixal_tpu.catalogs import find_sources
         from subpixal_tpu.catalogs.device import find_sources_device
 
         img = self._scene()
         cat_h, seg_h = find_sources(img, deblend=False)
-        cat_d, seg_d = find_sources_device(img)
+        cat_d, seg_d = find_sources_device(img, method=method)
         assert len(cat_h) == len(cat_d) > 5
         oh = np.lexsort((cat_h["x"], cat_h["y"]))
         od = np.lexsort((cat_d["x"], cat_d["y"]))
@@ -257,3 +258,69 @@ class TestDeviceCatalog:
         seg = np.asarray(seg)
         assert seg[10, 10] == 0
         assert seg[31, 31] > 0
+
+    def test_peaks_cap_keeps_brightest(self):
+        """max_sources overflow must drop the FAINTEST sources, not the
+        bottom of the image (the r2 'ccl' cap dropped by position)."""
+        from subpixal_tpu.catalogs.device import find_sources_device
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(0, 0.1, (256, 256)).astype(np.float32)
+        yy, xx = np.mgrid[0:9, 0:9].astype(np.float32) - 4
+        psf = np.exp(-(xx**2 + yy**2) / (2 * 1.5**2))
+        amps = np.linspace(10, 100, 20)
+        poss = rng.integers(12, 244, (20, 2))
+        for (y, x), a in zip(poss, amps):
+            img[y - 4:y + 5, x - 4:x + 5] += a * psf
+        with pytest.warns(UserWarning, match="FAINTEST"):
+            cat, _ = find_sources_device(img, threshold=3.0,
+                                         max_sources=8)
+        assert len(cat) == 8
+        # the 8 brightest planted sources survive (set comparison: blends
+        # can reorder peak values), returned brightest-first
+        want = poss[np.argsort(amps)[::-1][:8]]
+        got = np.stack([np.asarray(cat["y"]), np.asarray(cat["x"])], 1)
+        gr = np.round(got).astype(int)
+        ow = np.lexsort((want[:, 1], want[:, 0]))
+        og = np.lexsort((gr[:, 1], gr[:, 0]))
+        assert np.abs(got[og] - want[ow]).max() < 0.5
+        assert (np.diff(np.asarray(cat["peak"])) <= 0).all()
+
+    def test_peaks_dedup_single_component(self):
+        """Two local maxima in ONE connected component: only the
+        brighter survives and its moments cover the whole component."""
+        from subpixal_tpu.catalogs.device import find_sources_device
+
+        img = np.zeros((64, 64), np.float32)
+        yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+        img += 50 * np.exp(-((xx - 30) ** 2 + (yy - 32) ** 2) / 8.0)
+        img += 30 * np.exp(-((xx - 36) ** 2 + (yy - 32) ** 2) / 8.0)
+        cat, seg = find_sources_device(img, threshold=1.0)
+        assert len(cat) == 1
+        comp = (img > 1.0)
+        assert int(cat["area"][0]) == int(comp.sum())
+        assert ((np.asarray(seg) > 0) == comp).all()
+
+    def test_peaks_border_source(self):
+        from subpixal_tpu.catalogs.device import find_sources_device
+
+        img = np.zeros((128, 128), np.float32)
+        yy, xx = np.mgrid[0:128, 0:128].astype(np.float32)
+        img += 40 * np.exp(-((xx - 2) ** 2 + (yy - 64) ** 2) / 4.0)
+        cat, _ = find_sources_device(img, threshold=1.0)
+        assert len(cat) == 1
+        assert abs(float(cat["y"][0]) - 64) < 0.2
+        assert float(cat["x"][0]) < 3.0
+
+    def test_peaks_diagonal_string_minarea(self):
+        """A 5-px diagonal component must survive npixels=5 — the
+        integral-image prefilter uses radius npixels-1, so a thin
+        string reaching away from its peak is not falsely rejected."""
+        from subpixal_tpu.catalogs.device import find_sources_device
+
+        img = np.zeros((64, 64), np.float32)
+        for k in range(5):              # descending diagonal string
+            img[20 + k, 20 + k] = 50.0 - k
+        cat, _ = find_sources_device(img, threshold=10.0, npixels=5)
+        assert len(cat) == 1
+        assert int(cat["area"][0]) == 5
