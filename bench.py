@@ -391,9 +391,23 @@ def bench_align_2k():
     assert err_mpix < 10.0, f"2k align fit error {err_mpix:.2f} mpix"
     iters = [recs[0].iter_s for recs in res.history]
     steady = iters[1:] or iters
+    # device-resident variant: the same mosaic scene rendered ON device
+    # (testing.simulate_stack(device=True)) — setup with zero exposure
+    # H2D. The host-scene setup_s above includes shipping 64 MB of
+    # novel pixels over the dev tunnel at its measured 2-6 MB/s; on a
+    # production host that transfer is PCIe-fast, so the device number
+    # is the framework's own setup cost.
+    exps_d, planted_d = simulate_stack(n_exp=4, shape=(2048, 2048),
+                                       n_stars=40, seed=17, device=True)
+    res_d = align_images(exposures=exps_d, fitgeom="shift",
+                         max_iterations=3, eps_shift=1e-7, usfac=8,
+                         fit_type="gaussian", use_pallas=True)
+    err_d = 1e3 * pairwise_shift_errors(res_d.shifts, planted_d)
+    assert err_d < 10.0, f"2k device-scene fit error {err_d:.2f} mpix"
     return {
         "align2k_iter_ms": round(1e3 * float(np.median(steady)), 1),
         "align2k_setup_s": round(res.setup_s, 2),
+        "align2k_setup_device_s": round(res_d.setup_s, 2),
         "align2k_fit_err_mpix": round(err_mpix, 3),
         "align2k_sparse_live_frac":
             res.setup_breakdown.get("sparse_live_frac", 1.0),

@@ -1070,6 +1070,18 @@ def align_images(
             resample.match_sky(skymethod=cfg.skymethod)
         if cfg.static_mask:
             resample.apply_static_mask()
+        # compile-order rule (verify SKILL): the device-catalog XLA
+        # programs must compile BEFORE resample.execute() queues Pallas
+        # deposit kernels — the first post-Mosaic XLA compile/fetch
+        # intermittently stalls 100-500 s on tunneled runtimes (this
+        # was a ~190 s catalog stage at 4k; warm-ordered it is ~1 s)
+        if (catalogs is None and cfg.device_catalog in ("auto", "device")
+                and jax.default_backend() in ("tpu", "axon", "gpu")):
+            from .catalogs.device import warm_compile as _cat_warm
+
+            resample._ensure_output_grid()
+            _cat_warm(tuple(resample.output_shape))
+            t = _mark("catalog_warm_compile", t)
         # -- initial reference image ------------------------------------ #
         resample.execute()
         if cfg.reject_cr and len(resample.exposures) >= 3:

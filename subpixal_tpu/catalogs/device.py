@@ -390,6 +390,36 @@ def _remap_ranks(seg, lut):
     return jnp.take(lut, seg)
 
 
+def _peaks_dims(shape, max_sources, window):
+    """Static (B, win) actually compiled for an (H, W) image."""
+    H, W = shape
+    return int(min(max_sources, H * W)), max(2, min(window, H, W))
+
+
+def warm_compile(shape, *, npixels: int = 5, window: int = 32,
+                 max_sources: int = 8192) -> None:
+    """AOT-compile the peaks-finder programs for an (H, W) image.
+
+    Call BEFORE the first Pallas dispatch in the process: on tunneled
+    TPU runtimes the first XLA compile (or fetch) issued after Mosaic
+    work intermittently stalls ~100-500 s (compile-order rule,
+    .claude/skills/verify/SKILL.md). The align driver warms these for
+    the drizzle output shape before ``resample.execute()`` queues its
+    Pallas deposit kernels — measured 2026-08-17, this is the
+    difference between a ~1 s and a ~190 s catalog stage at 4k.
+    """
+    H, W = shape
+    B, win = _peaks_dims(shape, max_sources, window)
+    img = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    thr = jax.ShapeDtypeStruct((), jnp.float32)
+    sigma_clipped_stats_device.lower(img).compile()
+    _find_sources_peaks_core.lower(
+        img, thr, max_sources=B, npixels=npixels, window=win).compile()
+    _remap_ranks.lower(
+        jax.ShapeDtypeStruct((H, W), jnp.int32),
+        jax.ShapeDtypeStruct((B + 1,), jnp.int32)).compile()
+
+
 def find_sources_device(image, threshold: float | None = None,
                         nsigma: float = 3.0, npixels: int = 5,
                         connectivity: int = 8,
@@ -419,8 +449,7 @@ def find_sources_device(image, threshold: float | None = None,
 
     if method != "ccl":
         H, W = img.shape
-        win = max(2, min(window, H, W))
-        B = int(min(max_sources, H * W))
+        B, win = _peaks_dims((H, W), max_sources, window)
         seg_rank, packed, _ = _find_sources_peaks_core(
             img, thr, max_sources=B, npixels=npixels, window=win)
         arr = np.asarray(packed)        # ONE device->host table fetch

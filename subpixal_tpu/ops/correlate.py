@@ -53,9 +53,11 @@ _P = jax.lax.Precision.HIGHEST
 #: highest (read at trace time, like SUBPIXAL_TPU_FFT).
 import os as _os
 
-_P_FWD = (jax.lax.Precision.HIGHEST
-          if _os.environ.get("SUBPIXAL_TPU_FWD_PRECISION", "").lower()
-          == "highest" else jax.lax.Precision.HIGH)
+_P_FWD = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,   # 1-pass bf16 (experimental)
+}.get(_os.environ.get("SUBPIXAL_TPU_FWD_PRECISION", "").lower(),
+      jax.lax.Precision.HIGH)
 
 
 class Displacement(NamedTuple):

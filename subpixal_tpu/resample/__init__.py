@@ -95,6 +95,13 @@ def make_static_mask(exposures: "Sequence[Exposure]",
     return hi < -float(nsigma)
 
 
+def _as_exposure_plane(a):
+    """float32 plane, preserving device residency (no fetch)."""
+    if isinstance(a, jax.Array):
+        return a if a.dtype == jnp.float32 else a.astype(jnp.float32)
+    return np.asarray(a, np.float32)
+
+
 class Exposure:
     """One input exposure: science data + weight + WCS (+ metadata).
 
@@ -105,6 +112,15 @@ class Exposure:
     per-pixel error / inverse-variance maps in the SAME units as ``data``,
     consumed by ``Drizzle(wht_type='error'|'ivm')`` (the AstroDrizzle
     ``final_wht_type`` ERR/IVM modes).
+
+    DEVICE-RESIDENT data: ``data`` (and ``weight``/``err``/``ivm``) may
+    be a ``jax.Array`` already living on an accelerator — it is kept
+    as-is, never fetched to host. The drizzle/align device paths then
+    consume it with ZERO host<->device transfers, which is how stages
+    compose in an on-device pipeline (and the only fast path on
+    tunneled dev runtimes, where a 4x4k^2 stack crossing the link costs
+    40-400 s at the measured 2-6 MB/s). Host-only stages (``match_sky``,
+    host cutouts, FITS write-back) transparently fetch when asked.
     """
 
     def __init__(self, data, wcs: TanWCS, weight=None, exptime: float = 1.0,
@@ -113,23 +129,26 @@ class Exposure:
         if data_units not in ("rate", "counts"):
             raise ValueError(f"data_units must be 'rate' or 'counts', "
                              f"got {data_units!r}")
-        self.data = np.asarray(data, np.float32)
+        self.data = _as_exposure_plane(data)
         self.wcs = wcs
-        self.weight = None if weight is None else np.asarray(weight, np.float32)
+        self.weight = (None if weight is None
+                       else _as_exposure_plane(weight))
         self.exptime = float(exptime)
         self.data_units = data_units
-        self.err = None if err is None else np.asarray(err, np.float32)
-        self.ivm = None if ivm is None else np.asarray(ivm, np.float32)
+        self.err = None if err is None else _as_exposure_plane(err)
+        self.ivm = None if ivm is None else _as_exposure_plane(ivm)
         self.name = name or f"exposure@{id(self):x}"
 
     def copy(self) -> "Exposure":
+        cp = lambda a: (a if isinstance(a, jax.Array)  # noqa: E731
+                        else a.copy())                 # jax: immutable
         return Exposure(
-            self.data.copy(), self.wcs.copy(),
-            weight=None if self.weight is None else self.weight.copy(),
+            cp(self.data), self.wcs.copy(),
+            weight=None if self.weight is None else cp(self.weight),
             exptime=self.exptime, name=self.name,
             data_units=self.data_units,
-            err=None if self.err is None else self.err.copy(),
-            ivm=None if self.ivm is None else self.ivm.copy(),
+            err=None if self.err is None else cp(self.err),
+            ivm=None if self.ivm is None else cp(self.ivm),
         )
 
     def __repr__(self):
@@ -533,7 +552,12 @@ class Drizzle(Resample):
         if stacked is None:
             return None
         _mark("wcs_params")
-        data = np.stack([exposure_rate_data(e) for e in self.exposures])
+        planes = [exposure_rate_data(e) for e in self.exposures]
+        if any(isinstance(p, jax.Array) for p in planes):
+            # device-resident exposures: stack ON device, zero H2D
+            data = jnp.stack([jnp.asarray(p) for p in planes])
+        else:
+            data = np.stack(planes)
         whts, scales = [], []
         for exp in self.exposures:
             base, mask = exposure_pixel_weight(exp, self.wht_type)

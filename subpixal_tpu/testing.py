@@ -29,6 +29,7 @@ def simulate_stack(
     shift_scale: float = 0.5,
     pscale_as: float = 0.05,
     star_box=None,
+    device: bool = False,
 ) -> tuple[list[Exposure], list[tuple[float, float]]]:
     """Dithered exposures whose DATA carry true sub-pixel offsets the
     header WCS does not know about (the alignment problem).
@@ -41,6 +42,16 @@ def simulate_stack(
     Returns ``(exposures, planted)`` with ``planted[e] = (dx, dy)`` the
     true per-exposure pointing error in pixels; only pairwise
     DIFFERENCES are recoverable (alignment is relative).
+
+    ``device=True`` renders every frame ON the default jax device and
+    returns device-resident Exposures (see ``Exposure`` docs): the
+    scene never exists on host, so a following ``align_images`` /
+    ``Drizzle`` run is measured free of host->device transfer — the
+    regime of an on-device pipeline (or any non-tunneled production
+    host, where the transfer is PCIe-fast anyway). Star positions and
+    planted shifts still come from the SAME numpy RNG draws, so
+    ``planted`` is identical across the two modes (pixel noise is not:
+    jax and numpy PRNGs differ).
     """
     rng = np.random.default_rng(seed)
     H, W = shape
@@ -53,19 +64,71 @@ def simulate_stack(
     pyy, pxx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
     r_cut = (R - 1) ** 2
     exps, planted = [], []
+    shifts = [tuple(rng.uniform(-shift_scale, shift_scale, 2))
+              for _ in range(n_exp)]
+    if device:
+        frames = _render_stack_device(
+            shape, stars, np.asarray(shifts, np.float64), n_stars,
+            amp, sigma, noise, R, r_cut, seed)
     for e in range(n_exp):
-        dx, dy = rng.uniform(-shift_scale, shift_scale, 2)
+        dx, dy = shifts[e]
         planted.append((float(dx), float(dy)))
-        img = rng.normal(0, noise, shape).astype(np.float32)
-        for x0, y0 in stars:
-            cx, cy = int(round(x0)), int(round(y0))
-            r2 = (pxx + cx - x0 - dx) ** 2 + (pyy + cy - y0 - dy) ** 2
-            img[cy - R:cy + R + 1, cx - R:cx + R + 1] += np.where(
-                r2 < r_cut, amp * np.exp(-r2 / (2 * sigma * sigma)), 0.0)
+        if device:
+            img = frames[e]
+        else:
+            img = rng.normal(0, noise, shape).astype(np.float32)
+            for x0, y0 in stars:
+                cx, cy = int(round(x0)), int(round(y0))
+                r2 = (pxx + cx - x0 - dx) ** 2 + (pyy + cy - y0 - dy) ** 2
+                img[cy - R:cy + R + 1, cx - R:cx + R + 1] += np.where(
+                    r2 < r_cut, amp * np.exp(-r2 / (2 * sigma * sigma)),
+                    0.0)
         wcs = TanWCS(crpix=np.array([W / 2, H / 2]),
                      crval=np.array([150.0, 2.0]), cd=cd)
         exps.append(Exposure(img, wcs, name=f"sim{e}"))
     return exps, planted
+
+
+def _render_stack_device(shape, stars, shifts, n_stars, amp, sigma,
+                         noise, R, r_cut, seed):
+    """(E, H, W) star-field frames rendered on device (one program).
+
+    Patch-wise like the host renderer: each star contributes a
+    (2R+1)^2 Gaussian patch scatter-added at its integer center — the
+    full-frame-per-star form is O(n_stars * H * W) and takes minutes
+    at 4k.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    E = shifts.shape[0]
+    H, W = shape
+    key = jax.random.PRNGKey(seed)
+    P = 2 * R + 1
+    py, px = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
+    cx = np.round(stars[:, 0]).astype(np.int32)
+    cy = np.round(stars[:, 1]).astype(np.int32)
+    fx = (stars[:, 0] - cx).astype(np.float32)   # sub-pixel star offset
+    fy = (stars[:, 1] - cy).astype(np.float32)
+
+    @jax.jit
+    def render(key, sh):
+        frames = noise * jax.random.normal(key, (E, H, W), jnp.float32)
+        # (E, S, P, P) patches: star sub-pixel pos + planted frame shift
+        ddx = fx[None, :] + sh[:, 0:1].astype(jnp.float32)   # (E, S)
+        ddy = fy[None, :] + sh[:, 1:2].astype(jnp.float32)
+        r2 = ((px[None, None] - ddx[..., None, None]) ** 2
+              + (py[None, None] - ddy[..., None, None]) ** 2)
+        patch = jnp.where(r2 < r_cut,
+                          amp * jnp.exp(-r2 / (2 * sigma * sigma)), 0.0)
+        rows = (cy[:, None] + py.astype(np.int32)[None, :, 0])  # (S, P)
+        cols = (cx[:, None] + px.astype(np.int32)[None, 0, :])
+        ii = jnp.broadcast_to(rows[:, :, None], (n_stars, P, P))
+        jj = jnp.broadcast_to(cols[:, None, :], (n_stars, P, P))
+        return jax.vmap(
+            lambda f, p: f.at[ii, jj].add(p, mode="drop"))(frames, patch)
+
+    return render(key, jnp.asarray(shifts))
 
 
 def pairwise_shift_errors(shifts, planted) -> float:

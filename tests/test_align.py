@@ -447,4 +447,27 @@ def test_device_catalog_align_matches_host():
         sh = np.asarray(res.shifts)
         assert pairwise_shift_errors(sh, planted) < 5e-3
         shifts[mode] = sh
-    assert np.abs(shifts["host"] - shifts["device"]).max() < 1e-3
+    # 3 mpix: the peaks finder measures windowed footprints (bbox capped
+    # at `window`), so cutout geometry differs slightly from the host
+    # finder's exact component bboxes — both recover planted to <5 mpix
+    assert np.abs(shifts["host"] - shifts["device"]).max() < 3e-3
+
+
+def test_device_resident_exposures_align():
+    """Device-resident Exposures (jax-array .data, zero H2D staging)
+    align end-to-end and reproduce the host-data scene's planted
+    shifts (testing.simulate_stack(device=True))."""
+    import jax
+
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
+
+    exps, planted = simulate_stack(n_exp=3, shape=(256, 256), n_stars=20,
+                                   seed=5, device=True)
+    assert isinstance(exps[0].data, jax.Array)
+    res = align_images(exposures=exps, fitgeom="shift", max_iterations=3,
+                       usfac=8, fit_type="gaussian")
+    assert pairwise_shift_errors(np.asarray(res.shifts), planted) < 5e-3
+    # planted draws must be identical to the host-mode scene's
+    _, planted_h = simulate_stack(n_exp=3, shape=(256, 256), n_stars=20,
+                                  seed=5)
+    assert planted == planted_h
