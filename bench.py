@@ -144,7 +144,7 @@ def _dev_time_per_iter(make_loop, iters=(1, 21)):
         jax.block_until_ready(fs[k](_np.float32(seed)))
         seed += 1.0
     deltas = []
-    for _ in range(3):
+    for _ in range(5):
         ts = {}
         for k in iters:
             arg = _np.float32(seed)
@@ -154,8 +154,14 @@ def _dev_time_per_iter(make_loop, iters=(1, 21)):
             ts[k] = time.perf_counter() - t0
         k0, k1 = iters
         deltas.append((ts[k1] - ts[k0]) / (k1 - k0))
+    # MIN of the positive deltas: the capability number. The shared
+    # tunneled chip adds one-sided contention noise only (a run can be
+    # slowed, never sped up), and a median-of-3 still swung ~1.6x
+    # between back-to-back runs of identical code (2.7-4.5M cc/s,
+    # 2026-08-17); min-of-5 is robust to it and matches the CPU
+    # baseline's best-of-repeats convention.
     pos = sorted(d for d in deltas if d > 0)
-    return pos[len(pos) // 2] if pos else ts[k1] / k1
+    return pos[0] if pos else ts[k1] / k1
 
 
 def bench_tpu(refs, imgs, dxs, dys):
