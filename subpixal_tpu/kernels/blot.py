@@ -59,7 +59,14 @@ def _tap_weight(t: jax.Array, interp: str, i: int) -> jax.Array:
     offs = _OFFSETS[interp]
     if interp == "linear":
         return 1.0 - t if i == 0 else t
-    if interp in ("poly3", "spline3", "poly5"):
+    if interp == "spline3":  # cubic B-spline basis (coefficient image)
+        t2 = t * t
+        t3 = t2 * t
+        return ((1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0,
+                (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0,
+                (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0,
+                t3 / 6.0)[i]
+    if interp in ("poly3", "poly5"):
         w = jnp.ones_like(t)
         oi = offs[i]
         for j, oj in enumerate(offs):
@@ -175,6 +182,7 @@ def sample_cutouts_pallas(
     fill: float = 0.0,
     interpret: bool = False,
     return_escaped: bool = False,
+    prefiltered: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Sample ``image`` at per-cutout coordinate grids (Pallas TPU path).
 
@@ -202,6 +210,12 @@ def sample_cutouts_pallas(
         raise ValueError(
             f"unknown interp: {interp!r} (expected one of "
             f"{sorted(INTERP_TAPS)})")
+    if interp == "spline3" and not prefiltered:
+        # B-spline coefficients as an XLA scan BEFORE the Mosaic call
+        # (a few ms at 4k; fuses into the surrounding program)
+        from ..ops.interp import bspline3_prefilter
+
+        image = bspline3_prefilter(image)
     if interp == "nearest":
         # 1-tap: a single clamp+index — the XLA path is already optimal
         from ..ops.interp import sample_image

@@ -36,7 +36,7 @@ def scene():
 
 
 @pytest.mark.parametrize("interp", ["nearest", "linear", "poly3", "poly5",
-                                    "sinc"])
+                                    "spline3", "sinc"])
 def test_blot_kernel_matches_oracle(scene, interp):
     img, x, y = scene
     v1, ok1 = sample_cutouts_pallas(img, x, y, interp=interp,
