@@ -762,7 +762,16 @@ class Drizzle(Resample):
         skies = np.zeros(len(self.exposures))
         to_native = np.ones(len(self.exposures))
         for e, exp in enumerate(self.exposures):
-            _, med, _ = sigma_clipped_stats(exp.data)
+            if isinstance(exp.data, jax.Array):
+                # device-resident exposure: stats on device, fetch only
+                # the scalar (match_sky runs pre-Pallas, so the sync is
+                # safe even on tunneled runtimes)
+                from ..catalogs.device import sigma_clipped_stats_device
+
+                _, med_j, _ = sigma_clipped_stats_device(exp.data)
+                med = float(med_j)
+            else:
+                _, med, _ = sigma_clipped_stats(exp.data)
             scale = (float(exp.exptime)
                      if str(exp.data_units).lower().startswith("count")
                      and exp.exptime else 1.0)
@@ -771,6 +780,7 @@ class Drizzle(Resample):
         if subtract and len(self.exposures):
             sub = skies - skies.min() if skymethod == "match" else skies
             for exp, sky, scale in zip(self.exposures, sub, to_native):
+                # jax-array data stays on device (scalar subtraction)
                 exp.data = exp.data - np.float32(sky * scale)
             # cached deposits are stale now
             self._per_exp.clear()
