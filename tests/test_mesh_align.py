@@ -192,3 +192,21 @@ def test_mesh_align_mixed_pixel_scales():
     np.testing.assert_allclose(np.asarray(res1.shifts),
                                np.asarray(res2.shifts), atol=1e-3)
     assert res1.n_iterations == res2.n_iterations
+
+
+def test_mesh_with_device_resident_exposures():
+    """Mesh-parallel align consumes device-resident Exposures
+    (jax-array .data) end-to-end."""
+    import jax
+
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.parallel import make_mesh
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
+
+    exps, planted = simulate_stack(n_exp=4, shape=(256, 256), n_stars=20,
+                                   seed=5, device=True)
+    assert isinstance(exps[0].data, jax.Array)
+    res = align_images(exposures=exps, fitgeom="shift", max_iterations=3,
+                       usfac=8, fit_type="gaussian", mesh=make_mesh())
+    assert pairwise_shift_errors(
+        np.asarray(res.shifts), planted) < 5e-3
