@@ -87,12 +87,56 @@ def make_static_mask(exposures: "Sequence[Exposure]",
     """
     from ..catalogs import sigma_clipped_stats
 
+    if any(isinstance(e.data, jax.Array) for e in exposures):
+        # device-resident stack: normalize + max-combine on device;
+        # only the boolean mask (1 byte/px) crosses to host
+        from ..catalogs.device import sigma_clipped_stats_device
+
+        hi = None
+        for exp in exposures:
+            d = jnp.asarray(exp.data)
+            _, med, std = sigma_clipped_stats_device(d)
+            z = (d - med) / jnp.maximum(std, 1e-12)
+            hi = z if hi is None else jnp.maximum(hi, z)
+        return np.asarray(hi < -float(nsigma))
     stack = []
     for exp in exposures:
         _, med, std = sigma_clipped_stats(exp.data)
         stack.append((exp.data - med) / max(std, 1e-12))
     hi = np.max(np.stack(stack), axis=0)
     return hi < -float(nsigma)
+
+
+@jax.jit
+def _reject_cr_one_device(blot, ok, rate, weight, snr, scale):
+    """One exposure's driz_cr flagging entirely on device.
+
+    Same math as the host branch of :meth:`Drizzle.reject_cr`: local
+    4-neighbor gradient of the blotted model, MAD-robust residual sigma
+    over usable pixels, ``|resid| > snr*sig + scale*deriv`` flags.
+    Returns (cr_mask bool, new_weight f32).
+    """
+    p = jnp.pad(blot, 1, mode="edge")
+    deriv = jnp.maximum(
+        jnp.maximum(jnp.abs(blot - p[:-2, 1:-1]),
+                    jnp.abs(blot - p[2:, 1:-1])),
+        jnp.maximum(jnp.abs(blot - p[1:-1, :-2]),
+                    jnp.abs(blot - p[1:-1, 2:])))
+    resid = rate - blot
+    sel = ok & jnp.isfinite(resid)
+    if weight is not None:
+        sel = sel & (jnp.asarray(weight) > 0)
+    rs = jnp.where(sel, resid, jnp.nan)
+    sig_std = jnp.nan_to_num(
+        jnp.sqrt(jnp.nanmean((rs - jnp.nanmean(rs)) ** 2)))
+    med_r = jnp.nanmedian(rs)
+    mad = jnp.nanmedian(jnp.abs(rs - med_r)) * 1.4826
+    sig = jnp.where(mad > 0, mad, sig_std)
+    sig = jnp.where(jnp.any(sel), sig, 0.0)
+    cr = ok & (jnp.abs(resid) > snr * sig + scale * deriv)
+    wht = (jnp.ones_like(blot) if weight is None
+           else jnp.asarray(weight, jnp.float32))
+    return cr, jnp.where(cr, 0.0, wht)
 
 
 def _as_exposure_plane(a):
@@ -792,11 +836,22 @@ class Drizzle(Resample):
         in every exposure (AstroDrizzle's static-mask stage)."""
         mask = make_static_mask(self.exposures, nsigma=nsigma)
         if mask.any():
+            mask_j = None
             for exp in self.exposures:
-                wht = (np.ones_like(exp.data) if exp.weight is None
-                       else exp.weight.copy())
-                wht[mask] = 0.0
-                exp.weight = wht
+                if (isinstance(exp.data, jax.Array)
+                        or isinstance(exp.weight, jax.Array)):
+                    # device-resident: weights built/zeroed on device
+                    if mask_j is None:
+                        mask_j = jnp.asarray(mask)
+                    wht = (jnp.ones(exp.data.shape, jnp.float32)
+                           if exp.weight is None
+                           else jnp.asarray(exp.weight))
+                    exp.weight = jnp.where(mask_j, 0.0, wht)
+                else:
+                    wht = (np.ones_like(exp.data) if exp.weight is None
+                           else exp.weight.copy())
+                    wht[mask] = 0.0
+                    exp.weight = wht
             self._per_exp.clear()
             self._sci_acc = self._wht_acc = None
         return mask
@@ -829,29 +884,53 @@ class Drizzle(Resample):
             self.execute()
         Ho, Wo = self._oshape
 
-        # masked median of the per-exposure resampled planes
-        planes = np.full((len(self.exposures), Ho, Wo), np.nan, np.float32)
-        for e, exp in enumerate(self.exposures):
-            s, w = self._per_exp[exp.name]
-            s = fetch_to_host(s)
-            w = fetch_to_host(w)
-            good = w > 0
-            planes[e][good] = s[good] / w[good]
-        with warnings.catch_warnings():
-            # pixels covered by no exposure are all-NaN -> fillval
-            warnings.simplefilter("ignore", RuntimeWarning)
-            med = np.nanmedian(planes, axis=0)
-        med = np.nan_to_num(med, nan=float(self.fillval))
-        med_j = jnp.asarray(med, jnp.float32)
+        device_mode = any(isinstance(e.data, jax.Array)
+                          for e in self.exposures)
+        if device_mode:
+            # masked median ON DEVICE: the (E, Ho, Wo) plane stack and
+            # the median never visit the host
+            s_st = jnp.stack([jnp.asarray(self._per_exp[e.name][0])
+                              for e in self.exposures])
+            w_st = jnp.stack([jnp.asarray(self._per_exp[e.name][1])
+                              for e in self.exposures])
+            good = w_st > 0
+            planes_j = jnp.where(good,
+                                 s_st / jnp.where(good, w_st, 1.0),
+                                 jnp.nan)
+            med_j = jnp.nan_to_num(jnp.nanmedian(planes_j, axis=0),
+                                   nan=float(self.fillval))
+        else:
+            planes = np.full((len(self.exposures), Ho, Wo), np.nan,
+                             np.float32)
+            for e, exp in enumerate(self.exposures):
+                s, w = self._per_exp[exp.name]
+                s = fetch_to_host(s)
+                w = fetch_to_host(w)
+                good = w > 0
+                planes[e][good] = s[good] / w[good]
+            with warnings.catch_warnings():
+                # pixels covered by no exposure are all-NaN -> fillval
+                warnings.simplefilter("ignore", RuntimeWarning)
+                med = np.nanmedian(planes, axis=0)
+            med = np.nan_to_num(med, nan=float(self.fillval))
+            med_j = jnp.asarray(med, jnp.float32)
 
         masks: list[np.ndarray] = []
         for exp in self.exposures:
             px, py = compute_pixmap(exp.wcs, self._owcs, exp.data.shape)
-            blot, ok = sample_image(med_j, jnp.asarray(px, jnp.float32),
-                                    jnp.asarray(py, jnp.float32),
-                                    interp=interp)
-            blot = fetch_to_host(blot)
-            ok = np.asarray(ok)
+            blot_j, ok_j = sample_image(med_j,
+                                        jnp.asarray(px, jnp.float32),
+                                        jnp.asarray(py, jnp.float32),
+                                        interp=interp)
+            if device_mode:
+                cr_j, wht_j = _reject_cr_one_device(
+                    blot_j, ok_j, exposure_rate_data(exp), exp.weight,
+                    snr, scale)
+                exp.weight = wht_j
+                masks.append(np.asarray(cr_j))
+                continue
+            blot = fetch_to_host(blot_j)
+            ok = np.asarray(ok_j)
             # local gradient of the blotted model (driz_cr's derivative
             # image): max abs difference to the 4 neighbors
             p = np.pad(blot, 1, mode="edge")
