@@ -132,8 +132,16 @@ class AlignConfig:
     # d2h fetches stall 100-500 s on tunneled runtimes); 'host' fetches
     # and runs the native host finder (deblending included); 'auto' =
     # device on accelerator backends. Documented deviation: the device
-    # finder does not deblend merged sources (docs/parity.md).
+    # finder deblends only at window scale (docs/parity.md).
     device_catalog: str = "auto"
+    # default-catalog detection knobs, forwarded to the finder
+    # (DeviceSourceCatalog / ImageSourceCatalog): detection threshold in
+    # sigma over the clipped background, minimum component area, the
+    # brightest-first cap and measurement window of the device finder
+    catalog_nsigma: float = 3.0
+    catalog_npixels: int = 5
+    catalog_max_sources: int = 8192
+    catalog_window: int = 32
 
 
 @dataclasses.dataclass
@@ -1080,7 +1088,10 @@ def align_images(
             from .catalogs.device import warm_compile as _cat_warm
 
             resample._ensure_output_grid()
-            _cat_warm(tuple(resample.output_shape))
+            _cat_warm(tuple(resample.output_shape),
+                      npixels=cfg.catalog_npixels,
+                      window=cfg.catalog_window,
+                      max_sources=cfg.catalog_max_sources)
             t = _mark("catalog_warm_compile", t)
         # -- initial reference image ------------------------------------ #
         resample.execute()
@@ -1125,9 +1136,15 @@ def align_images(
                 from .catalogs.device import DeviceSourceCatalog
 
                 cat_list: list[ImageCatalog] = [
-                    DeviceSourceCatalog(drz_sci_dev)]
+                    DeviceSourceCatalog(
+                        drz_sci_dev, nsigma=cfg.catalog_nsigma,
+                        npixels=cfg.catalog_npixels,
+                        max_sources=cfg.catalog_max_sources,
+                        window=cfg.catalog_window)]
             else:
-                cat_list = [ImageSourceCatalog(drz_sci)]
+                cat_list = [ImageSourceCatalog(
+                    drz_sci, nsigma=cfg.catalog_nsigma,
+                    npixels=cfg.catalog_npixels)]
         elif isinstance(catalogs, (list, tuple)):
             cat_list = list(catalogs)
         else:

@@ -471,3 +471,20 @@ def test_device_resident_exposures_align():
     _, planted_h = simulate_stack(n_exp=3, shape=(256, 256), n_stars=20,
                                   seed=5)
     assert planted == planted_h
+
+
+def test_catalog_knobs_forwarded():
+    """AlignConfig catalog_* knobs reach the default finder: a raised
+    nsigma threshold finds fewer sources, errors loudly under
+    min_sources."""
+    import pytest as _pytest
+
+    from subpixal_tpu.testing import simulate_stack
+
+    exps, _ = simulate_stack(n_exp=3, shape=(256, 256), n_stars=8, seed=9)
+    # absurd threshold: nothing detectable -> min_sources failure
+    with _pytest.raises(ValueError, match="sources"):
+        align_images(exposures=exps, catalog_nsigma=1e6, max_iterations=1)
+    res = align_images(exposures=exps, catalog_nsigma=3.0,
+                       max_iterations=1)
+    assert res.n_iterations >= 1
