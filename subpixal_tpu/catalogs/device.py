@@ -45,7 +45,7 @@ source inside a ``window`` x ``window`` box (area/flux/bbox of sources
 larger than the window are truncated), and neither device method runs
 the multi-threshold deblender (SExtractor DEBLEND_NTHRESH/
 DEBLEND_MINCONT, `catalogs._deblend`); crowded-field users should force
-the host finder (``AlignConfig.device_catalog='off'``) — see
+the host finder (``AlignConfig.device_catalog='host'``) — see
 docs/parity.md.
 """
 
