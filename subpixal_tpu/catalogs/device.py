@@ -452,7 +452,13 @@ def find_sources_device(image, threshold: float | None = None,
         B, win = _peaks_dims((H, W), max_sources, window)
         seg_rank, packed, _ = _find_sources_peaks_core(
             img, thr, max_sources=B, npixels=npixels, window=win)
-        arr = np.asarray(packed)        # ONE device->host table fetch
+        from ..utils import fetch_to_host
+
+        arr = fetch_to_host(packed)     # ONE device->host table fetch
+        #                                 (sync_probe'd: a bulk fetch
+        #                                 racing the finder program
+        #                                 stalls 40-110 s on tunneled
+        #                                 runtimes)
         keep = arr[0] > 0
         n_cand = int(arr[10, 0])
         if n_cand > B:
@@ -485,6 +491,9 @@ def find_sources_device(image, threshold: float | None = None,
     _, seg, table, n_comp, n_overflow = _find_sources_core(
         img, thr, connectivity=connectivity, max_sources=max_sources)
     # KB-class table fetch (device->host); the (H, W) plane stays put
+    from ..utils import sync_probe
+
+    sync_probe(n_comp)  # wait via the scalar path before bulk fetches
     host = {k: np.asarray(v) for k, v in table.items()}
     n_comp = int(n_comp)
     n_over = int(n_overflow)
@@ -560,7 +569,9 @@ class DeviceSourceCatalog(ImageCatalog):
             self.execute()
         if self.segmentation_device is None:
             return None
-        return np.asarray(self.segmentation_device)
+        from ..utils import fetch_to_host
+
+        return fetch_to_host(self.segmentation_device)
 
     @segmentation.setter
     def segmentation(self, value):  # base-class __init__ compatibility

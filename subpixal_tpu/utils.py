@@ -8,12 +8,14 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+
 __all__ = ["parse_file_name", "py2round", "enable_compilation_cache",
-           "fetch_to_host"]
+           "fetch_to_host", "sync_probe"]
 
 
 def enable_compilation_cache(path: str | None = None,
-                             min_compile_secs: float = 0.5) -> str:
+                             min_compile_secs: float = 0.0) -> str:
     """Turn on JAX's persistent compilation cache.
 
     First compiles of the jitted align step / kernels cost 10–80 s on
@@ -21,6 +23,14 @@ def enable_compilation_cache(path: str | None = None,
     process (verified to work through remote-compile tunnels). Called by
     ``bench.py``, ``__graft_entry__`` and the test suite; library users
     should call it once at startup.
+
+    ``min_compile_secs`` defaults to 0 — cache EVERY executable. On
+    remote-compile runtimes even trivial eager ops
+    (convert_element_type, broadcast_in_dim, ...) cost ~0.35 s of RPC
+    round trips each; one measured align setup issued 60 such compiles
+    (~21 s/process) that JAX's default 0.5 s floor would silently
+    re-pay in every process forever. The tiny cache entries (~KB) are
+    far cheaper than the recompiles.
     """
     import os
 
@@ -83,6 +93,39 @@ def py2round(x: float) -> float:
 FETCH_CHUNK_BYTES = 0
 
 
+#: fetches larger than this first wait for the producing program via a
+#: scalar probe (see :func:`sync_probe`); KB-class fetches skip it.
+_PROBE_MIN_BYTES = 65536
+
+
+def sync_probe(arr) -> None:
+    """Cheaply wait for a device array's producing program to finish.
+
+    A BULK device->host fetch issued while the producing program is
+    still running (or queued) stalls 40-110 s on tunneled runtimes —
+    the relay's completion poll for in-flight large transfers backs
+    off pathologically (measured 2026-08-18: a 360 KB table fetch
+    issued right after the drizzle deposits stalled 42-113 s; a scalar
+    fetch first waited 3 s for the same programs, after which the bulk
+    fetch took 50 ms). Fetching ONE element first synchronizes through
+    the cheap scalar path. ``jax.block_until_ready`` is NOT a
+    substitute: on the tunneled backend it returns before remote
+    execution completes (measured same day).
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if not isinstance(arr, jax.Array):
+            return
+        x = arr[(0,) * arr.ndim] if arr.ndim else arr
+        if jnp.issubdtype(arr.dtype, jnp.complexfloating):
+            x = jnp.real(x)  # complex d2h is UNIMPLEMENTED on axon
+        np.asarray(x)
+    except Exception:
+        pass  # best-effort: the bulk fetch below still returns the data
+
+
 def fetch_to_host(arr, chunk_bytes: int | None = None):
     """Device->host fetch of a 2-D+ array in bounded row slices.
 
@@ -90,6 +133,8 @@ def fetch_to_host(arr, chunk_bytes: int | None = None):
     on tunneled runtimes (see :data:`FETCH_CHUNK_BYTES`); slicing the
     leading axis bounds each transfer. Override the chunk size with
     ``chunk_bytes`` or the ``SUBPIXAL_TPU_FETCH_CHUNK_BYTES`` env var.
+    Fetches beyond 64 KB are preceded by a :func:`sync_probe` so the
+    bulk transfer never races the producing program.
     """
     import os
 
@@ -98,6 +143,9 @@ def fetch_to_host(arr, chunk_bytes: int | None = None):
     if chunk_bytes is None:
         chunk_bytes = int(os.environ.get("SUBPIXAL_TPU_FETCH_CHUNK_BYTES",
                                          FETCH_CHUNK_BYTES))
+    nbytes = getattr(arr, "nbytes", 0) or 0
+    if nbytes >= _PROBE_MIN_BYTES:
+        sync_probe(arr)
     if not hasattr(arr, "shape") or arr.ndim < 2:
         return np.asarray(arr)
     n = arr.shape[0]
