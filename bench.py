@@ -164,6 +164,29 @@ def _dev_time_per_iter(make_loop, iters=(1, 21)):
     return pos[0] if pos else ts[k1] / k1
 
 
+def _displacement_flops(B, H, W, usfac=10, peak_fit_box=5):
+    """Logical FLOPs of one NCC + windowed-coarse + usfac-upsampled
+    displacement batch (matches bench_tpu's find_displacement call)."""
+    from subpixal_tpu.ops.peaks import normalize_search_box
+
+    Wr = W // 2 + 1
+    r0, r1, c0, c1 = normalize_search_box("fitbox", H, W, peak_fit_box)
+    ny, nx = r1 - r0, c1 - c0
+    nwin = -(-(usfac + peak_fit_box + 1) // 8) * 8
+    macs = 0
+    # forward stacked matmul-DFT, both sides: W-pass (B*H, W) @ (W, 2Wr)
+    # + H-pass (2H, H) @ (H, 2Wr) per cutout
+    macs += 2 * (B * H * W * 2 * Wr + B * 2 * H * H * 2 * Wr)
+    # windowed coarse: complex (ny, H) @ (H, Wr) per cutout (4 real
+    # matmuls) + real read-out (ny, Wr) @ (Wr, nx) x 2
+    macs += B * (4 * ny * H * Wr + 2 * ny * Wr * nx)
+    # upsampled window: complex (nwin, H) @ (H, Wr) + read-out
+    macs += B * (4 * nwin * H * Wr + 2 * nwin * Wr * nwin)
+    # elementwise (spectral-NCC scale, phase twist, fold weights)
+    ew = B * H * Wr * 24
+    return 2.0 * macs + ew
+
+
 def bench_tpu(refs, imgs, dxs, dys):
     import jax
     import jax.numpy as jnp
@@ -177,17 +200,15 @@ def bench_tpu(refs, imgs, dxs, dys):
     compiled = f.lower(r_j, i_j).compile()
     out = compiled(r_j, i_j)
     jax.block_until_ready(out)
-    # XLA's own FLOP estimate of the displacement program, for the MFU
-    # figure (denominator: v5e bf16 MXU peak 197 TF/s; the program is
-    # f32+FFT-heavy, so this is a conservative utilization bound)
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    # ANALYTIC logical-FLOP count of the displacement algorithm, for the
+    # MFU figure (denominator: v5e bf16 MXU peak 197 TF/s). Analytic
+    # instead of XLA cost_analysis so the number is path-independent:
+    # custom calls (Pallas) report 0 flops to cost_analysis, and XLA's
+    # estimate shifts with fusion choices — a kernel swap would silently
+    # move the metric. Counted (real MACs x 2, logical not
+    # emulation-pass flops): forward matmul-DFT of both sides, the
+    # windowed-coarse and upsampled-window complex contractions.
+    flops = _displacement_flops(*r_j.shape)
 
     def make_loop(k):
         def run(seed):

@@ -59,6 +59,17 @@ _P_FWD = {
 }.get(_os.environ.get("SUBPIXAL_TPU_FWD_PRECISION", "").lower(),
       jax.lax.Precision.HIGH)
 
+#: read-out contraction precision (upsampled window / windowed coarse
+#: lags). HIGHEST (6-pass bf16, exact-f32 class) is the default: these
+#: matmuls set the final sub-pixel precision (<0.01-pix target).
+#: Override with SUBPIXAL_TPU_READOUT_PRECISION=high|default to trade
+#: precision for MXU passes (read at trace time, like the FWD knob).
+_P_READOUT = {
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}.get(_os.environ.get("SUBPIXAL_TPU_READOUT_PRECISION", "").lower(),
+      jax.lax.Precision.HIGHEST)
+
 
 class Displacement(NamedTuple):
     """Batched displacement measurement.
@@ -443,7 +454,7 @@ def _upsampled_correlation(
     # The second contraction is written in explicit real arithmetic:
     # only Re(C) is consumed, so its imaginary half (which a complex
     # einsum would also compute) is never formed.
-    P = jax.lax.Precision.HIGHEST
+    P = _P_READOUT
     tmp = jnp.einsum("iu,buv->biv", K2y, Gd, precision=P)
     C = (jnp.einsum("jv,biv->bij", jnp.real(K2x), jnp.real(tmp),
                     precision=P)
@@ -482,7 +493,7 @@ def _windowed_coarse_surface(G, bounds, H: int, W: int):
     Ky = _us_dft_kernel(zero, ty, H, H)[0]    # (ny, H)
     Kx = _us_dft_kernel(zero, tx, Wr, W)[0]   # (nx, Wr)
     Gw = G * _hermitian_weights(W)[None, None, :]
-    P = jax.lax.Precision.HIGHEST
+    P = _P_READOUT
     tmp = jnp.einsum("iu,buv->biv", Ky, Gw, precision=P)
     C = (jnp.einsum("jv,biv->bij", jnp.real(Kx), jnp.real(tmp),
                     precision=P)

@@ -31,14 +31,25 @@ def enable_compilation_cache(path: str | None = None,
     (~21 s/process) that JAX's default 0.5 s floor would silently
     re-pay in every process forever. The tiny cache entries (~KB) are
     far cheaper than the recompiles.
+
+    The default path is keyed by the active JAX backend: remote-compile
+    backends (axon) emit host-CPU executables with compile-server
+    machine features (``+prefer-no-gather`` etc.) that a local
+    CPU-only process would otherwise load — XLA warns "could lead to
+    execution errors such as SIGILL" (observed 2026-08-18). Separate
+    dirs keep each compile provenance to itself.
     """
     import os
 
     import jax
 
     if path is None:
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:  # pragma: no cover - no backend at all
+            backend = "none"
         path = os.path.join(os.path.expanduser("~"), ".cache",
-                            "subpixal_tpu_xla")
+                            f"subpixal_tpu_xla_{backend}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
