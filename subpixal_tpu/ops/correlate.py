@@ -252,6 +252,37 @@ def _use_fused_xspec(H: int, W: int) -> bool:
         return False
 
 
+def _use_fused_measure(H: int, W: int) -> bool:
+    """Whether the fused Pallas measurement kernel runs
+    (:func:`subpixal_tpu.kernels.correlate.measure_displacement_pallas`).
+
+    OPT-IN (``SUBPIXAL_TPU_FUSED_MEASURE=1``, read at TRACE time like
+    ``SUBPIXAL_TPU_FFT``): measured on v5e (2026-08-18) the fused
+    kernel runs the 512x64^2 batch in 450-660 us where THIS XLA einsum
+    path takes ~42 us (12.2M cc/s, quiet chip). The kernel's matmuls
+    are full-width, but its per-cutout glue — 4·CB lane-restack copies
+    and CB argmax extractions per block, ~2000 Mosaic ops per batch at
+    ~0.15-0.25 us each — costs an order of magnitude more than the
+    ~25 us of HBM spectrum traffic the fusion saves. XLA's batched
+    dot_general lowering lane-packs the per-cutout contractions
+    automatically and fuses the elementwise stages, so the hand fusion
+    has nothing left to win. Kept for numeric cross-checking (exact
+    coarse-shift parity, ~3e-6 surface agreement in tests) and as the
+    starting point for a future restack-free layout.
+    """
+    import os
+
+    forced = os.environ.get("SUBPIXAL_TPU_FUSED_MEASURE", "").lower()
+    if forced not in ("1", "true", "on"):
+        return False
+    if not _use_matmul_dft(H, W):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def _rfft2_parts(x: jax.Array):
     """(re, im) rfft2 via the MXU matmul-DFT when gated on, else jnp.fft."""
     if _use_matmul_dft(*x.shape[-2:]):
@@ -553,6 +584,32 @@ def find_displacement(
             f"ref and img must have the same shape, got {ref_b.shape} vs {img_b.shape}"
         )
     B, H, W = ref_b.shape
+
+    if usfac > 1:
+        # fully-fused Pallas measurement (normalize -> forward DFT ->
+        # cross-spectrum -> windowed coarse -> upsampled window, all
+        # VMEM-resident) when the coarse search is window-confined
+        bounds = normalize_search_box(peak_search_box, H, W, peak_fit_box)
+        nwin = -(-(int(usfac) + int(peak_fit_box) + 1) // 8) * 8
+        if (bounds is not None
+                and bounds[1] - bounds[0] <= _WINDOWED_COARSE_MAX
+                and bounds[3] - bounds[2] <= _WINDOWED_COARSE_MAX
+                and _use_fused_measure(H, W)):
+            from ..kernels.correlate import measure_displacement_pallas
+
+            C, s0y, s0x = measure_displacement_pallas(
+                ref_b, img_b, ref_mask, img_mask, cc_type=cc_type,
+                usfac=int(usfac), nwin=nwin, bounds=bounds)
+            off_y = s0y.astype(jnp.float32) - (nwin // 2) / usfac
+            off_x = s0x.astype(jnp.float32) - (nwin // 2) / usfac
+            pk = find_peak(C, peak_fit_box=peak_fit_box,
+                           fit_type=fit_type)
+            res = Displacement(dx=off_x + pk.x / usfac,
+                               dy=off_y + pk.y / usfac,
+                               peak=pk.value, fit_ok=pk.fit_ok)
+            if squeeze:
+                res = Displacement(*(r[0] for r in res))
+            return res
 
     G = _cross_spectrum(ref_b, img_b, cc_type, ref_mask, img_mask)
 

@@ -280,3 +280,93 @@ class TestFusedCrossSpectrum:
         with _pytest.raises(ValueError, match="cc_type"):
             cross_spectrum_pallas(ref, img, cc_type="nope",
                                   interpret=True)
+
+
+# ------------------------------------------------------------------ #
+# fused displacement measurement kernel
+# ------------------------------------------------------------------ #
+
+def _measure_xla_pieces(refs, imgs, bounds, usfac, nwin, rmask=None,
+                        imask=None):
+    from subpixal_tpu.ops import correlate as OC
+
+    B, H, W = refs.shape
+    G = OC._cross_spectrum(jnp.asarray(refs), jnp.asarray(imgs), "NCC",
+                           rmask, imask)
+    Cc, ly0, lx0, ny, nx = OC._windowed_coarse_surface(G, bounds, H, W)
+    flat = jnp.argmax(Cc.reshape(B, -1), axis=-1)
+    s0y = (flat // nx).astype(jnp.int32) + ly0
+    s0x = (flat % nx).astype(jnp.int32) + lx0
+    C, _, _ = OC._upsampled_correlation(G, s0y, s0x, usfac, nwin, H, W)
+    return C, s0y, s0x
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_measure_kernel_matches_xla(masked):
+    """measure_displacement_pallas == cross_spectrum + windowed coarse
+    + upsampled window of the XLA path (exact coarse shifts, ~3e-6
+    surface agreement). The kernel is opt-in on hardware
+    (SUBPIXAL_TPU_FUSED_MEASURE, measured slower than the XLA einsum
+    path) but must stay numerically interchangeable."""
+    from subpixal_tpu.kernels.correlate import measure_displacement_pallas
+    from subpixal_tpu.ops.peaks import normalize_search_box
+
+    rng = np.random.default_rng(7)
+    B, H, W = 37, 64, 64
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    dx = rng.uniform(-2, 2, B)[:, None, None]
+    dy = rng.uniform(-2, 2, B)[:, None, None]
+    refs = np.exp(-((xx - W / 2) ** 2 + (yy - H / 2) ** 2) / 8.0)
+    refs = (refs[None] + rng.normal(0, 1e-3, (B, H, W))).astype(np.float32)
+    imgs = (np.exp(-((xx[None] - W / 2 - dx) ** 2
+                     + (yy[None] - H / 2 - dy) ** 2) / 8.0)
+            + rng.normal(0, 1e-3, (B, H, W))).astype(np.float32)
+    rmask = imask = None
+    if masked:
+        rmask = jnp.asarray(
+            (rng.uniform(size=(B, H, W)) > 0.05).astype(np.float32))
+        imask = jnp.asarray(
+            (rng.uniform(size=(B, H, W)) > 0.05).astype(np.float32))
+    usfac, pfb = 10, 5
+    bounds = normalize_search_box(7, H, W, pfb)  # covers the ±2 px shifts
+    nwin = -(-(usfac + pfb + 1) // 8) * 8
+    C2, s0y, s0x = measure_displacement_pallas(
+        jnp.asarray(refs), jnp.asarray(imgs), rmask, imask,
+        cc_type="NCC", usfac=usfac, nwin=nwin, bounds=bounds,
+        interpret=True)
+    Cx, s0y_x, s0x_x = _measure_xla_pieces(refs, imgs, bounds, usfac,
+                                           nwin, rmask, imask)
+    assert bool(jnp.all(s0y == s0y_x)) and bool(jnp.all(s0x == s0x_x))
+    np.testing.assert_allclose(np.asarray(C2), np.asarray(Cx),
+                               atol=2e-5)
+
+
+def test_fused_measure_kernel_cc_and_ragged_batch():
+    """CC (unnormalized) path + a batch that does not divide the block
+    size (padding cutouts must not disturb real rows)."""
+    from subpixal_tpu.kernels.correlate import measure_displacement_pallas
+    from subpixal_tpu.ops.peaks import normalize_search_box
+
+    rng = np.random.default_rng(3)
+    B, H, W = 5, 32, 32
+    refs = rng.normal(size=(B, H, W)).astype(np.float32)
+    imgs = np.roll(refs, (1, -2), axis=(1, 2)) + rng.normal(
+        0, 1e-3, (B, H, W)).astype(np.float32)
+    bounds = normalize_search_box(7, H, W, 5)
+    C2, s0y, s0x = measure_displacement_pallas(
+        jnp.asarray(refs), jnp.asarray(imgs), cc_type="CC", usfac=8,
+        nwin=16, bounds=bounds, block_cutouts=16, interpret=True)
+    Cx, s0y_x, s0x_x = _measure_xla_pieces(refs, imgs, bounds, 8, 16)
+    # CC vs NCC oracle differ; recompute oracle for CC
+    from subpixal_tpu.ops import correlate as OC
+    G = OC._cross_spectrum(jnp.asarray(refs), jnp.asarray(imgs), "CC",
+                           None, None)
+    Cc, ly0, lx0, ny, nx = OC._windowed_coarse_surface(G, bounds, H, W)
+    flat = jnp.argmax(Cc.reshape(B, -1), axis=-1)
+    s0y_c = (flat // nx).astype(jnp.int32) + ly0
+    s0x_c = (flat % nx).astype(jnp.int32) + lx0
+    Cx, _, _ = OC._upsampled_correlation(G, s0y_c, s0x_c, 8, 16, H, W)
+    assert bool(jnp.all(s0y == s0y_c)) and bool(jnp.all(s0x == s0x_c))
+    np.testing.assert_allclose(np.asarray(C2), np.asarray(Cx),
+                               rtol=2e-4, atol=2e-4 * float(
+                                   np.abs(np.asarray(Cx)).max()))
