@@ -22,6 +22,14 @@ from .sharding import (
     sharded_find_displacement,
     sharded_measure_and_fit,
 )
+from .spatial import (
+    band_rows,
+    drizzle_deposit_spatial,
+    gather_rows,
+    halo_exchange,
+    sample_spatial,
+    shard_rows,
+)
 
 __all__ = [
     "make_mesh",
@@ -29,6 +37,12 @@ __all__ = [
     "pad_to_multiple",
     "sharded_find_displacement",
     "sharded_measure_and_fit",
+    "band_rows",
+    "shard_rows",
+    "gather_rows",
+    "halo_exchange",
+    "drizzle_deposit_spatial",
+    "sample_spatial",
     "init_distributed",
     "make_global_mesh",
     "global_batch_from_local",

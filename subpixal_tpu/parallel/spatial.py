@@ -1,0 +1,321 @@
+"""Spatially-sharded mosaic planes: row bands over a device mesh.
+
+The frame/cutout axes (``parallel.sharding``) scale THROUGHPUT; this
+module scales MOSAIC SIZE — the SURVEY §5 "long-context" axis ("for very
+large mosaics, shard full image planes spatially with halo exchange").
+A v5e chip holds ~16 GB: a 32k×32k float32 drizzle product (sci + wht
+accumulators = 8 GB) plus working set does not fit, but its row bands
+across 8 chips (1 GB/chip) do.
+
+Design — exactness over cleverness:
+
+- Both hot plane ops are LINEAR in the plane. Drizzle deposit restricted
+  to a row band is just the same deposit with shifted ``y`` and a
+  shorter output (out-of-band cells drop in the kernel's own validity
+  mask), so each device deposits its band and nothing is ever summed
+  across devices. Blot/gather is a weighted sum of taps, each tap owned
+  by exactly ONE band, so per-band partial sums ``lax.psum`` to the
+  bit-identical unsharded answer (no halo needed for exactness).
+- Halo exchange (``halo_exchange``) is still provided — the cubic
+  B-spline prefilter is a y-axis IIR whose band-local evaluation needs
+  neighbor rows; with ``halo`` rows the core coefficients match the
+  global prefilter to ``|z1|**halo`` (pole z1 = √3−2 ≈ −0.268: 1e-18 at
+  halo=32). At the global top/bottom the halo is filled by local mirror
+  reflection, which IS the global mirror boundary condition when
+  ``halo < band_rows``.
+
+Reference mapping: the reference (serial numpy, `subpixal/blot.py` /
+`drizzlepac.cdriz`) has no concept of plane sharding; these are
+capability extensions with no reference counterpart (SURVEY §2b).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.drizzle import drizzle_deposit
+from ..ops.interp import (
+    INTERP_OFFSETS,
+    _axis_weights,
+    _bspline3_prefilter_axis,
+)
+
+__all__ = [
+    "band_rows",
+    "shard_rows",
+    "gather_rows",
+    "halo_exchange",
+    "drizzle_deposit_spatial",
+    "sample_spatial",
+]
+
+
+def _axis(mesh: Mesh) -> str:
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"spatial sharding wants a 1-D mesh, got axes "
+            f"{mesh.axis_names}")
+    return mesh.axis_names[0]
+
+
+def band_rows(mesh: Mesh, n_rows: int) -> int:
+    """Rows per band: ``n_rows`` split over the mesh, rounded up."""
+    return -(-int(n_rows) // mesh.devices.size)
+
+
+def shard_rows(mesh: Mesh, plane: jax.Array) -> jax.Array:
+    """Place an ``(H, W)`` plane row-band-sharded over the mesh.
+
+    Rows are zero-padded up to a multiple of the mesh size; pass the
+    LOGICAL row count to the consumers (``sample_spatial(...,
+    logical_rows=H)``) — padded rows are never owned by any sample tap.
+    """
+    H, W = plane.shape
+    Hl = band_rows(mesh, H)
+    pad = Hl * mesh.devices.size - H
+    if pad:
+        plane = jnp.pad(plane, ((0, pad), (0, 0)))
+    return jax.device_put(plane, NamedSharding(mesh, P(_axis(mesh), None)))
+
+
+def gather_rows(plane: jax.Array, logical_rows: int | None = None):
+    """Fetch a row-sharded plane to host, cropping the row padding."""
+    out = np.asarray(plane)
+    return out if logical_rows is None else out[:logical_rows]
+
+
+def _mirror_halos(band: jax.Array, halo: int):
+    """(top, bottom) local mirror reflections of a band's edges.
+
+    Mirror convention of the B-spline prefilter (``x[-n] = x[n]``,
+    ``x[N-1+n] = x[N-1-n]`` — Unser mirror, no edge duplication).
+    """
+    top = band[1:halo + 1][::-1]
+    bot = band[-2:-halo - 2:-1]
+    return top, bot
+
+
+def halo_exchange(band: jax.Array, halo: int, axis_name: str,
+                  edge: str = "mirror") -> jax.Array:
+    """Extend a ``(Hl, W)`` band with ``halo`` rows from each neighbor.
+
+    Runs INSIDE ``shard_map`` over a 1-D mesh. Returns
+    ``(Hl + 2*halo, W)``; rows ``[halo:halo+Hl]`` are the original band.
+    At the global top/bottom the missing neighbor is replaced by
+    ``edge=``'mirror' (local mirror reflection — the B-spline boundary
+    condition) or 'zero'.
+    """
+    max_halo = band.shape[0] - (1 if edge == "mirror" else 0)
+    if not 0 < halo <= max_halo:
+        raise ValueError(
+            f"halo must be in (0, {max_halo}] for edge={edge!r}; got "
+            f"{halo} for band {band.shape}")
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    # ppermute zero-fills targets nobody sends to (the global edges)
+    top = jax.lax.ppermute(band[-halo:], axis_name,
+                           [(k, k + 1) for k in range(n - 1)])
+    bot = jax.lax.ppermute(band[:halo], axis_name,
+                           [(k, k - 1) for k in range(1, n)])
+    if edge == "mirror":
+        mtop, mbot = _mirror_halos(band, halo)
+        top = jnp.where(i == 0, mtop, top)
+        bot = jnp.where(i == n - 1, mbot, bot)
+    elif edge != "zero":
+        raise ValueError(f"edge must be 'mirror' or 'zero', got {edge!r}")
+    return jnp.concatenate([top, band, bot], axis=0)
+
+
+# --------------------------------------------------------------------- #
+# drizzle deposit onto a row-sharded output plane
+# --------------------------------------------------------------------- #
+
+def drizzle_deposit_spatial(
+    mesh: Mesh,
+    in_data: jax.Array,
+    in_wht: jax.Array | None,
+    x_out: jax.Array,
+    y_out: jax.Array,
+    out_shape: tuple[int, int],
+    pixfrac: float = 1.0,
+    pscale_ratio: float = 1.0,
+    kernel: str = "square",
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`subpixal_tpu.ops.drizzle.drizzle_deposit` with the OUTPUT
+    accumulators row-band-sharded over ``mesh``.
+
+    Each device runs the deposit with ``y`` shifted into its band frame
+    and a band-sized output — global cells outside the band fail the
+    kernel's own bounds check, so the band union is exactly the
+    unsharded deposit and nothing is summed across devices. Inputs are
+    replicated (detector frames are small next to the mosaic). Returned
+    ``(sci, wht)`` are sharded ``(ceil(Ho/N)*N, Wo)`` arrays; combine
+    elementwise (``drizzle_combine`` under jit keeps the sharding) and
+    crop with :func:`gather_rows`.
+    """
+    Ho, Wo = map(int, out_shape)
+    ax = _axis(mesh)
+    Hl = band_rows(mesh, Ho)
+
+    def shard_fn(data, wht, xo, yo):
+        row0 = (jax.lax.axis_index(ax) * Hl).astype(jnp.float32)
+        sci, wht_acc = drizzle_deposit(
+            data, wht, xo, yo - row0, (Hl, Wo),
+            pixfrac=pixfrac, pscale_ratio=pscale_ratio, kernel=kernel)
+        # rows past the logical Ho live only in the LAST band's padding;
+        # the unsharded deposit drops them, so must we
+        keep = (row0 + jax.lax.iota(jnp.float32, Hl) < Ho)[:, None]
+        return sci * keep, wht_acc * keep
+
+    w = jnp.ones_like(jnp.asarray(in_data, jnp.float32)) \
+        if in_wht is None else jnp.asarray(in_wht, jnp.float32)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(ax, None), P(ax, None)),
+    )
+    return fn(jnp.asarray(in_data, jnp.float32), w,
+              jnp.asarray(x_out, jnp.float32),
+              jnp.asarray(y_out, jnp.float32))
+
+
+# --------------------------------------------------------------------- #
+# interpolated gather from a row-sharded plane
+# --------------------------------------------------------------------- #
+
+def _band_sample_partial(band, row0, Hg, x, y, interp, sinscl):
+    """This band's additive share of ``sample_image(global, x, y)``.
+
+    Every tap row (after the global edge clamp to ``[0, Hg)``) is owned
+    by exactly one band, so ``psum`` of these partials reproduces the
+    unsharded sampler bit-for-bit. The global footprint-validity mask is
+    applied by the caller (it is replicated).
+    """
+    Hl, W = band.shape
+
+    def owned_row(yi):
+        own = (yi >= row0) & (yi < row0 + Hl)
+        yl = jnp.where(own, yi - row0, 0)
+        return yl, own.astype(band.dtype)
+
+    if interp == "nearest":
+        xi = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, Hg - 1)
+        yl, own = owned_row(yi)
+        return band[yl, xi] * own
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, offs = _axis_weights(x - x0, interp, sinscl=sinscl)
+    wy, _ = _axis_weights(y - y0, interp, sinscl=sinscl)
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    acc = jnp.zeros_like(x)
+    for i, oy in enumerate(offs):
+        yi = jnp.clip(yi0 + oy, 0, Hg - 1)   # global edge clamp
+        yl, own = owned_row(yi)
+        row_acc = jnp.zeros_like(x)
+        for j, ox in enumerate(offs):
+            xi = jnp.clip(xi0 + ox, 0, W - 1)
+            row_acc = row_acc + wx[..., j] * band[yl, xi]
+        acc = acc + wy[..., i] * row_acc * own
+    return acc
+
+
+def sample_spatial(
+    mesh: Mesh,
+    plane: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    interp: str = "poly5",
+    fill: float = 0.0,
+    sinscl: float = 1.0,
+    logical_rows: int | None = None,
+    spline_halo: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`subpixal_tpu.ops.interp.sample_image` from a row-sharded
+    plane — the blot gather for mosaics too large for one device.
+
+    ``plane`` is the sharded ``(ceil(H/N)*N, W)`` array from
+    :func:`shard_rows`; ``logical_rows`` its unpadded row count (default:
+    the padded count). Sample coordinates are replicated; the result
+    (values + footprint validity, as in ``sample_image``) is replicated.
+
+    ``interp='spline3'`` prefilters per band over a ``spline_halo``-row
+    halo exchange whose slots are mirror-remapped into the LOGICAL rows
+    — the extended band is then a window of the infinite mirror
+    extension of the true plane, whose prefilter restricted to the
+    image IS the global mirror-boundary prefilter. Core-coefficient
+    truncation error is ``|z1|**spline_halo`` (the IIR pole is
+    z1 = √3−2 ≈ −0.268: 1e-18 at the default 32) — bit-comparable to
+    the unsharded prefilter, not bit-identical.
+    """
+    if interp not in INTERP_OFFSETS:
+        raise ValueError(
+            f"unknown interp: {interp!r} "
+            f"(expected one of {sorted(INTERP_OFFSETS)})")
+    ax = _axis(mesh)
+    Hp, W = plane.shape
+    Hg = int(logical_rows) if logical_rows is not None else Hp
+    Hl = Hp // mesh.devices.size
+    pad = Hp - Hg
+    if interp == "spline3":
+        # mirror-remap validity: every extended-band slot's reflection
+        # must land inside the device's own extended range (see
+        # shard_fn) — true when the halo fits a band alongside the row
+        # padding and the plane is taller than halo+pad
+        if (not 0 < spline_halo <= Hl - pad) or Hl < 2 * pad + 1:
+            raise ValueError(
+                f"spline3 needs 0 < spline_halo <= band_rows - pad "
+                f"({Hl} - {pad}) and band_rows >= 2*pad + 1; got "
+                f"spline_halo={spline_halo} — use more rows per band "
+                "or fewer devices")
+
+    def shard_fn(band, xs, ys):
+        row0 = jax.lax.axis_index(ax) * Hl
+        if interp == "spline3":
+            halo = spline_halo
+            ext = halo_exchange(band, halo, ax, edge="zero")
+            # global row of each extended slot, reflected into the
+            # logical rows (mirror: x[-n]=x[n], x[Hg-1+n]=x[Hg-1-n]);
+            # identity for in-image slots, and exactly the rows the
+            # zero-filled edge halos / zero row padding should hold
+            g = row0 - halo + jnp.arange(Hl + 2 * halo)
+            m = jnp.abs(g)
+            m = jnp.where(m >= Hg, 2 * (Hg - 1) - m, m)
+            ext = ext[jnp.clip(m - (row0 - halo), 0, Hl + 2 * halo - 1)]
+            ext = _bspline3_prefilter_axis(ext, 0)
+            band_c = _bspline3_prefilter_axis(ext[halo:halo + Hl], 1)
+            part = _band_sample_partial(band_c, row0, Hg, xs, ys,
+                                        interp, sinscl)
+        else:
+            part = _band_sample_partial(band, row0, Hg, xs, ys,
+                                        interp, sinscl)
+        return jax.lax.psum(part, ax)
+
+    vals = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(ax, None), P(), P()),
+        out_specs=P(),
+    )(plane, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+
+    xq = jnp.asarray(x, jnp.float32)
+    yq = jnp.asarray(y, jnp.float32)
+    if interp == "nearest":
+        xi = jnp.floor(xq + 0.5).astype(jnp.int32)
+        yi = jnp.floor(yq + 0.5).astype(jnp.int32)
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < Hg)
+    else:
+        offs = INTERP_OFFSETS[interp]
+        lo, hi = offs[0], offs[-1]
+        xi0 = jnp.floor(xq).astype(jnp.int32)
+        yi0 = jnp.floor(yq).astype(jnp.int32)
+        valid = ((xi0 + lo >= 0) & (xi0 + hi < W)
+                 & (yi0 + lo >= 0) & (yi0 + hi < Hg))
+    return jnp.where(valid, vals, fill), valid

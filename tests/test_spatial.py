@@ -1,0 +1,235 @@
+"""Spatially-sharded mosaic planes (parallel/spatial.py) on the 8-device
+virtual CPU mesh.
+
+The SURVEY §5 "very large mosaics" axis: drizzle deposits onto a
+row-band-sharded output plane and blot gathers from one must match the
+unsharded ops — the deposit exactly (band-disjoint scatter), the gather
+to f32 reduction noise (per-band partials + psum), the B-spline
+prefilter to its documented ``|z1|**halo`` truncation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from subpixal_tpu.ops.drizzle import drizzle_deposit, drizzle_combine
+from subpixal_tpu.ops.interp import sample_image
+from subpixal_tpu.parallel import (
+    band_rows,
+    drizzle_deposit_spatial,
+    gather_rows,
+    halo_exchange,
+    make_mesh,
+    sample_spatial,
+    shard_rows,
+)
+from jax.sharding import PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, axis_name="rows")
+
+
+def _pixmap(h, w, sx=1.03, sy=1.11, tx=1.7, ty=2.3):
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return gx * sx + tx, gy * sy + ty
+
+
+class TestShardRows:
+    def test_round_trip_with_padding(self, mesh):
+        plane = np.arange(100 * 16, dtype=np.float32).reshape(100, 16)
+        sp = shard_rows(mesh, jnp.asarray(plane))
+        assert sp.shape == (104, 16)  # padded to 8*13
+        assert band_rows(mesh, 100) == 13
+        np.testing.assert_array_equal(gather_rows(sp, 100), plane)
+        # padded rows are zero
+        assert float(np.abs(np.asarray(sp)[100:]).max()) == 0.0
+
+
+class TestHaloExchange:
+    @pytest.mark.parametrize("edge", ["mirror", "zero"])
+    def test_neighbor_and_edge_rows(self, mesh, edge):
+        Hl, W, halo = 8, 16, 3
+        rows = np.arange(8 * Hl, dtype=np.float32)
+        plane = np.broadcast_to(rows[:, None], (8 * Hl, W)).copy()
+        sp = jax.device_put(
+            jnp.asarray(plane),
+            jax.sharding.NamedSharding(mesh, P("rows", None)))
+        out = jax.jit(jax.shard_map(
+            lambda b: halo_exchange(b, halo, "rows", edge=edge),
+            mesh=mesh, in_specs=P("rows", None),
+            out_specs=P("rows", None)))(sp)
+        out = np.asarray(out).reshape(8, Hl + 2 * halo, W)
+        for d in range(8):
+            core = rows[d * Hl:(d + 1) * Hl]
+            np.testing.assert_array_equal(out[d, halo:halo + Hl, 0], core)
+            if d > 0:  # top halo = previous band's last rows
+                np.testing.assert_array_equal(
+                    out[d, :halo, 0], rows[d * Hl - halo:d * Hl])
+            else:
+                want = (rows[1:halo + 1][::-1] if edge == "mirror"
+                        else np.zeros(halo))
+                np.testing.assert_array_equal(out[0, :halo, 0], want)
+            if d < 7:  # bottom halo = next band's first rows
+                np.testing.assert_array_equal(
+                    out[d, halo + Hl:, 0],
+                    rows[(d + 1) * Hl:(d + 1) * Hl + halo])
+            else:
+                want = (rows[-2:-halo - 2:-1] if edge == "mirror"
+                        else np.zeros(halo))
+                np.testing.assert_array_equal(out[7, halo + Hl:, 0], want)
+
+    def test_halo_bounds_checked(self, mesh):
+        sp = shard_rows(mesh, jnp.zeros((64, 16)))
+        with pytest.raises(ValueError, match="halo"):
+            jax.shard_map(
+                lambda b: halo_exchange(b, 9, "rows", edge="zero"),
+                mesh=mesh, in_specs=P("rows", None),
+                out_specs=P("rows", None))(sp)
+
+
+class TestDepositSpatial:
+    @pytest.mark.parametrize(
+        "kernel", ["square", "turbo", "point", "gaussian", "lanczos3",
+                   "tophat"])
+    def test_matches_unsharded(self, mesh, kernel):
+        rng = np.random.default_rng(3)
+        H, W = 100, 64  # not divisible by 8: padding + logical-edge path
+        img = rng.random((80, 60)).astype(np.float32)
+        wht = rng.random((80, 60)).astype(np.float32)
+        gx, gy = _pixmap(80, 60)
+        s_ref, w_ref = drizzle_deposit(img, wht, gx, gy, (H, W),
+                                       kernel=kernel, pixfrac=0.8)
+        s_sh, w_sh = drizzle_deposit_spatial(mesh, img, wht, gx, gy,
+                                             (H, W), kernel=kernel,
+                                             pixfrac=0.8)
+        # square/turbo overlap areas see the band-frame y-shift in f32
+        # (yo - row0 before the +/-half window), worth ~4e-6 abs
+        np.testing.assert_allclose(gather_rows(s_sh, H),
+                                   np.asarray(s_ref), atol=1e-5,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(gather_rows(w_sh, H),
+                                   np.asarray(w_ref), atol=1e-5,
+                                   rtol=1e-4)
+
+    def test_multi_frame_combine_stays_sharded(self, mesh):
+        """Accumulate several frames into the sharded accumulators and
+        combine — the full mosaic never exists on one device."""
+        rng = np.random.default_rng(4)
+        H, W = 96, 48
+        sci = wht = None
+        planes = []
+        for k in range(3):
+            img = rng.random((64, 40)).astype(np.float32)
+            gx, gy = _pixmap(64, 40, tx=2.0 + 3 * k, ty=1.0 + 5 * k)
+            planes.append((img, gx, gy))
+            s, w = drizzle_deposit_spatial(mesh, img, None, gx, gy,
+                                           (H, W))
+            sci = s if sci is None else sci + s
+            wht = w if wht is None else wht + w
+        # elementwise combine under jit preserves the row sharding
+        out = jax.jit(drizzle_combine)(sci, wht)
+        assert out.sharding.spec == P("rows", None)
+        # oracle: unsharded accumulation
+        s_ref = np.zeros((H, W), np.float32)
+        w_ref = np.zeros((H, W), np.float32)
+        for img, gx, gy in planes:
+            s, w = drizzle_deposit(img, None, gx, gy, (H, W))
+            s_ref += np.asarray(s)
+            w_ref += np.asarray(w)
+        ref = np.where(w_ref > 0, s_ref / np.maximum(w_ref, 1e-30), 0.0)
+        np.testing.assert_allclose(gather_rows(out, H), ref, atol=2e-5)
+
+
+class TestSampleSpatial:
+    @pytest.mark.parametrize(
+        "interp", ["nearest", "linear", "poly3", "poly5", "sinc"])
+    def test_matches_unsharded(self, mesh, interp):
+        rng = np.random.default_rng(5)
+        H, W = 100, 64
+        plane = rng.random((H, W)).astype(np.float32)
+        xs = rng.uniform(-3, W + 2, (300,)).astype(np.float32)
+        ys = rng.uniform(-3, H + 2, (300,)).astype(np.float32)
+        v_ref, ok_ref = sample_image(jnp.asarray(plane), xs, ys,
+                                     interp=interp, fill=-7.0)
+        sp = shard_rows(mesh, jnp.asarray(plane))
+        v_sh, ok_sh = sample_spatial(mesh, sp, xs, ys, interp=interp,
+                                     fill=-7.0, logical_rows=H)
+        np.testing.assert_array_equal(np.asarray(ok_sh),
+                                      np.asarray(ok_ref))
+        np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                                   atol=5e-6)
+
+    def test_spline3_prefilter_truncation(self, mesh):
+        """Mirror-remapped per-band prefilter ≈ global prefilter: the
+        documented |z1|**halo truncation, incl. at the logical bottom
+        edge where the row padding lives."""
+        rng = np.random.default_rng(6)
+        H, W = 100, 64  # pad=4 on 8 devices
+        plane = rng.random((H, W)).astype(np.float32)
+        xs = rng.uniform(0, W - 1, (400,)).astype(np.float32)
+        ys = np.concatenate([
+            rng.uniform(0, H - 1, (360,)),
+            rng.uniform(H - 4, H - 1, (40,)),  # bottom edge stress
+        ]).astype(np.float32)
+        v_ref, _ = sample_image(jnp.asarray(plane), xs, ys,
+                                interp="spline3")
+        sp = shard_rows(mesh, jnp.asarray(plane))
+        v_sh, _ = sample_spatial(mesh, sp, xs, ys, interp="spline3",
+                                 logical_rows=H, spline_halo=9)
+        np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                                   atol=2e-5)
+
+    def test_spline3_guard(self, mesh):
+        sp = shard_rows(mesh, jnp.zeros((100, 16)))  # band 13, pad 4
+        with pytest.raises(ValueError, match="spline3 needs"):
+            sample_spatial(mesh, sp, jnp.zeros(4), jnp.zeros(4),
+                           interp="spline3", logical_rows=100,
+                           spline_halo=10)  # > band_rows - pad
+
+    def test_unknown_interp(self, mesh):
+        sp = shard_rows(mesh, jnp.zeros((64, 16)))
+        with pytest.raises(ValueError, match="unknown interp"):
+            sample_spatial(mesh, sp, jnp.zeros(4), jnp.zeros(4),
+                           interp="nope")
+
+
+class TestEndToEnd:
+    def test_deposit_then_blot_round_trip(self, mesh):
+        """Mosaic life-cycle entirely sharded: deposit 2 frames, combine,
+        blot a cutout grid back — matches the unsharded pipeline."""
+        rng = np.random.default_rng(7)
+        H, W = 104, 56
+        frames = []
+        for k in range(2):
+            img = rng.random((72, 48)).astype(np.float32)
+            gx, gy = _pixmap(72, 48, tx=1.0 + 2 * k, ty=3.0 - k)
+            frames.append((img, gx, gy))
+        sci = wht = None
+        for img, gx, gy in frames:
+            s, w = drizzle_deposit_spatial(mesh, img, None, gx, gy,
+                                           (H, W))
+            sci = s if sci is None else sci + s
+            wht = w if wht is None else wht + w
+        mosaic_sh = jax.jit(drizzle_combine)(sci, wht)
+        # blot window back onto frame 0's grid
+        bx, by = _pixmap(24, 24, sx=0.97, sy=1.02, tx=8.0, ty=9.0)
+        v_sh, ok_sh = sample_spatial(mesh, mosaic_sh, bx, by,
+                                     interp="poly5", logical_rows=H)
+        # unsharded oracle
+        s_ref = np.zeros((H, W), np.float32)
+        w_ref = np.zeros((H, W), np.float32)
+        for img, gx, gy in frames:
+            s, w = drizzle_deposit(img, None, gx, gy, (H, W))
+            s_ref += np.asarray(s)
+            w_ref += np.asarray(w)
+        mosaic = np.where(w_ref > 0, s_ref / np.maximum(w_ref, 1e-30),
+                          0.0)
+        v_ref, ok_ref = sample_image(jnp.asarray(mosaic), bx, by,
+                                     interp="poly5")
+        np.testing.assert_array_equal(np.asarray(ok_sh),
+                                      np.asarray(ok_ref))
+        np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                                   atol=5e-5)
