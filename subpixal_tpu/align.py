@@ -1056,6 +1056,13 @@ def align_images(
         resample = Drizzle(list(exposures), pixfrac=cfg.pixfrac,
                            kernel=cfg.kernel, use_pallas=cfg.use_pallas,
                            wht_type=cfg.wht_type)
+    if getattr(resample, "spatial_mesh", None) is not None:
+        raise ValueError(
+            "align_images does not drive a spatially-sharded Drizzle "
+            "(spatial_mesh): the align loop assumes replicated reference "
+            "accumulators. Use align_images(mesh=...) for multi-device "
+            "alignment, or a spatial_mesh Drizzle standalone for "
+            "mosaics beyond one chip's HBM.")
     if cfg.match_sky or cfg.static_mask or cfg.reject_cr:
         # these stages modify data/weights; keep the caller's Exposure
         # objects untouched (align_images' no-mutation contract)

@@ -358,7 +358,8 @@ class Drizzle(Resample):
                  pscale_ratio: float = 1.0,
                  use_pallas: bool | str = "auto",
                  wht_type: str = "exptime",
-                 config: dict | None = None):
+                 config: dict | None = None,
+                 spatial_mesh=None):
         if config:
             kw = {}
             for key, val in config.items():
@@ -440,6 +441,15 @@ class Drizzle(Resample):
         self.pscale_ratio = float(pscale_ratio)
         self.use_pallas = use_pallas
         self.wht_type = wht_type
+        #: 1-D jax.sharding.Mesh: row-band-shard the output sci/wht
+        #: accumulators over the mesh (parallel/spatial.py) — mosaics
+        #: larger than one chip's HBM. Deposits run the XLA kernel
+        #: inside shard_map (band-exact); the per-exposure cache and
+        #: fast add/drop/replace stay sharded end-to-end. reject_cr and
+        #: the stacked one-program execute are not available in this
+        #: mode; blot from the sharded product via
+        #: ``parallel.sample_spatial``.
+        self.spatial_mesh = spatial_mesh
         self._owcs = output_wcs
         self._oshape = output_shape
         self._sci_acc = None  # device arrays
@@ -462,6 +472,19 @@ class Drizzle(Resample):
         z = jnp.zeros(self._oshape, jnp.float32)
         jax.block_until_ready(drizzle_combine(z, z))
         self._combine_warm = True
+
+    def _zero_accumulators(self):
+        """Fresh (sci, wht) zeros — row-band-sharded under a spatial
+        mesh (rows padded to the mesh size), plain device arrays else."""
+        Ho, Wo = self._oshape
+        if self.spatial_mesh is not None:
+            from ..parallel.spatial import shard_rows
+
+            z = shard_rows(self.spatial_mesh, jnp.zeros((Ho, Wo),
+                                                        jnp.float32))
+            return z, z
+        z = jnp.zeros((Ho, Wo), jnp.float32)
+        return z, z
 
     # -- setup ----------------------------------------------------------- #
     def _ensure_output_grid(self):
@@ -534,6 +557,20 @@ class Drizzle(Resample):
         else:
             wht = base if mask is None else base * mask
         wht_j = None if wht is None else jnp.asarray(wht, jnp.float32)
+        if self.spatial_mesh is not None:
+            # row-band-sharded output accumulators: the XLA deposit runs
+            # inside shard_map, exactly band-restricted (spatial.py)
+            from ..parallel.spatial import drizzle_deposit_spatial
+
+            s, w = drizzle_deposit_spatial(
+                self.spatial_mesh, jnp.asarray(data), wht_j,
+                jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
+                self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
+                kernel=self.kernel)
+            if scale != 1.0:
+                s = s * jnp.float32(scale)
+                w = w * jnp.float32(scale)
+            return s, w
         # tophat is not per-axis separable -> always the XLA deposit
         if _use_pallas(self.use_pallas) and self.kernel != "tophat":
             # MXU matmul-deposit kernel; tile sized exactly from the
@@ -664,18 +701,19 @@ class Drizzle(Resample):
 
         self._ensure_output_grid()
         _mark("output_grid")
-        self._warm_combine()
-        _mark("warm_combine")
+        if self.spatial_mesh is None:
+            self._warm_combine()
+            _mark("warm_combine")
         Ho, Wo = self._oshape
-        sci = jnp.zeros((Ho, Wo), jnp.float32)
-        wht = jnp.zeros((Ho, Wo), jnp.float32)
+        sci, wht = self._zero_accumulators()
         self._per_exp.clear()
         self._data_stack = self._data_stack_key = None  # free stale HBM
         from ..blot import compute_pixmap
         from ..kernels import use_pallas as _use_pallas
 
         tile = None
-        if (_use_pallas(self.use_pallas) and self.kernel != "tophat"
+        if (self.spatial_mesh is None
+                and _use_pallas(self.use_pallas) and self.kernel != "tophat"
                 and len(self.exposures) > 1
                 and len({e.data.shape for e in self.exposures}) == 1):
             # one shared tile for the whole stack, sized on host from
@@ -706,11 +744,10 @@ class Drizzle(Resample):
         """Add one exposure's contribution (the reference's fast add path,
         SURVEY §3.2)."""
         self._ensure_output_grid()
-        self._warm_combine()
+        if self.spatial_mesh is None:
+            self._warm_combine()
         if self._sci_acc is None:
-            Ho, Wo = self._oshape
-            self._sci_acc = jnp.zeros((Ho, Wo), jnp.float32)
-            self._wht_acc = jnp.zeros((Ho, Wo), jnp.float32)
+            self._sci_acc, self._wht_acc = self._zero_accumulators()
         if exp not in self.exposures:
             if any(e.name == exp.name for e in self.exposures):
                 raise ValueError(
@@ -747,9 +784,10 @@ class Drizzle(Resample):
         if self._sci_acc is None:
             self.execute()
         from ..utils import fetch_to_host
-        return fetch_to_host(
+        out = fetch_to_host(
             drizzle_combine(self._sci_acc, self._wht_acc, fill=self.fillval)
         )
+        return out[:self._oshape[0]]  # crop spatial-mesh row padding
 
     @property
     def output_ctx(self) -> np.ndarray:
@@ -770,7 +808,8 @@ class Drizzle(Resample):
             dep = self._per_exp.get(exp.name)
             if dep is not None:
                 plane, bit = divmod(e, 32)
-                ctx[plane] |= (np.asarray(dep[1]) > 0).astype(np.uint32) << np.uint32(bit)
+                ctx[plane] |= ((np.asarray(dep[1])[:Ho] > 0)
+                               .astype(np.uint32) << np.uint32(bit))
         ctx = ctx.view(np.int32)
         return ctx[0] if nplanes == 1 else ctx
 
@@ -880,6 +919,11 @@ class Drizzle(Resample):
 
         if len(self.exposures) < 3:
             raise ValueError("CR rejection needs >= 3 exposures")
+        if self.spatial_mesh is not None:
+            raise NotImplementedError(
+                "reject_cr is not available with spatial_mesh (the "
+                "median stack would materialize E full mosaics); run it "
+                "on an unsharded Drizzle before enabling spatial_mesh")
         if self._sci_acc is None:
             self.execute()
         Ho, Wo = self._oshape
@@ -968,7 +1012,7 @@ class Drizzle(Resample):
         if self._wht_acc is None:
             self.execute()
         from ..utils import fetch_to_host
-        return fetch_to_host(self._wht_acc)
+        return fetch_to_host(self._wht_acc)[:self._oshape[0]]
 
     @property
     def output_wcs(self) -> TanWCS:

@@ -196,6 +196,76 @@ class TestSampleSpatial:
                            interp="nope")
 
 
+class TestSpatialDrizzle:
+    """Drizzle(spatial_mesh=...): the user-facing resample API with
+    row-band-sharded accumulators."""
+
+    @staticmethod
+    def _scene(n=3, shape=(40, 36), seed=11):
+        from subpixal_tpu.resample import Exposure
+        from subpixal_tpu.wcs.wcs import TanWCS
+
+        rng = np.random.default_rng(seed)
+        s = 0.05 / 3600.0
+        exps = []
+        for k in range(n):
+            wcs = TanWCS(
+                crpix=np.array([shape[1] / 2 + 0.3 * k,
+                                shape[0] / 2 - 0.2 * k]),
+                crval=np.array([150.0, 2.0]),
+                cd=s * np.array([[-1.0, 0.0], [0.0, 1.0]]))
+            exps.append(Exposure(
+                rng.random(shape).astype(np.float32), wcs,
+                exptime=1.0 + k, name=f"s{k}"))
+        return exps
+
+    def test_execute_matches_unsharded(self, mesh):
+        from subpixal_tpu.resample import Drizzle
+
+        exps = self._scene()
+        ref = Drizzle([e.copy() for e in exps], use_pallas=False)
+        ref.execute()
+        d = Drizzle(exps, spatial_mesh=mesh)
+        d.execute()
+        assert d._sci_acc.sharding.spec == P("rows", None)
+        np.testing.assert_allclose(d.output_sci, ref.output_sci,
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(d.output_wht, ref.output_wht,
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_array_equal(d.output_ctx, ref.output_ctx)
+
+    def test_fast_replace_matches_execute(self, mesh):
+        from subpixal_tpu.resample import Drizzle
+
+        exps = self._scene()
+        d = Drizzle(exps, spatial_mesh=mesh)
+        d.execute()
+        moved = exps[1].copy()
+        moved.wcs = moved.wcs.replace(
+            crpix=moved.wcs.crpix + np.array([0.4, -0.3]))
+        d.fast_replace_image(moved)
+        ref = Drizzle([exps[0].copy(), moved.copy(), exps[2].copy()],
+                      spatial_mesh=mesh)
+        ref.execute()
+        np.testing.assert_allclose(d.output_sci, ref.output_sci,
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_reject_cr_raises(self, mesh):
+        from subpixal_tpu.resample import Drizzle
+
+        d = Drizzle(self._scene(), spatial_mesh=mesh)
+        with pytest.raises(NotImplementedError, match="spatial_mesh"):
+            d.reject_cr()
+
+    def test_align_rejects_spatial_drizzle(self, mesh):
+        from subpixal_tpu.align import align_images
+        from subpixal_tpu.resample import Drizzle
+
+        d = Drizzle(self._scene(), spatial_mesh=mesh)
+        with pytest.raises(ValueError, match="spatial"):
+            align_images(resample=d)
+
+
 class TestEndToEnd:
     def test_deposit_then_blot_round_trip(self, mesh):
         """Mosaic life-cycle entirely sharded: deposit 2 frames, combine,
