@@ -475,7 +475,9 @@ def _build_step_cached(cfg: "AlignConfig", *rest):
         wht_type="", skymethod="", match_sky=False, static_mask=False,
         reject_cr=False, device_loop=False, cutout_shape=None,
         sparse_deposit=False,  # changes arg shapes only, not the step
-        cutout_pixmaps="")     # setup-only knob
+        cutout_pixmaps="",     # setup-only knobs, incl. the catalog
+        device_catalog="", catalog_nsigma=0.0, catalog_npixels=0,
+        catalog_max_sources=0, catalog_window=0)
     key = (key_cfg,) + rest
     if key not in _STEP_CACHE:
         if len(_STEP_CACHE) > 32:  # bound the cache: evict oldest (LRU),
@@ -735,7 +737,9 @@ def _build_mesh_step_cached(cfg, mesh, *rest):
         min_sources=0, use_pallas=False, wht_type="", skymethod="",
         match_sky=False, static_mask=False, reject_cr=False,
         device_loop=False, cutout_shape=None, sparse_deposit=False,
-        cutout_pixmaps="")
+        cutout_pixmaps="",     # setup-only knobs, incl. the catalog
+        device_catalog="", catalog_nsigma=0.0, catalog_npixels=0,
+        catalog_max_sources=0, catalog_window=0)
     key = (key_cfg, mesh) + rest
     if key not in _MESH_STEP_CACHE:
         if len(_MESH_STEP_CACHE) > 16:
@@ -1296,7 +1300,11 @@ def align_images(
         # them; the common scalar-weight case synthesizes ones ON DEVICE
         # (an all-ones (E, H, W) host stack would pay the tunnel too)
         wht_scalars = np.ones(E, np.float32)
-        exp_wht = None  # host (E, H, W) stack, built lazily
+        wht_planes: list = [None] * E  # per-pixel weights, kept in their
+        # native residence (host ndarray OR device jax.Array) until the
+        # stacking decision — converting device weights through
+        # np.asarray here would be an (E, H, W) d2h fetch, the 100-500 s
+        # tunnel-stall class the device-resident pipeline exists to avoid
         dri_maps: list = []  # per-frame drizzle pixmaps (host or device)
 
         ra_cat, dec_cat = ref_wcs.pixel_to_world(xy_cat[:, 0], xy_cat[:, 1])
@@ -1327,14 +1335,11 @@ def align_images(
             base_w, mask_w = exposure_pixel_weight(exp, wht_type)
             scalar_w = ((np.isscalar(base_w) or np.ndim(base_w) == 0)
                         and mask_w is None)
-            if scalar_w and exp_wht is None:
+            if scalar_w:
                 wht_scalars[e] = float(base_w)
             else:
-                if exp_wht is None:  # first per-pixel weight: go host
-                    exp_wht = np.ones((E,) + exps[0].data.shape,
-                                      np.float32)
-                    exp_wht *= wht_scalars[:, None, None]
-                exp_wht[e] = base_w if mask_w is None else base_w * mask_w
+                wht_planes[e] = (base_w if mask_w is None
+                                 else base_w * mask_w)
             H, W = exp.data.shape
             # full-frame pixmap for drizzle: float64 on host for small
             # frames; ON DEVICE in f32 at mosaic scale (the host trig
@@ -1422,11 +1427,24 @@ def align_images(
         # ref-frame segmentation at the initial pixmaps). The staged
         # arrays STAY on device: they are the loop args.
         exp_data = _ds if reuse_data else jnp.asarray(exp_data)
-        if exp_wht is None:  # scalar weights: synthesized on device
+        if all(w is None for w in wht_planes):
+            # scalar weights: synthesized on device
             exp_wht = (jnp.ones(exp_data.shape, jnp.float32)
                        * jnp.asarray(wht_scalars)[:, None, None])
         else:
-            exp_wht = jnp.asarray(exp_wht)
+            shape1 = exps[0].data.shape
+            if any(isinstance(w, jax.Array) for w in wht_planes):
+                # some weight lives on device: stack ON device (zero
+                # d2h; the host rows upload once, as before)
+                exp_wht = jnp.stack([
+                    jnp.full(shape1, float(wht_scalars[e]), jnp.float32)
+                    if w is None else jnp.asarray(w, jnp.float32)
+                    for e, w in enumerate(wht_planes)])
+            else:
+                exp_wht = jnp.asarray(np.stack([
+                    np.full(shape1, wht_scalars[e], np.float32)
+                    if w is None else np.asarray(w, np.float32)
+                    for e, w in enumerate(wht_planes)]))
         if use_dev_cut:
             # ONE device program for the whole stack's cutout pixmaps
             # (falls back to per-frame programs for mixed-SIP stacks)

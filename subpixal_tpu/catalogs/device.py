@@ -322,7 +322,7 @@ def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
             & (ar[None, None, :] == (px - x0)[:, None, None]))
     grow0 = seed & wdet
 
-    def ff_body(_, g):
+    def _dilate(g):
         d = g
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -330,7 +330,18 @@ def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
                     d = d | _shift3(g, dy, dx, False)
         return d & wdet
 
-    grow = jax.lax.fori_loop(0, win, ff_body, grow0)
+    # dilate to CONVERGENCE, not a fixed step count: a fixed `win`
+    # steps under-fills concave components whose geodesic radius
+    # exceeds win (U-shapes, spiral arms), silently truncating
+    # area/flux; convergence is exact for any in-window shape and
+    # typically needs only ~source-radius iterations
+    def ff_body(state):
+        g, _ = state
+        d = _dilate(g)
+        return d, jnp.any(d != g)
+
+    grow, _ = jax.lax.while_loop(lambda s: s[1], ff_body,
+                                 (grow0, jnp.bool_(True)))
 
     data = jnp.where(grow, wimg - threshold, 0.0).astype(jnp.float32)
     absy = rows[:, :, None].astype(jnp.float32) + jnp.zeros((1, 1, win))
@@ -560,6 +571,7 @@ class DeviceSourceCatalog(ImageCatalog):
             window=self.window)
         self._rawcat = cat
         self.segmentation_device = seg
+        self._seg_host = None  # invalidate the memoized host view
 
     @property
     def segmentation(self):  # host np view, on demand only
@@ -571,7 +583,10 @@ class DeviceSourceCatalog(ImageCatalog):
             return None
         from ..utils import fetch_to_host
 
-        return fetch_to_host(self.segmentation_device)
+        # memoize: each fetch is a full-mosaic d2h (64 MB at 4k^2 —
+        # 100-500 s stall class on tunneled runtimes)
+        self._seg_host = fetch_to_host(self.segmentation_device)
+        return self._seg_host
 
     @segmentation.setter
     def segmentation(self, value):  # base-class __init__ compatibility

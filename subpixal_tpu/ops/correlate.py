@@ -586,15 +586,21 @@ def find_displacement(
     B, H, W = ref_b.shape
 
     if usfac > 1:
+        bounds = normalize_search_box(peak_search_box, H, W, peak_fit_box)
+        # Window: cover ±0.5 coarse pixels (= usfac upsampled px) + the
+        # fit box, rounded up to a multiple of 8 (sublane-aligned — an
+        # odd window size wastes a relayout on TPU). Coverage proof:
+        # the true peak lies within usfac/2 upsampled px of the window
+        # center and the fit box needs peak_fit_box//2 more;
+        # (nwin-1)/2 >= (usfac + peak_fit_box + 1 - 1)/2 covers both.
+        nwin = -(-(int(usfac) + int(peak_fit_box) + 1) // 8) * 8
+        windowed = (bounds is not None
+                    and bounds[1] - bounds[0] <= _WINDOWED_COARSE_MAX
+                    and bounds[3] - bounds[2] <= _WINDOWED_COARSE_MAX)
         # fully-fused Pallas measurement (normalize -> forward DFT ->
         # cross-spectrum -> windowed coarse -> upsampled window, all
         # VMEM-resident) when the coarse search is window-confined
-        bounds = normalize_search_box(peak_search_box, H, W, peak_fit_box)
-        nwin = -(-(int(usfac) + int(peak_fit_box) + 1) // 8) * 8
-        if (bounds is not None
-                and bounds[1] - bounds[0] <= _WINDOWED_COARSE_MAX
-                and bounds[3] - bounds[2] <= _WINDOWED_COARSE_MAX
-                and _use_fused_measure(H, W)):
+        if windowed and _use_fused_measure(H, W):
             from ..kernels.correlate import measure_displacement_pallas
 
             C, s0y, s0x = measure_displacement_pallas(
@@ -626,11 +632,10 @@ def find_displacement(
         # default — the handful of needed lags is evaluated directly
         # from the half-spectrum (windowed matrix-DFT): the full
         # irfft2 + fftshift + whole-surface argmax, the pipeline's
-        # single largest stage, is skipped entirely.
-        bounds = normalize_search_box(peak_search_box, H, W, peak_fit_box)
-        if (bounds is not None
-                and bounds[1] - bounds[0] <= _WINDOWED_COARSE_MAX
-                and bounds[3] - bounds[2] <= _WINDOWED_COARSE_MAX):
+        # single largest stage, is skipped entirely. (`bounds` /
+        # `windowed` / `nwin` computed once above, shared with the
+        # fused-measure gate so the two paths cannot drift.)
+        if windowed:
             Cc, ly0, lx0, ny, nx = _windowed_coarse_surface(
                 G, bounds, H, W)
             flat = jnp.argmax(Cc.reshape(B, -1), axis=-1)
@@ -649,13 +654,6 @@ def find_displacement(
             flat = jnp.argmax(search.reshape(B, -1), axis=-1)
             s0y = (flat // W).astype(jnp.int32) - H // 2
             s0x = (flat % W).astype(jnp.int32) - W // 2
-        # Window: cover ±0.5 coarse pixels (= usfac upsampled px) + the
-        # fit box, rounded up to a multiple of 8 (sublane-aligned — an
-        # odd window size wastes a relayout on TPU). Coverage proof:
-        # the true peak lies within usfac/2 upsampled px of the window
-        # center and the fit box needs peak_fit_box//2 more;
-        # (nwin-1)/2 >= (usfac + peak_fit_box + 1 - 1)/2 covers both.
-        nwin = -(-(int(usfac) + int(peak_fit_box) + 1) // 8) * 8
         C, off_y, off_x = _upsampled_correlation(G, s0y, s0x, int(usfac), nwin, H, W)
         pk = find_peak(C, peak_fit_box=peak_fit_box, fit_type=fit_type)
         dx = off_x + pk.x / usfac

@@ -124,22 +124,6 @@ def load_exposures(
     return exps
 
 
-def _update_file_wcs(spec: str, wcs, default_ext, history_lines):
-    fname, fext = parse_file_name(spec)
-    use_ext = fext if fext is not None else default_ext
-    hdul = read_fits(fname)
-    try:
-        hdu = hdul[use_ext]
-    except (KeyError, IndexError):
-        hdu = next((h for h in hdul if h.data is not None), None)
-        if hdu is None:
-            raise ValueError(f"{fname}: no HDU with image data")
-    wcs_to_header(wcs, hdu.header)
-    for line in history_lines:
-        hdu.header.add_history(line)
-    write_fits(fname, list(hdul))
-
-
 def align_fits(
     image_fnames: Sequence[str] | str,
     ext=None,

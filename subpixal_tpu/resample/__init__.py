@@ -644,22 +644,28 @@ class Drizzle(Resample):
             base, mask = exposure_pixel_weight(exp, self.wht_type)
             if np.isscalar(base) or np.ndim(base) == 0:
                 scales.append(float(base))
-                whts.append(None if mask is None
-                            else np.asarray(mask, np.float32))
+                whts.append(mask)
             else:
                 scales.append(1.0)
-                whts.append(np.asarray(
-                    base if mask is None else base * mask, np.float32))
+                whts.append(base if mask is None else base * mask)
         if all(w is None for w in whts):
             # unweighted stack: let the deposit kernel synthesize unit
             # weights on device — an all-ones (E, H, W) stack would
             # double the host->device payload (268 MB at 4x4k^2), the
             # dominant cost of a tunneled mosaic-scale execute()
             wht_stack = None
+        elif any(isinstance(w, jax.Array) for w in whts):
+            # device-resident weights (static mask / CR rejection on
+            # device pipelines): stack ON device — an np.asarray here
+            # would be an (E, H, W) d2h fetch, the 100-500 s tunnel
+            # stall class the data stack above already avoids
+            wht_stack = jnp.stack(
+                [jnp.ones(shape, jnp.float32) if w is None
+                 else jnp.asarray(w, jnp.float32) for w in whts])
         else:
             wht_stack = jnp.asarray(np.stack(
-                [np.ones(shape, np.float32) if w is None else w
-                 for w in whts]))
+                [np.ones(shape, np.float32) if w is None
+                 else np.asarray(w, np.float32) for w in whts]))
         ratios = tuple(round(float(e.wcs.pscale / self._owcs.pscale), 6)
                        for e in self.exposures)
         _mark("rate_wht_host")
