@@ -25,8 +25,10 @@ from .sharding import (
 from .spatial import (
     band_rows,
     drizzle_deposit_spatial,
+    drizzle_deposit_stack_spatial,
     gather_rows,
     halo_exchange,
+    make_mesh2d,
     sample_spatial,
     shard_rows,
 )
@@ -41,7 +43,9 @@ __all__ = [
     "shard_rows",
     "gather_rows",
     "halo_exchange",
+    "make_mesh2d",
     "drizzle_deposit_spatial",
+    "drizzle_deposit_stack_spatial",
     "sample_spatial",
     "init_distributed",
     "make_global_mesh",

@@ -51,37 +51,47 @@ __all__ = [
     "shard_rows",
     "gather_rows",
     "halo_exchange",
+    "make_mesh2d",
     "drizzle_deposit_spatial",
+    "drizzle_deposit_stack_spatial",
     "sample_spatial",
 ]
 
 
-def _axis(mesh: Mesh) -> str:
-    if len(mesh.axis_names) != 1:
+def _rows_axis(mesh: Mesh) -> str:
+    """The plane-rows mesh axis: the only axis of a 1-D mesh, the LAST
+    axis of a 2-D ``(frames, rows)`` mesh (``make_mesh2d``)."""
+    if len(mesh.axis_names) not in (1, 2):
         raise ValueError(
-            f"spatial sharding wants a 1-D mesh, got axes "
-            f"{mesh.axis_names}")
-    return mesh.axis_names[0]
+            f"spatial sharding wants a 1-D (rows) or 2-D (frames, rows) "
+            f"mesh, got axes {mesh.axis_names}")
+    return mesh.axis_names[-1]
+
+
+def _n_bands(mesh: Mesh) -> int:
+    return int(mesh.shape[_rows_axis(mesh)])
 
 
 def band_rows(mesh: Mesh, n_rows: int) -> int:
-    """Rows per band: ``n_rows`` split over the mesh, rounded up."""
-    return -(-int(n_rows) // mesh.devices.size)
+    """Rows per band: ``n_rows`` split over the rows axis, rounded up."""
+    return -(-int(n_rows) // _n_bands(mesh))
 
 
 def shard_rows(mesh: Mesh, plane: jax.Array) -> jax.Array:
-    """Place an ``(H, W)`` plane row-band-sharded over the mesh.
+    """Place an ``(H, W)`` plane row-band-sharded over the mesh
+    (replicated over the frames axis of a 2-D mesh).
 
-    Rows are zero-padded up to a multiple of the mesh size; pass the
-    LOGICAL row count to the consumers (``sample_spatial(...,
+    Rows are zero-padded up to a multiple of the rows-axis size; pass
+    the LOGICAL row count to the consumers (``sample_spatial(...,
     logical_rows=H)``) — padded rows are never owned by any sample tap.
     """
     H, W = plane.shape
     Hl = band_rows(mesh, H)
-    pad = Hl * mesh.devices.size - H
+    pad = Hl * _n_bands(mesh) - H
     if pad:
         plane = jnp.pad(plane, ((0, pad), (0, 0)))
-    return jax.device_put(plane, NamedSharding(mesh, P(_axis(mesh), None)))
+    return jax.device_put(
+        plane, NamedSharding(mesh, P(_rows_axis(mesh), None)))
 
 
 def gather_rows(plane: jax.Array, logical_rows: int | None = None):
@@ -160,7 +170,7 @@ def drizzle_deposit_spatial(
     crop with :func:`gather_rows`.
     """
     Ho, Wo = map(int, out_shape)
-    ax = _axis(mesh)
+    ax = _rows_axis(mesh)
     Hl = band_rows(mesh, Ho)
 
     def shard_fn(data, wht, xo, yo):
@@ -183,6 +193,102 @@ def drizzle_deposit_spatial(
     return fn(jnp.asarray(in_data, jnp.float32), w,
               jnp.asarray(x_out, jnp.float32),
               jnp.asarray(y_out, jnp.float32))
+
+
+def make_mesh2d(n_frames: int, n_rows: int,
+                axis_names: tuple[str, str] = ("frames", "rows")) -> Mesh:
+    """A 2-D ``(frames, rows)`` device mesh: exposures shard over the
+    first axis (throughput), mosaic rows over the second (memory)."""
+    devs = jax.devices()
+    need = n_frames * n_rows
+    if len(devs) < need:
+        raise ValueError(
+            f"mesh2d wants {n_frames}x{n_rows}={need} devices, have "
+            f"{len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_frames, n_rows),
+                axis_names)
+
+
+def drizzle_deposit_stack_spatial(
+    mesh: Mesh,
+    data: jax.Array,
+    wht: jax.Array | None,
+    x_out: jax.Array,
+    y_out: jax.Array,
+    out_shape: tuple[int, int],
+    pixfrac: float = 1.0,
+    pscale_ratio: float = 1.0,
+    kernel: str = "square",
+) -> tuple[jax.Array, jax.Array]:
+    """Deposit an ``(E, H, W)`` exposure stack over a 2-D ``(frames,
+    rows)`` mesh: frames shard for THROUGHPUT, output rows shard for
+    MEMORY — the scaling-book composition of the two axes.
+
+    Each device deposits its local frames into its local row band
+    (band-exact, as :func:`drizzle_deposit_spatial`), then the
+    accumulators ``psum`` over the frames axis only — the collective
+    moves band-sized tiles (``HW/N_rows``), never the full mosaic.
+    Per-device compute is ``E/N_frames`` deposits; per-device memory is
+    ``HW/N_rows`` accumulator rows.
+
+    ``E`` is zero-padded to a multiple of the frames axis (zero-weight
+    frames deposit nothing). One shared ``pscale_ratio``; per-frame
+    ratios need the per-frame API (``drizzle_deposit_spatial``) because
+    the kernel's candidate window is shaped statically by the ratio.
+    Returns row-sharded ``(ceil(Ho/Nr)*Nr, Wo)`` accumulators
+    (replicated over the frames axis).
+    """
+    if len(mesh.axis_names) != 2:
+        raise ValueError(
+            f"drizzle_deposit_stack_spatial wants a 2-D (frames, rows) "
+            f"mesh, got axes {mesh.axis_names}")
+    fax, rax = mesh.axis_names
+    Nf = mesh.shape[fax]
+    Ho, Wo = map(int, out_shape)
+    Hl = -(-Ho // mesh.shape[rax])
+
+    data = jnp.asarray(data, jnp.float32)
+    E, H, W = data.shape
+    w = (jnp.ones_like(data) if wht is None
+         else jnp.asarray(wht, jnp.float32))
+    xo = jnp.asarray(x_out, jnp.float32)
+    yo = jnp.asarray(y_out, jnp.float32)
+    if xo.ndim == 2:
+        xo = jnp.broadcast_to(xo, (E, H, W))
+    if yo.ndim == 2:
+        yo = jnp.broadcast_to(yo, (E, H, W))
+    pad = (-E) % Nf
+    if pad:
+        zpad = ((0, pad), (0, 0), (0, 0))
+        data = jnp.pad(data, zpad)
+        w = jnp.pad(w, zpad)        # zero weight -> deposits nothing
+        xo = jnp.pad(xo, zpad)
+        yo = jnp.pad(yo, zpad)
+    El = (E + pad) // Nf
+
+    def shard_fn(d, wl, xl, yl):
+        row0 = (jax.lax.axis_index(rax) * Hl).astype(jnp.float32)
+        sci = jnp.zeros((Hl, Wo), jnp.float32)
+        whtb = jnp.zeros((Hl, Wo), jnp.float32)
+        for e in range(El):  # static unroll over local frame slots
+            s, ww = drizzle_deposit(
+                d[e], wl[e], xl[e], yl[e] - row0, (Hl, Wo),
+                pixfrac=pixfrac, pscale_ratio=pscale_ratio,
+                kernel=kernel)
+            sci = sci + s
+            whtb = whtb + ww
+        keep = (row0 + jax.lax.iota(jnp.float32, Hl) < Ho)[:, None]
+        # band-sized psum over the frames axis only (ICI tiles of
+        # HW/N_rows, never the full mosaic)
+        return (jax.lax.psum(sci * keep, fax),
+                jax.lax.psum(whtb * keep, fax))
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(fax, None, None),) * 4,
+        out_specs=(P(rax, None), P(rax, None)),
+    )
+    return fn(data, w, xo, yo)
 
 
 # --------------------------------------------------------------------- #
@@ -260,10 +366,10 @@ def sample_spatial(
         raise ValueError(
             f"unknown interp: {interp!r} "
             f"(expected one of {sorted(INTERP_OFFSETS)})")
-    ax = _axis(mesh)
+    ax = _rows_axis(mesh)
     Hp, W = plane.shape
     Hg = int(logical_rows) if logical_rows is not None else Hp
-    Hl = Hp // mesh.devices.size
+    Hl = Hp // _n_bands(mesh)
     pad = Hp - Hg
     if interp == "spline3":
         # mirror-remap validity: every extended-band slot's reflection

@@ -18,9 +18,11 @@ from subpixal_tpu.ops.interp import sample_image
 from subpixal_tpu.parallel import (
     band_rows,
     drizzle_deposit_spatial,
+    drizzle_deposit_stack_spatial,
     gather_rows,
     halo_exchange,
     make_mesh,
+    make_mesh2d,
     sample_spatial,
     shard_rows,
 )
@@ -194,6 +196,73 @@ class TestSampleSpatial:
         with pytest.raises(ValueError, match="unknown interp"):
             sample_spatial(mesh, sp, jnp.zeros(4), jnp.zeros(4),
                            interp="nope")
+
+
+class TestMesh2D:
+    """(frames, rows) 2-D mesh: frames shard for throughput, output
+    rows for memory; psum over frames only."""
+
+    @pytest.fixture(scope="class")
+    def mesh2(self):
+        return make_mesh2d(2, 4)
+
+    def test_stack_deposit_matches_unsharded(self, mesh2):
+        rng = np.random.default_rng(9)
+        H, W = 100, 48        # rows pad (4 bands of 25)
+        E = 3                 # frames pad (2-frame axis)
+        data = rng.random((E, 40, 36)).astype(np.float32)
+        wht = rng.random((E, 40, 36)).astype(np.float32)
+        gx = np.stack([_pixmap(40, 36, tx=1.0 + 2 * k)[0]
+                       for k in range(E)])
+        gy = np.stack([_pixmap(40, 36, ty=2.0 - k)[1] for k in range(E)])
+        s_sh, w_sh = drizzle_deposit_stack_spatial(
+            mesh2, data, wht, gx, gy, (H, W), pixfrac=0.9)
+        s_ref = np.zeros((H, W), np.float32)
+        w_ref = np.zeros((H, W), np.float32)
+        for k in range(E):
+            s, w = drizzle_deposit(data[k], wht[k], gx[k], gy[k], (H, W),
+                                   pixfrac=0.9)
+            s_ref += np.asarray(s)
+            w_ref += np.asarray(w)
+        np.testing.assert_allclose(gather_rows(s_sh, H), s_ref,
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(gather_rows(w_sh, H), w_ref,
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_shared_pixmap_broadcast(self, mesh2):
+        """A single (H, W) pixmap is broadcast over the stack."""
+        rng = np.random.default_rng(10)
+        data = rng.random((2, 32, 32)).astype(np.float32)
+        gx, gy = _pixmap(32, 32)
+        s_sh, _ = drizzle_deposit_stack_spatial(
+            mesh2, data, None, gx, gy, (64, 48))
+        s_ref = np.zeros((64, 48), np.float32)
+        for k in range(2):
+            s, _ = drizzle_deposit(data[k], None, gx, gy, (64, 48))
+            s_ref += np.asarray(s)
+        np.testing.assert_allclose(gather_rows(s_sh, 64), s_ref,
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_gather_from_2d_sharded_product(self, mesh2):
+        """sample_spatial reads the rows axis of the 2-D mesh."""
+        rng = np.random.default_rng(11)
+        H, W = 96, 40
+        plane = rng.random((H, W)).astype(np.float32)
+        xs = rng.uniform(0, W - 1, (200,)).astype(np.float32)
+        ys = rng.uniform(0, H - 1, (200,)).astype(np.float32)
+        sp = shard_rows(mesh2, jnp.asarray(plane))
+        v_sh, _ = sample_spatial(mesh2, sp, xs, ys, interp="poly5",
+                                 logical_rows=H)
+        v_ref, _ = sample_image(jnp.asarray(plane), xs, ys,
+                                interp="poly5")
+        np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                                   atol=5e-6)
+
+    def test_requires_2d_mesh(self, mesh):
+        with pytest.raises(ValueError, match="2-D"):
+            drizzle_deposit_stack_spatial(
+                mesh, jnp.zeros((2, 8, 8)), None, jnp.zeros((2, 8, 8)),
+                jnp.zeros((2, 8, 8)), (16, 16))
 
 
 class TestSpatialDrizzle:
