@@ -492,7 +492,8 @@ def _build_step_cached(cfg: "AlignConfig", *rest):
 def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 dri_ratios: tuple, pallas: bool = False,
                 blot_tile: tuple[int, int] | None = None,
-                driz_tile: tuple[int, int] | None = None):
+                driz_tile: tuple[int, int] | None = None,
+                spatial_mesh=None):
     """Create the jitted per-iteration device step.
 
     Closure over static config (including the input/output pixel-scale
@@ -501,6 +502,14 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
     When ``pallas`` is set, the blot gather and drizzle deposit run as the
     MXU matmul kernels of :mod:`subpixal_tpu.kernels` with statically
     sized tiles (computed from the concrete setup pixmaps).
+
+    ``spatial_mesh``: row-band-shard the reference plane over the mesh
+    (``parallel/spatial.py``) — the align loop for mosaics whose
+    drizzled reference exceeds one chip's HBM. The deposit runs
+    band-exact inside shard_map and the blot gathers via psum'd
+    per-band tap partials; everything downstream (correlate, fit,
+    update) is replicated and identical to the unsharded step.
+    Mutually exclusive with ``pallas`` (the spatial paths are XLA).
     """
 
     def step(Ms, ts, exp_data, exp_wht, dri_px, dri_py,
@@ -518,6 +527,14 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
         def deposit(Ms_, ts_, e):
             px, py = _affine_apply_grid(Ms_[e], ts_[e], dri_px[e], dri_py[e])
             ratio_e = float(dri_ratios[min(e, len(dri_ratios) - 1)])
+            if spatial_mesh is not None:
+                from .parallel.spatial import drizzle_deposit_spatial
+
+                s, wgt = drizzle_deposit_spatial(
+                    spatial_mesh, exp_data[e], exp_wht[e], px, py,
+                    out_shape, pixfrac=cfg.pixfrac,
+                    pscale_ratio=ratio_e, kernel=cfg.kernel)
+                return s, wgt, jnp.int32(0)
             if pallas and cfg.kernel != "tophat":  # tophat: not separable
                 from .kernels.drizzle import drizzle_deposit_pallas
 
@@ -535,17 +552,25 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             return s, wgt, jnp.int32(0)
 
         def drizzle_all(Ms_, ts_):
-            sci_acc = jnp.zeros(out_shape, jnp.float32)
-            wht_acc = jnp.zeros(out_shape, jnp.float32)
+            # spatial mode: the accumulators inherit the first deposit's
+            # row-band sharding AND its padded row count
+            sci_acc = wht_acc = None
             esc = []
             for e in range(E):  # static unroll; E is small
                 s, wgt, es = deposit(Ms_, ts_, e)
-                sci_acc = sci_acc + s
-                wht_acc = wht_acc + wgt
+                sci_acc = s if sci_acc is None else sci_acc + s
+                wht_acc = wgt if wht_acc is None else wht_acc + wgt
                 esc.append(es)
             return drizzle_combine(sci_acc, wht_acc), jnp.stack(esc)
 
         def blot_cutouts(drz, flat_x, flat_y):
+            if spatial_mesh is not None:
+                from .parallel.spatial import sample_spatial
+
+                vals, ok = sample_spatial(
+                    spatial_mesh, drz, flat_x, flat_y, interp=interp,
+                    logical_rows=out_shape[0])
+                return vals, ok, jnp.zeros(flat_x.shape[0], jnp.int32)
             if pallas:
                 from .kernels.blot import sample_cutouts_pallas
 
@@ -1060,13 +1085,34 @@ def align_images(
         resample = Drizzle(list(exposures), pixfrac=cfg.pixfrac,
                            kernel=cfg.kernel, use_pallas=cfg.use_pallas,
                            wht_type=cfg.wht_type)
-    if getattr(resample, "spatial_mesh", None) is not None:
-        raise ValueError(
-            "align_images does not drive a spatially-sharded Drizzle "
-            "(spatial_mesh): the align loop assumes replicated reference "
-            "accumulators. Use align_images(mesh=...) for multi-device "
-            "alignment, or a spatial_mesh Drizzle standalone for "
-            "mosaics beyond one chip's HBM.")
+    spatial_mesh = getattr(resample, "spatial_mesh", None)
+    if spatial_mesh is not None:
+        # align for mosaics whose reference plane exceeds one chip's HBM:
+        # the step's deposits/blots ride parallel/spatial.py (row-band
+        # deposits + psum'd gather partials). XLA-only, dense, host loop
+        # — the Pallas tiles, sparse live-set compaction, and the
+        # frame-sharded mesh mode all assume a replicated plane.
+        if mesh is not None:
+            raise ValueError(
+                "mesh= (frame-sharded SPMD align) and a spatial_mesh "
+                "Drizzle (row-band-sharded reference plane) are mutually "
+                "exclusive — the two shard the same devices differently")
+        forced = [k for k, v in (("use_pallas", cfg.use_pallas is True),
+                                 ("sparse_deposit",
+                                  cfg.sparse_deposit is True),
+                                 ("device_loop",
+                                  getattr(cfg, "device_loop", None)
+                                  is True)) if v]
+        if forced:
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"spatial_mesh align forces {forced} off (the spatial "
+                "deposit/gather paths are XLA, dense, host-loop)",
+                stacklevel=2)
+        cfg = dataclasses.replace(cfg, use_pallas=False,
+                                  sparse_deposit=False,
+                                  device_loop=False)
     if cfg.match_sky or cfg.static_mask or cfg.reject_cr:
         # these stages modify data/weights; keep the caller's Exposure
         # objects untouched (align_images' no-mutation contract)
@@ -1125,7 +1171,10 @@ def align_images(
             and (cfg.device_catalog == "device"
                  or (cfg.device_catalog == "auto"
                      and jax.default_backend() in ("tpu", "axon", "gpu")))
-            and getattr(resample, "_sci_acc", None) is not None)
+            and getattr(resample, "_sci_acc", None) is not None
+            # spatial mode: detection runs on the host-gathered product
+            # (the device finder assumes a replicated plane)
+            and spatial_mesh is None)
         if use_dev_catalog:
             from .ops.drizzle import drizzle_combine
 
@@ -1637,7 +1686,7 @@ def align_images(
     else:
         step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
                                   cfg.fitgeom, dri_ratios, pallas,
-                                  blot_tile, driz_tile)
+                                  blot_tile, driz_tile, spatial_mesh)
         args = [jnp.asarray(a) for a in (
             dep_data, dep_wht, dep_px, dep_py,
             cut_px_j, cut_py_j, img_cut, img_msk, seg_cut, jac, xy0,

@@ -115,16 +115,22 @@ def _extract_box(data: jax.Array, iy: jax.Array, ix: jax.Array, k: int):
     # exactly the dynamic_slice semantics (NaN in box -> fit falls back).
     finite = jnp.isfinite(data)
     safe = jnp.where(finite, data, jnp.zeros((), dt))
-    P = jax.lax.Precision.HIGHEST
+    # Precision.HIGH is EXACT here, at half HIGHEST's MXU passes: the
+    # selectors are one-hot (0/1 — bf16-exact), so each output is a
+    # single input element reproduced from its exact hi+lo bf16 split.
+    P = jax.lax.Precision.HIGH
     sr = sel_r.astype(dt)
     sc = sel_c.astype(dt)
-    tmp = jnp.einsum("bir,brc->bic", sr, safe, precision=P)
-    box = jnp.einsum("bjc,bic->bij", sc, tmp, precision=P)
-    bad = jnp.einsum(
-        "bjc,bic->bij", sc,
-        jnp.einsum("bir,brc->bic", sr, (~finite).astype(dt), precision=P),
-        precision=P)
-    box = jnp.where(bad > 0, jnp.nan, box)
+    # the data plane and the non-finite indicator ride ONE pair of
+    # einsums (batch-concatenated) instead of two — the box gather is
+    # a measured hot spot of the displacement pipeline's peak fit
+    planes = jnp.concatenate([safe, (~finite).astype(dt)], axis=0)
+    sr2 = jnp.concatenate([sr, sr], axis=0)
+    sc2 = jnp.concatenate([sc, sc], axis=0)
+    tmp = jnp.einsum("bir,brc->bic", sr2, planes, precision=P)
+    both = jnp.einsum("bjc,bic->bij", sc2, tmp, precision=P)
+    b = data.shape[0]
+    box = jnp.where(both[b:] > 0, jnp.nan, both[:b])
     return box, r0, c0
 
 
@@ -149,10 +155,17 @@ def _quad_coeffs(box: jax.Array, wts: jax.Array | None, k: int) -> jax.Array:
     # poison the normal equations, so a single masked NaN pixel inside
     # the fit box silently degraded every fit to the integer argmax
     z = jnp.where(w > 0, z, 0.0)
-    # Batched weighted normal equations: (A^T W A) c = A^T W z.
-    Aw = A[None] * w[..., None]  # (B, k*k, 6)
-    ata = jnp.einsum("bni,nj->bij", Aw, A, precision=P)
-    atz = jnp.einsum("bni,bn->bi", Aw, z, precision=P)
+    # Batched weighted normal equations (A^T W A) c = A^T W z, assembled
+    # as TWO matmuls against FIXED right operands: ata[b] = w[b] @ P6
+    # with P6[n, i*6+j] = A[n,i]*A[n,j], and atz = (w*z) @ A — no
+    # (B, k*k, 6) intermediate, and both contractions are plain
+    # (B, k*k) x (k*k, ...) MXU matmuls
+    P6 = jnp.asarray(
+        (_design_matrix(k)[:, :, None]
+         * _design_matrix(k)[:, None, :]).reshape(k * k, 36),
+        dtype=box.dtype)
+    ata = jnp.dot(w, P6, precision=P).reshape(-1, 6, 6)
+    atz = jnp.dot(w * z, A, precision=P)
     # Tikhonov guard keeps the solve finite when too many pixels are masked;
     # such fits are rejected downstream by the fit_ok checks anyway.
     ata = ata + 1e-8 * jnp.eye(6, dtype=box.dtype)[None]

@@ -326,13 +326,62 @@ class TestSpatialDrizzle:
         with pytest.raises(NotImplementedError, match="spatial_mesh"):
             d.reject_cr()
 
-    def test_align_rejects_spatial_drizzle(self, mesh):
+    # (align_images now DRIVES a spatial Drizzle — see TestSpatialAlign;
+    # the mesh=/spatial_mesh exclusivity guard is tested there)
+
+
+class TestSpatialAlign:
+    """align_images driving a spatial_mesh Drizzle: the full iterative
+    alignment with the reference plane row-band-sharded."""
+
+    def test_matches_plain_align(self, mesh):
         from subpixal_tpu.align import align_images
         from subpixal_tpu.resample import Drizzle
+        from subpixal_tpu.testing import (pairwise_shift_errors,
+                                          simulate_stack)
 
-        d = Drizzle(self._scene(), spatial_mesh=mesh)
-        with pytest.raises(ValueError, match="spatial"):
-            align_images(resample=d)
+        exps, planted = simulate_stack(n_exp=3, shape=(96, 96),
+                                       n_stars=6, seed=21)
+        kw = dict(fitgeom="shift", max_iterations=3, usfac=4,
+                  fit_type="gaussian", cutout_shape=(16, 16),
+                  min_sources=3)
+        ref = align_images(exposures=[e.copy() for e in exps], **kw)
+        d = Drizzle([e.copy() for e in exps], spatial_mesh=mesh)
+        res = align_images(resample=d, **kw)
+        # same fixed point as the replicated-plane loop (measured
+        # bit-identical on the virtual mesh — the band deposit and the
+        # psum'd gather are exact reformulations)
+        np.testing.assert_allclose(np.asarray(res.shifts),
+                                   np.asarray(ref.shifts), atol=2e-3)
+        err_sp = pairwise_shift_errors(res.shifts, planted)
+        # absolute quality == the plain path's on this small 6-star
+        # scene (~0.07 px, one truncated footprint); just bound it
+        assert err_sp < max(
+            0.1, 1.5 * pairwise_shift_errors(ref.shifts, planted))
+
+    def test_forces_incompatible_knobs_off(self, mesh):
+        from subpixal_tpu.align import align_images
+        from subpixal_tpu.resample import Drizzle
+        from subpixal_tpu.testing import simulate_stack
+
+        exps, _ = simulate_stack(n_exp=3, shape=(96, 96), n_stars=6,
+                                 seed=21)
+        d = Drizzle(exps, spatial_mesh=mesh)
+        with pytest.warns(UserWarning, match="forces"):
+            align_images(resample=d, fitgeom="shift", max_iterations=1,
+                         usfac=4, cutout_shape=(16, 16), min_sources=3,
+                         use_pallas=True)
+
+    def test_mesh_and_spatial_exclusive(self, mesh):
+        from subpixal_tpu.align import align_images
+        from subpixal_tpu.resample import Drizzle
+        from subpixal_tpu.testing import simulate_stack
+
+        exps, _ = simulate_stack(n_exp=3, shape=(96, 96), n_stars=6,
+                                 seed=21)
+        d = Drizzle(exps, spatial_mesh=mesh)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            align_images(resample=d, mesh=mesh, cutout_shape=(16, 16))
 
 
 class TestEndToEnd:
