@@ -82,6 +82,17 @@ def main():
     print(f"blot window from sharded mosaic: mean={float(vals.mean()):.4f}"
           f" valid={int(np.asarray(ok).sum())}/{ok.size}")
 
+    # the FULL align loop drives the sharded reference directly
+    from subpixal_tpu import align_images
+
+    res = align_images(resample=Drizzle([e.copy() for e in exps],
+                                        spatial_mesh=mesh),
+                       fitgeom="shift", max_iterations=3, usfac=8,
+                       fit_type="gaussian", cutout_shape=(24, 24),
+                       min_sources=3)
+    print(f"spatial align: {res.n_iterations} iteration(s), shifts:\n"
+          f"{np.asarray(res.shifts).round(4)}")
+
     # the full product only materializes when explicitly gathered
     sci = d.output_sci
     print(f"gathered product: {sci.shape}, peak {sci.max():.2f}")
