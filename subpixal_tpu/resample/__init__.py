@@ -444,11 +444,11 @@ class Drizzle(Resample):
         #: 1-D jax.sharding.Mesh: row-band-shard the output sci/wht
         #: accumulators over the mesh (parallel/spatial.py) — mosaics
         #: larger than one chip's HBM. Deposits run the XLA kernel
-        #: inside shard_map (band-exact); the per-exposure cache and
-        #: fast add/drop/replace stay sharded end-to-end. reject_cr and
-        #: the stacked one-program execute are not available in this
-        #: mode; blot from the sharded product via
-        #: ``parallel.sample_spatial``.
+        #: inside shard_map (band-exact); the per-exposure cache, fast
+        #: add/drop/replace, reject_cr (sharded median + sample_spatial
+        #: blot-back) and the full align loop all stay sharded
+        #: end-to-end. The stacked one-program execute is skipped; blot
+        #: from the sharded product via ``parallel.sample_spatial``.
         self.spatial_mesh = spatial_mesh
         self._owcs = output_wcs
         self._oshape = output_shape
@@ -925,17 +925,18 @@ class Drizzle(Resample):
 
         if len(self.exposures) < 3:
             raise ValueError("CR rejection needs >= 3 exposures")
-        if self.spatial_mesh is not None:
-            raise NotImplementedError(
-                "reject_cr is not available with spatial_mesh (the "
-                "median stack would materialize E full mosaics); run it "
-                "on an unsharded Drizzle before enabling spatial_mesh")
         if self._sci_acc is None:
             self.execute()
         Ho, Wo = self._oshape
 
-        device_mode = any(isinstance(e.data, jax.Array)
-                          for e in self.exposures)
+        # spatial mode always takes the device-median branch: the
+        # per-exposure deposits are row-band-sharded, so the (E, Hp, Wo)
+        # stack, the nanmedian (elementwise over the plane) and the
+        # blot-back (sample_spatial) never materialize a full mosaic on
+        # any single device
+        device_mode = (self.spatial_mesh is not None
+                       or any(isinstance(e.data, jax.Array)
+                              for e in self.exposures))
         if device_mode:
             # masked median ON DEVICE: the (E, Ho, Wo) plane stack and
             # the median never visit the host
@@ -968,10 +969,18 @@ class Drizzle(Resample):
         masks: list[np.ndarray] = []
         for exp in self.exposures:
             px, py = compute_pixmap(exp.wcs, self._owcs, exp.data.shape)
-            blot_j, ok_j = sample_image(med_j,
-                                        jnp.asarray(px, jnp.float32),
-                                        jnp.asarray(py, jnp.float32),
-                                        interp=interp)
+            if self.spatial_mesh is not None:
+                from ..parallel.spatial import sample_spatial
+
+                blot_j, ok_j = sample_spatial(
+                    self.spatial_mesh, med_j, jnp.asarray(px, jnp.float32),
+                    jnp.asarray(py, jnp.float32), interp=interp,
+                    logical_rows=Ho)
+            else:
+                blot_j, ok_j = sample_image(med_j,
+                                            jnp.asarray(px, jnp.float32),
+                                            jnp.asarray(py, jnp.float32),
+                                            interp=interp)
             if device_mode:
                 cr_j, wht_j = _reject_cr_one_device(
                     blot_j, ok_j, exposure_rate_data(exp), exp.weight,

@@ -319,12 +319,26 @@ class TestSpatialDrizzle:
         np.testing.assert_allclose(d.output_sci, ref.output_sci,
                                    atol=1e-5, rtol=1e-4)
 
-    def test_reject_cr_raises(self, mesh):
+    def test_reject_cr_matches_unsharded(self, mesh):
+        """CR rejection with sharded deposits: the sharded median +
+        sample_spatial blot-back flags the same pixels as the plain
+        device path and the re-drizzled product agrees."""
         from subpixal_tpu.resample import Drizzle
 
-        d = Drizzle(self._scene(), spatial_mesh=mesh)
-        with pytest.raises(NotImplementedError, match="spatial_mesh"):
-            d.reject_cr()
+        exps = self._scene(n=4, seed=31)
+        # plant a cosmic ray in one exposure
+        exps[1].data[20, 18] += 50.0
+        ref = Drizzle([e.copy() for e in exps], use_pallas=False)
+        ref.execute()
+        masks_ref = ref.reject_cr()
+        d = Drizzle([e.copy() for e in exps], spatial_mesh=mesh)
+        d.execute()
+        masks_sp = d.reject_cr()
+        assert masks_sp[1][20, 18], "planted CR not flagged"
+        for a, b in zip(masks_sp, masks_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(d.output_sci, ref.output_sci,
+                                   atol=2e-5, rtol=1e-4)
 
     # (align_images now DRIVES a spatial Drizzle — see TestSpatialAlign;
     # the mesh=/spatial_mesh exclusivity guard is tested there)
