@@ -31,9 +31,6 @@ capability extensions with no reference counterpart (SURVEY §2b).
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
