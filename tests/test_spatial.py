@@ -343,6 +343,27 @@ class TestSpatialDrizzle:
     # (align_images now DRIVES a spatial Drizzle — see TestSpatialAlign;
     # the mesh=/spatial_mesh exclusivity guard is tested there)
 
+    def test_match_sky_and_static_mask(self, mesh):
+        """The pre-combine stages operate on exposures and re-execute;
+        they compose with sharded accumulators unchanged."""
+        from subpixal_tpu.resample import Drizzle
+
+        exps = self._scene(seed=41)
+        for e in exps:
+            e.data = e.data + 0.25  # uniform sky pedestal
+        ref = Drizzle([e.copy() for e in exps], use_pallas=False)
+        ref.execute()
+        ref.match_sky()
+        d = Drizzle([e.copy() for e in exps], spatial_mesh=mesh)
+        d.execute()
+        d.match_sky()
+        np.testing.assert_allclose(d.output_sci, ref.output_sci,
+                                   atol=2e-5, rtol=1e-4)
+        m_sp = d.apply_static_mask()
+        m_ref = ref.apply_static_mask()
+        np.testing.assert_array_equal(np.asarray(m_sp),
+                                      np.asarray(m_ref))
+
 
 class TestSpatialAlign:
     """align_images driving a spatial_mesh Drizzle: the full iterative
@@ -372,6 +393,24 @@ class TestSpatialAlign:
         # scene (~0.07 px, one truncated footprint); just bound it
         assert err_sp < max(
             0.1, 1.5 * pairwise_shift_errors(ref.shifts, planted))
+
+    def test_otf_wcsupdate_matches_plain(self, mesh):
+        """The update-as-you-go branch (reference non-'batch' mode)
+        composes with the sharded reference plane."""
+        from subpixal_tpu.align import align_images
+        from subpixal_tpu.resample import Drizzle
+        from subpixal_tpu.testing import simulate_stack
+
+        exps, planted = simulate_stack(n_exp=3, shape=(96, 96),
+                                       n_stars=6, seed=21)
+        kw = dict(fitgeom="shift", max_iterations=2, usfac=4,
+                  fit_type="gaussian", cutout_shape=(16, 16),
+                  min_sources=3, wcsupdate="otf")
+        ref = align_images(exposures=[e.copy() for e in exps], **kw)
+        d = Drizzle([e.copy() for e in exps], spatial_mesh=mesh)
+        res = align_images(resample=d, **kw)
+        np.testing.assert_allclose(np.asarray(res.shifts),
+                                   np.asarray(ref.shifts), atol=2e-3)
 
     def test_forces_incompatible_knobs_off(self, mesh):
         from subpixal_tpu.align import align_images
