@@ -92,8 +92,15 @@ def shard_rows(mesh: Mesh, plane: jax.Array) -> jax.Array:
 
 
 def gather_rows(plane: jax.Array, logical_rows: int | None = None):
-    """Fetch a row-sharded plane to host, cropping the row padding."""
-    out = np.asarray(plane)
+    """Fetch a row-sharded plane to host, cropping the row padding.
+
+    Multi-process global planes (bands on other hosts) all-gather via
+    :func:`subpixal_tpu.utils.fetch_to_host`'s collective path — call
+    from EVERY process.
+    """
+    from ..utils import fetch_to_host
+
+    out = fetch_to_host(plane)
     return out if logical_rows is None else out[:logical_rows]
 
 

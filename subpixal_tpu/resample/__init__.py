@@ -814,7 +814,9 @@ class Drizzle(Resample):
             dep = self._per_exp.get(exp.name)
             if dep is not None:
                 plane, bit = divmod(e, 32)
-                ctx[plane] |= ((np.asarray(dep[1])[:Ho] > 0)
+                from ..utils import fetch_to_host
+
+                ctx[plane] |= ((fetch_to_host(dep[1])[:Ho] > 0)
                                .astype(np.uint32) << np.uint32(bit))
         ctx = ctx.view(np.int32)
         return ctx[0] if nplanes == 1 else ctx

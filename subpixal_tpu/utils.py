@@ -157,6 +157,14 @@ def fetch_to_host(arr, chunk_bytes: int | None = None):
     nbytes = getattr(arr, "nbytes", 0) or 0
     if nbytes >= _PROBE_MIN_BYTES:
         sync_probe(arr)
+    if getattr(arr, "is_fully_addressable", True) is False:
+        # multi-process global array: some shards live on other hosts —
+        # np.asarray would raise. All processes reach this point (SPMD
+        # host code), so the collective all-gather is safe.
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(arr, tiled=True))
     if not hasattr(arr, "shape") or arr.ndim < 2:
         return np.asarray(arr)
     n = arr.shape[0]

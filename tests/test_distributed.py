@@ -241,3 +241,109 @@ def test_two_process_full_align_matches_single_process():
     assert got["n_iterations"] == ref.n_iterations
     np.testing.assert_allclose(got["shifts"], np.asarray(ref.shifts),
                                atol=5e-4)
+
+
+_SPATIAL_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, "__REPO__")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2"
+                           ).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from subpixal_tpu.parallel import init_distributed, make_global_mesh
+
+pid = int(sys.argv[1])
+assert init_distributed(coordinator_address=sys.argv[2],
+                        num_processes=2, process_id=pid)
+
+import numpy as np
+from subpixal_tpu.align import align_images
+from subpixal_tpu.resample import Drizzle, Exposure
+from subpixal_tpu.wcs.wcs import TanWCS
+
+# identical deterministic scene on every host
+rng = np.random.default_rng(21)
+E, shape, ns = 2, (96, 96), 6
+cd = (0.05 / 3600.0) * np.array([[-1.0, 0.0], [0.0, 1.0]])
+stars = rng.uniform(18, shape[1] - 18, (ns, 2))
+yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+exps = []
+for e in range(E):
+    dx, dy = rng.uniform(-0.3, 0.3, 2)
+    img = rng.normal(0, 0.01, shape).astype(np.float32)
+    for sx, sy in stars:
+        r2 = (xx - sx - dx) ** 2 + (yy - sy - dy) ** 2
+        img += np.where(r2 < 36.0, 20.0 * np.exp(-r2 / (2 * 1.5 ** 2)),
+                        0.0).astype(np.float32)
+    wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
+                 crval=np.array([150.0, 2.0]), cd=cd)
+    exps.append(Exposure(img, wcs, name=f"w{e}"))
+
+mesh = make_global_mesh()           # 4 devices: 2 procs x 2 local
+assert mesh.devices.size == 4, mesh
+d = Drizzle(exps, spatial_mesh=mesh)  # reference plane in 4 row bands
+res = align_images(resample=d, fitgeom="shift", max_iterations=2,
+                   usfac=4, fit_type="gaussian", cutout_shape=(16, 16),
+                   min_sources=3)
+if pid == 0:
+    print("RESULT " + json.dumps({
+        "shifts": np.asarray(res.shifts).tolist(),
+        "n_iterations": res.n_iterations,
+    }), flush=True)
+"""
+
+
+def test_two_process_spatial_align_matches_single_process():
+    """The SPATIAL align (reference plane row-band-sharded ACROSS
+    PROCESSES — bands on other hosts reachable only via collectives)
+    lands on the single-process fixed point: multi-host mosaics beyond
+    one host's device memory."""
+    import numpy as np
+
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.resample import Exposure
+    from subpixal_tpu.wcs.wcs import TanWCS
+
+    rng = np.random.default_rng(21)
+    E, shape, ns = 2, (96, 96), 6
+    cd = (0.05 / 3600.0) * np.array([[-1.0, 0.0], [0.0, 1.0]])
+    stars = rng.uniform(18, shape[1] - 18, (ns, 2))
+    yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+    exps = []
+    for e in range(E):
+        dx, dy = rng.uniform(-0.3, 0.3, 2)
+        img = rng.normal(0, 0.01, shape).astype(np.float32)
+        for sx, sy in stars:
+            r2 = (xx - sx - dx) ** 2 + (yy - sy - dy) ** 2
+            img += np.where(r2 < 36.0,
+                            20.0 * np.exp(-r2 / (2 * 1.5 ** 2)),
+                            0.0).astype(np.float32)
+        wcs = TanWCS(crpix=np.array([shape[1] / 2, shape[0] / 2]),
+                     crval=np.array([150.0, 2.0]), cd=cd)
+        exps.append(Exposure(img, wcs, name=f"w{e}"))
+    ref = align_images(exposures=exps, fitgeom="shift", max_iterations=2,
+                       usfac=4, fit_type="gaussian", cutout_shape=(16, 16),
+                       min_sources=3)
+
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    code = _SPATIAL_WORKER.replace("__REPO__", os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", code, str(pid), coord],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se}"
+    line = next(ln for ln in outs[0][0].splitlines()
+                if ln.startswith("RESULT "))
+    got = json.loads(line[len("RESULT "):])
+    assert got["n_iterations"] == ref.n_iterations
+    np.testing.assert_allclose(got["shifts"], np.asarray(ref.shifts),
+                               atol=5e-4)
