@@ -258,6 +258,20 @@ class TestMesh2D:
         np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
                                    atol=5e-6)
 
+    def test_drizzle_api_accepts_2d_mesh(self, mesh2):
+        """Drizzle(spatial_mesh=<2-D mesh>): per-exposure deposits key
+        off the rows axis; product matches the unsharded build."""
+        from subpixal_tpu.resample import Drizzle
+
+        exps = TestSpatialDrizzle._scene()
+        ref = Drizzle([e.copy() for e in exps], use_pallas=False)
+        ref.execute()
+        d = Drizzle(exps, spatial_mesh=mesh2)
+        d.execute()
+        assert d._sci_acc.sharding.spec == P("rows", None)
+        np.testing.assert_allclose(d.output_sci, ref.output_sci,
+                                   atol=1e-5, rtol=1e-4)
+
     def test_requires_2d_mesh(self, mesh):
         with pytest.raises(ValueError, match="2-D"):
             drizzle_deposit_stack_spatial(
