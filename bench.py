@@ -198,7 +198,16 @@ def _displacement_flops(B, H, W, usfac=10, peak_fit_box=5):
     # elementwise (spectral-NCC scale, phase twist, fold weights)
     ew = B * H * Wr * 24
     logical = 2.0 * (fwd + ro) + ew
-    physical = 2.0 * (3 * fwd + 6 * ro) + ew
+    # physical pass counts follow the SAME precision knobs correlate.py
+    # traces with — hardcoding 3x/6x would misreport mfu_physical by
+    # 2-6x under SUBPIXAL_TPU_{FWD,READOUT}_PRECISION overrides
+    import jax
+
+    from subpixal_tpu.ops.correlate import _P_FWD, _P_READOUT
+
+    passes = {jax.lax.Precision.DEFAULT: 1, jax.lax.Precision.HIGH: 3,
+              jax.lax.Precision.HIGHEST: 6}
+    physical = 2.0 * (passes[_P_FWD] * fwd + passes[_P_READOUT] * ro) + ew
     return logical, physical
 
 

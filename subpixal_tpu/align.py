@@ -1141,7 +1141,10 @@ def align_images(
         # intermittently stalls 100-500 s on tunneled runtimes (this
         # was a ~190 s catalog stage at 4k; warm-ordered it is ~1 s)
         if (catalogs is None and cfg.device_catalog in ("auto", "device")
-                and jax.default_backend() in ("tpu", "axon", "gpu")):
+                and jax.default_backend() in ("tpu", "axon", "gpu")
+                # spatial mode never uses the device finder (detection
+                # runs on the host-gathered product) — don't compile it
+                and spatial_mesh is None):
             from .catalogs.device import warm_compile as _cat_warm
 
             resample._ensure_output_grid()
@@ -1897,7 +1900,12 @@ def align_images(
     final = Drizzle(out_exps, output_wcs=ref_wcs, output_shape=out_shape,
                     pixfrac=cfg.pixfrac, kernel=cfg.kernel,
                     use_pallas=cfg.use_pallas,
-                    wht_type=getattr(resample, "wht_type", "exptime"))
+                    wht_type=getattr(resample, "wht_type", "exptime"),
+                    # a spatial align's product must STAY sharded — an
+                    # unsharded final Drizzle would re-materialize the
+                    # full mosaic on one chip, the OOM this mode exists
+                    # to avoid
+                    spatial_mesh=spatial_mesh)
     return AlignResult(
         exposures=out_exps, matrices=Ms_np, shifts=ts_np,
         history=hist, converged=converged, n_iterations=n_iter,

@@ -115,10 +115,12 @@ def _extract_box(data: jax.Array, iy: jax.Array, ix: jax.Array, k: int):
     # exactly the dynamic_slice semantics (NaN in box -> fit falls back).
     finite = jnp.isfinite(data)
     safe = jnp.where(finite, data, jnp.zeros((), dt))
-    # Precision.HIGH is EXACT here, at half HIGHEST's MXU passes: the
-    # selectors are one-hot (0/1 — bf16-exact), so each output is a
-    # single input element reproduced from its exact hi+lo bf16 split.
-    P = jax.lax.Precision.HIGH
+    # Precision.HIGHEST: the one-hot contraction must reproduce each
+    # selected pixel EXACTLY (dynamic_slice semantics). HIGH's 2-term
+    # bf16 operand split carries only ~16 mantissa bits (the 3rd pass
+    # only recovers cross terms), so it would perturb every box pixel
+    # by ~2^-17 relative; HIGHEST's split is lossless for f32.
+    P = jax.lax.Precision.HIGHEST
     sr = sel_r.astype(dt)
     sc = sel_c.astype(dt)
     # the data plane and the non-finite indicator ride ONE pair of
@@ -160,10 +162,9 @@ def _quad_coeffs(box: jax.Array, wts: jax.Array | None, k: int) -> jax.Array:
     # with P6[n, i*6+j] = A[n,i]*A[n,j], and atz = (w*z) @ A — no
     # (B, k*k, 6) intermediate, and both contractions are plain
     # (B, k*k) x (k*k, ...) MXU matmuls
-    P6 = jnp.asarray(
-        (_design_matrix(k)[:, :, None]
-         * _design_matrix(k)[:, None, :]).reshape(k * k, 36),
-        dtype=box.dtype)
+    An = _design_matrix(k)
+    P6 = jnp.asarray((An[:, :, None] * An[:, None, :]).reshape(k * k, 36),
+                     dtype=box.dtype)
     ata = jnp.dot(w, P6, precision=P).reshape(-1, 6, 6)
     atz = jnp.dot(w * z, A, precision=P)
     # Tikhonov guard keeps the solve finite when too many pixels are masked;

@@ -160,11 +160,29 @@ def fetch_to_host(arr, chunk_bytes: int | None = None):
     if getattr(arr, "is_fully_addressable", True) is False:
         # multi-process global array: some shards live on other hosts —
         # np.asarray would raise. All processes reach this point (SPMD
-        # host code), so the collective all-gather is safe.
+        # host code), so collective all-gathers are safe. CHUNKED along
+        # the leading axis: a whole-array process_allgather replicates
+        # the result into EVERY device's memory first, which would OOM
+        # on exactly the row-band-sharded mosaics this path serves —
+        # each bounded chunk replicates transiently instead.
         from jax.experimental import multihost_utils
 
-        return np.asarray(
-            multihost_utils.process_allgather(arr, tiled=True))
+        def _ag(x):
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+
+        if not hasattr(arr, "shape") or arr.ndim < 2:
+            return _ag(arr)
+        n = arr.shape[0]
+        row_bytes = max(1, int(np.prod(arr.shape[1:]))
+                        * arr.dtype.itemsize)
+        if chunk_bytes <= 0 or n * row_bytes <= chunk_bytes:
+            return _ag(arr)
+        step = max(1, chunk_bytes // row_bytes)
+        out = np.empty(arr.shape, arr.dtype)
+        for i in range(0, n, step):
+            out[i:i + step] = _ag(arr[i:i + step])
+        return out
     if not hasattr(arr, "shape") or arr.ndim < 2:
         return np.asarray(arr)
     n = arr.shape[0]

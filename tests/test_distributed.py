@@ -249,6 +249,9 @@ sys.path.insert(0, "__REPO__")
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2"
                            ).strip()
+# tiny fetch chunks: the multi-host gather must take its CHUNKED
+# allgather path (the bounded-HBM branch real mosaics rely on)
+os.environ["SUBPIXAL_TPU_FETCH_CHUNK_BYTES"] = "8192"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
