@@ -248,8 +248,10 @@ def _measure_kernel(ref_ref, img_ref, *rest, H, W, Wr, CB, cc_type,
     kernels) and fills the MXU — the per-cutout matmuls of the retired
     round-3 prototype starved it (661 us vs 198 us/batch).
 
-    MEASURED OUTCOME (v5e, 2026-08-18): still 10x slower than the XLA
-    einsum path (450-660 us vs ~42 us per 512x64^2 batch) — the
+    MEASURED OUTCOME (v5e, 2026-08-18): still ~3.5-5x slower than the
+    XLA einsum path (450-660 us vs the honest ~131 us per 512x64^2
+    batch; the "42 us" first recorded here was the short-loop min-of-5
+    timer artifact, see bench.py) — the
     row-block -> lane-block restack (4·CB copies/block) and per-cutout
     argmax extraction are ~2000 small Mosaic ops per batch, dwarfing
     the ~25 us of HBM traffic the fusion saves. Kept OPT-IN

@@ -259,10 +259,12 @@ def _use_fused_measure(H: int, W: int) -> bool:
     OPT-IN (``SUBPIXAL_TPU_FUSED_MEASURE=1``, read at TRACE time like
     ``SUBPIXAL_TPU_FFT``): measured on v5e (2026-08-18) the fused
     kernel runs the 512x64^2 batch in 450-660 us where THIS XLA einsum
-    path takes ~42 us (12.2M cc/s, quiet chip). The kernel's matmuls
+    path takes ~131 us honestly timed (an earlier "42 us" reading was
+    the short-loop min-of-5 timer artifact — see bench.py
+    _dev_time_per_iter). The kernel's matmuls
     are full-width, but its per-cutout glue — 4·CB lane-restack copies
     and CB argmax extractions per block, ~2000 Mosaic ops per batch at
-    ~0.15-0.25 us each — costs an order of magnitude more than the
+    ~0.15-0.25 us each — costs several times more than the
     ~25 us of HBM spectrum traffic the fusion saves. XLA's batched
     dot_general lowering lane-packs the per-cutout contractions
     automatically and fuses the elementwise stages, so the hand fusion
