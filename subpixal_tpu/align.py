@@ -552,6 +552,27 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             return s, wgt, jnp.int32(0)
 
         def drizzle_all(Ms_, ts_):
+            if (spatial_mesh is not None
+                    and len(spatial_mesh.axis_names) == 2
+                    and len(set(dri_ratios)) == 1):
+                # 2-D (frames, rows) mesh: ONE stack deposit — frames
+                # shard for throughput, rows for memory; psum over the
+                # frames axis moves band-sized tiles only. (Per-frame
+                # pscale ratios need the per-frame path: the kernel's
+                # candidate window is statically shaped by the ratio.)
+                from .parallel.spatial import (
+                    drizzle_deposit_stack_spatial)
+
+                px, py = _affine_apply_grid(
+                    Ms_[:, None, None], ts_[:, None, None],
+                    dri_px, dri_py)                        # (E, H, W)
+                sci, wht = drizzle_deposit_stack_spatial(
+                    spatial_mesh, exp_data, exp_wht, px, py, out_shape,
+                    pixfrac=cfg.pixfrac,
+                    pscale_ratio=float(dri_ratios[0]),
+                    kernel=cfg.kernel)
+                return (drizzle_combine(sci, wht),
+                        jnp.zeros(E, jnp.int32))
             # spatial mode: the accumulators inherit the first deposit's
             # row-band sharding AND its padded row count
             sci_acc = wht_acc = None

@@ -408,6 +408,25 @@ class TestSpatialAlign:
         assert err_sp < max(
             0.1, 1.5 * pairwise_shift_errors(ref.shifts, planted))
 
+    def test_2d_mesh_stack_deposit_matches_plain(self):
+        """The align step's 2-D (frames, rows) fast path — ONE stack
+        deposit, psum over frames — lands on the plain fixed point."""
+        from subpixal_tpu.align import align_images
+        from subpixal_tpu.resample import Drizzle
+        from subpixal_tpu.testing import simulate_stack
+
+        mesh2 = make_mesh2d(2, 4)
+        exps, planted = simulate_stack(n_exp=3, shape=(96, 96),
+                                       n_stars=6, seed=21)
+        kw = dict(fitgeom="shift", max_iterations=2, usfac=4,
+                  fit_type="gaussian", cutout_shape=(16, 16),
+                  min_sources=3)
+        ref = align_images(exposures=[e.copy() for e in exps], **kw)
+        d = Drizzle([e.copy() for e in exps], spatial_mesh=mesh2)
+        res = align_images(resample=d, **kw)
+        np.testing.assert_allclose(np.asarray(res.shifts),
+                                   np.asarray(ref.shifts), atol=2e-3)
+
     def test_otf_wcsupdate_matches_plain(self, mesh):
         """The update-as-you-go branch (reference non-'batch' mode)
         composes with the sharded reference plane."""
