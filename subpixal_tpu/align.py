@@ -1120,20 +1120,19 @@ def align_images(
                 "exclusive — the two shard the same devices differently")
         forced = [k for k, v in (("use_pallas", cfg.use_pallas is True),
                                  ("sparse_deposit",
-                                  cfg.sparse_deposit is True),
-                                 ("device_loop",
-                                  getattr(cfg, "device_loop", None)
-                                  is True)) if v]
+                                  cfg.sparse_deposit is True)) if v]
         if forced:
             import warnings as _warnings
 
             _warnings.warn(
                 f"spatial_mesh align forces {forced} off (the spatial "
-                "deposit/gather paths are XLA, dense, host-loop)",
+                "deposit/gather paths are XLA and dense)",
                 stacklevel=2)
+        # device_loop composes: shard_map inside lax.while_loop inside
+        # jit works, so the on-device fixed point (one host sync total)
+        # stays available under a spatial mesh
         cfg = dataclasses.replace(cfg, use_pallas=False,
-                                  sparse_deposit=False,
-                                  device_loop=False)
+                                  sparse_deposit=False)
     if cfg.match_sky or cfg.static_mask or cfg.reject_cr:
         # these stages modify data/weights; keep the caller's Exposure
         # objects untouched (align_images' no-mutation contract)

@@ -458,6 +458,30 @@ class TestSpatialAlign:
                          usfac=4, cutout_shape=(16, 16), min_sources=3,
                          use_pallas=True)
 
+    def test_device_loop_matches_host_loop(self, mesh):
+        """The on-device while_loop fixed point (one host sync) works
+        under a spatial mesh — shard_map composes inside lax.while_loop
+        — and lands on the host loop's shifts."""
+        from subpixal_tpu.align import align_images
+        from subpixal_tpu.resample import Drizzle
+        from subpixal_tpu.testing import simulate_stack
+
+        exps, _ = simulate_stack(n_exp=3, shape=(96, 96), n_stars=6,
+                                 seed=21)
+        kw = dict(fitgeom="shift", max_iterations=2, usfac=4,
+                  fit_type="gaussian", cutout_shape=(16, 16),
+                  min_sources=3)
+        host = align_images(
+            resample=Drizzle([e.copy() for e in exps],
+                             spatial_mesh=mesh),
+            device_loop=False, **kw)
+        dev = align_images(
+            resample=Drizzle([e.copy() for e in exps],
+                             spatial_mesh=mesh),
+            device_loop=True, **kw)
+        np.testing.assert_allclose(np.asarray(dev.shifts),
+                                   np.asarray(host.shifts), atol=2e-3)
+
     def test_mesh_and_spatial_exclusive(self, mesh):
         from subpixal_tpu.align import align_images
         from subpixal_tpu.resample import Drizzle
