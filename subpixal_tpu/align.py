@@ -1110,9 +1110,10 @@ def align_images(
     if spatial_mesh is not None:
         # align for mosaics whose reference plane exceeds one chip's HBM:
         # the step's deposits/blots ride parallel/spatial.py (row-band
-        # deposits + psum'd gather partials). XLA-only, dense, host loop
-        # — the Pallas tiles, sparse live-set compaction, and the
-        # frame-sharded mesh mode all assume a replicated plane.
+        # deposits + psum'd gather partials). XLA-only and dense — the
+        # Pallas tiles, sparse live-set compaction, and the
+        # frame-sharded mesh mode all assume a replicated plane. The
+        # device_loop fixed point composes and stays available.
         if mesh is not None:
             raise ValueError(
                 "mesh= (frame-sharded SPMD align) and a spatial_mesh "
