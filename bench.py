@@ -507,6 +507,13 @@ def main():
     n = cpu_dxy.shape[0]
     vs_ref = 1e3 * float(
         np.sqrt(np.mean(np.sum((tpu_dxy[:n] - cpu_dxy) ** 2, axis=1))))
+    # Hard numerics gate (VERDICT r3 task 3): the device algorithm must
+    # track the f64 reference algorithm to well under the mpix regime on
+    # identical data. A future "optimization" that walks this into the
+    # mpix range fails the bench loudly instead of shipping silently.
+    assert vs_ref < 0.1, (
+        f"shift_rmse_vs_reference_mpix={vs_ref:.4f} >= 0.1 — device "
+        "measurement drifted from the f64 reference algorithm")
     extras = bench_kernels()  # pallas sections last (compile-order rule)
     extras.update(bench_align_smoke(parity_ref))
     extras.update(bench_align_2k())
