@@ -60,21 +60,6 @@ class PeakFitResult(NamedTuple):
     iy: jax.Array
 
 
-def _design_matrix(k: int) -> np.ndarray:
-    """(k*k, 6) quadratic design matrix on a centered k x k grid.
-
-    Columns: [1, x, y, x^2, x*y, y^2] with x/y in box coordinates centered
-    on the box center (the argmax), which keeps the normal equations
-    well-conditioned (SURVEY.md §7 "Numerics").
-    """
-    c = (k - 1) / 2.0
-    yy, xx = np.mgrid[0:k, 0:k].astype(np.float64)
-    x = (xx - c).ravel()
-    y = (yy - c).ravel()
-    cols = np.stack([np.ones_like(x), x, y, x * x, x * y, y * y], axis=1)
-    return cols
-
-
 @functools.partial(jnp.vectorize, signature="(n,m)->(),()")
 def _argmax2d(a):
     """Row/col of the (first) maximum of a 2-D array."""
@@ -83,94 +68,92 @@ def _argmax2d(a):
     return flat // m, flat % m
 
 
-def _extract_box(data: jax.Array, iy: jax.Array, ix: jax.Array, k: int):
-    """Extract a k x k box around (iy, ix), clipped to stay inside ``data``.
+@functools.lru_cache(maxsize=16)
+def _power_tables(n: int, k: int):
+    """Static box-centered power grids for every legal box origin.
 
-    Returns the box plus the (row0, col0) top-left corner actually used.
-    Static shapes: the box is always k x k; near edges the window slides
-    inward (matching the reference's behavior of shrinking/translating the
-    fit box at the border, here realized as translation only).
-
-    TPU note: a vmapped ``dynamic_slice`` lowers to a batched gather —
-    ~1 ms for 500 surfaces. The separable one-hot contraction below is
-    pure dense math (select + reduce, fully fused by XLA) and ~10x
-    faster; surfaces here are small (correlation windows), so the dense
-    (B, k, H/W) selectors are tiny.
+    ``TR[s, q*n + r] = (r - s - (k-1)/2)**q * (s <= r < s+k)`` for
+    ``q = 0..4`` and every origin ``s`` in ``[0, n-k]``. A per-surface
+    one-hot over ``s`` against this table yields each surface's
+    box-CENTERED coordinate powers (|coord| <= (k-1)/2 inside the box,
+    exactly zero outside) — no large-coordinate cancellation anywhere.
     """
-    h, w = data.shape[-2:]
+    ns = n - k + 1
+    cc = (k - 1) / 2.0
+    out = np.zeros((ns, 5 * n), np.float32)
+    r = np.arange(n)
+    for s in range(ns):
+        inside = (r >= s) & (r < s + k)
+        x = (r - s - cc) * inside
+        for q in range(5):
+            out[s, q * n:(q + 1) * n] = (x ** q) * inside
+    return out
+
+
+def _fit_moments(data, z, w, iy, ix, k):
+    """Weighted quadratic LSQ via box-centered masked moments.
+
+    Replaces explicit box extraction: the old path built per-surface
+    one-hot selector matrices and ran them as BATCHED einsums —
+    per-surface matmuls that cost ~40 us per 500x16^2 batch on v5e,
+    ~90 % of ``find_peak``'s runtime. Here the k x k box never
+    materializes: the normal equations' entries are masked moments
+    ``sum w * x^p * y^q`` over the whole surface, with the box mask and
+    the CENTERED coordinate powers folded into per-surface row/column
+    grids selected by one shared one-hot matmul
+    (:func:`_power_tables`). Everything else is broadcast-multiply +
+    reduce, which XLA fuses into a couple of passes — measured ~6x
+    faster, and numerically the same sums in a different order
+    (parity ~1e-6).
+
+    data : (B, n, m) raw surface (for the non-finite poison check).
+    z : (B, n, m) fit target (data, or log-ratio for gaussian fits).
+    w : (B, n, m) nonnegative weights (NOT yet box-masked).
+    Returns (coef (B, 6), r0, c0, bad (B,) bool).
+    """
+    B, n, m = data.shape
     half = k // 2
-    r0 = jnp.clip(iy - half, 0, h - k)
-    c0 = jnp.clip(ix - half, 0, w - k)
+    r0 = jnp.clip(iy - half, 0, n - k)
+    c0 = jnp.clip(ix - half, 0, m - k)
+    dt = z.dtype
+    P = jax.lax.Precision.HIGHEST
 
-    dt = data.dtype
-    ki = jnp.arange(k, dtype=r0.dtype)
-    sel_r = (r0[:, None, None] + ki[None, :, None]
-             == jnp.arange(h, dtype=r0.dtype)[None, None, :])  # (B, k, h)
-    sel_c = (c0[:, None, None] + ki[None, :, None]
-             == jnp.arange(w, dtype=c0.dtype)[None, None, :])  # (B, k, w)
-    # box[b, i, j] = sum_{r, c} sel_r[b,i,r] data[b,r,c] sel_c[b,j,c].
-    # Non-finite pixels must be zeroed first (0 * nan = nan, so one bad
-    # pixel ANYWHERE in the surface would otherwise poison every box);
-    # they are re-poisoned below only where they fall INSIDE a box —
-    # exactly the dynamic_slice semantics (NaN in box -> fit falls back).
+    # per-surface centered power grids via one shared one-hot matmul
+    TR = jnp.asarray(_power_tables(n, k), dt)
+    TC = TR if m == n else jnp.asarray(_power_tables(m, k), dt)
+    oh_r = (r0[:, None] == jnp.arange(n - k + 1)[None, :]).astype(dt)
+    oh_c = (c0[:, None] == jnp.arange(m - k + 1)[None, :]).astype(dt)
+    RY = jnp.dot(oh_r, TR, precision=P).reshape(B, 5, n)   # y^q * rowmask
+    CX = jnp.dot(oh_c, TC, precision=P).reshape(B, 5, m)   # x^p * colmask
+
     finite = jnp.isfinite(data)
-    safe = jnp.where(finite, data, jnp.zeros((), dt))
-    # Precision.HIGHEST: the one-hot contraction must reproduce each
-    # selected pixel EXACTLY (dynamic_slice semantics). HIGH's 2-term
-    # bf16 operand split carries only ~16 mantissa bits (the 3rd pass
-    # only recovers cross terms), so it would perturb every box pixel
-    # by ~2^-17 relative; HIGHEST's split is lossless for f32.
-    P = jax.lax.Precision.HIGHEST
-    sr = sel_r.astype(dt)
-    sc = sel_c.astype(dt)
-    # the data plane and the non-finite indicator ride ONE pair of
-    # einsums (batch-concatenated) instead of two — the box gather is
-    # a measured hot spot of the displacement pipeline's peak fit
-    planes = jnp.concatenate([safe, (~finite).astype(dt)], axis=0)
-    sr2 = jnp.concatenate([sr, sr], axis=0)
-    sc2 = jnp.concatenate([sc, sc], axis=0)
-    tmp = jnp.einsum("bir,brc->bic", sr2, planes, precision=P)
-    both = jnp.einsum("bjc,bic->bij", sc2, tmp, precision=P)
-    b = data.shape[0]
-    box = jnp.where(both[b:] > 0, jnp.nan, both[:b])
-    return box, r0, c0
+    boxmask = (RY[:, 0, :, None] > 0) & (CX[:, 0, None, :] > 0)
+    # a non-finite pixel with nonzero weight inside the box poisons the
+    # fit (dynamic-slice semantics of the reference path): flag it and
+    # zero it so it cannot poison OTHER surfaces' reductions
+    bad = jnp.any(jnp.where(boxmask & (w > 0), ~finite, False),
+                  axis=(1, 2))
+    w = jnp.where(finite, w, 0.0)
+    z = jnp.where(finite & (w > 0), z, 0.0)
 
+    # separable masked moments: rows first, then all (q, p) pairs
+    wz = w * z
+    Tw = jnp.sum(w[:, None] * RY[:, :, :, None], axis=2)      # (B,5,m)
+    Twz = jnp.sum(wz[:, None] * RY[:, :3, :, None], axis=2)   # (B,3,m)
+    Mw = jnp.sum(Tw[:, :, None, :] * CX[:, None, :, :], axis=3)
+    Mwz = jnp.sum(Twz[:, :, None, :] * CX[:, None, :3, :], axis=3)
 
-def _quad_coeffs(box: jax.Array, wts: jax.Array | None, k: int) -> jax.Array:
-    """Least-squares quadratic coefficients for each k x k box.
-
-    box : (B, k, k); wts : (B, k, k) nonnegative weights or None.
-    Returns (B, 6) coefficients [c0, c1, c2, c3, c4, c5].
-    """
-    # NOTE: these matmuls determine subpixel precision; they must run with
-    # full f32 accumulation (Precision.HIGHEST), not the bf16 default the
-    # MXU would otherwise use. They are tiny (k*k x 6) — cost is negligible.
-    P = jax.lax.Precision.HIGHEST
-    A = jnp.asarray(_design_matrix(k), dtype=box.dtype)  # (k*k, 6)
-    z = box.reshape(box.shape[0], k * k)
-    if wts is None:
-        # Constant design matrix -> precomputed pseudo-inverse, single matmul.
-        pinv = jnp.asarray(np.linalg.pinv(_design_matrix(k)), dtype=box.dtype)
-        return jnp.dot(z, pinv.T, precision=P)
-    w = wts.reshape(wts.shape[0], k * k)
-    # zero data where the weight is zero: 0 * NaN = NaN would otherwise
-    # poison the normal equations, so a single masked NaN pixel inside
-    # the fit box silently degraded every fit to the integer argmax
-    z = jnp.where(w > 0, z, 0.0)
-    # Batched weighted normal equations (A^T W A) c = A^T W z, assembled
-    # as TWO matmuls against FIXED right operands: ata[b] = w[b] @ P6
-    # with P6[n, i*6+j] = A[n,i]*A[n,j], and atz = (w*z) @ A — no
-    # (B, k*k, 6) intermediate, and both contractions are plain
-    # (B, k*k) x (k*k, ...) MXU matmuls
-    An = _design_matrix(k)
-    P6 = jnp.asarray((An[:, :, None] * An[:, None, :]).reshape(k * k, 36),
-                     dtype=box.dtype)
-    ata = jnp.dot(w, P6, precision=P).reshape(-1, 6, 6)
-    atz = jnp.dot(w * z, A, precision=P)
-    # Tikhonov guard keeps the solve finite when too many pixels are masked;
-    # such fits are rejected downstream by the fit_ok checks anyway.
-    ata = ata + 1e-8 * jnp.eye(6, dtype=box.dtype)[None]
-    return _solve_spd_small(ata, atz)
+    # normal equations: basis [1, x, y, x^2, xy, y^2] with (px, py)
+    pows = ((0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2))
+    ata = jnp.stack(
+        [jnp.stack([Mw[:, py_i + py_j, px_i + px_j]
+                    for (px_j, py_j) in pows], axis=-1)
+         for (px_i, py_i) in pows], axis=-2)                  # (B,6,6)
+    atz = jnp.stack([Mwz[:, py, px] for (px, py) in pows], axis=-1)
+    # Tikhonov guard keeps the solve finite when too many pixels are
+    # masked; such fits are rejected downstream by the fit_ok checks
+    ata = ata + 1e-8 * jnp.eye(6, dtype=dt)[None]
+    return _solve_spd_small(ata, atz), r0, c0, bad
 
 
 def _solve_spd_small(A: jax.Array, b: jax.Array) -> jax.Array:
@@ -305,19 +288,18 @@ def find_peak(
     # reduce, ~5x cheaper than a batched take_along_axis gather on TPU
     peak_val = jnp.max(search, axis=(1, 2))
 
-    # --- fit box around argmax ---
-    box, r0_, c0_ = _extract_box(data, iy, ix, k)
-    if valid is not None:
-        vbox, _, _ = _extract_box(valid.astype(data.dtype), iy, ix, k)
-        # out-of-image regions of the box come back NaN (also in the
-        # extracted validity plane); masked pixels may BE NaN in the
-        # data. Neutralize both before any transform — 0 * NaN = NaN
-        # would otherwise poison the weighted normal equations and
-        # silently degrade every masked fit to the integer argmax.
-        vbox = jnp.nan_to_num(vbox, nan=0.0)
-        box = jnp.where(vbox > 0, box, 0.0)
-    else:
-        vbox = None
+    # --- weighted quadratic fit via box-centered masked moments ---
+    # (the k x k box never materializes; see _fit_moments)
+    half = k // 2
+    r0b = jnp.clip(iy - half, 0, H - k)[:, None, None]
+    c0b = jnp.clip(ix - half, 0, W - k)[:, None, None]
+    rows = jnp.arange(H)[None, :, None]
+    cols = jnp.arange(W)[None, None, :]
+    boxmask = ((rows >= r0b) & (rows < r0b + k)
+               & (cols >= c0b) & (cols < c0b + k))
+    vm = boxmask if valid is None else (boxmask & valid)
+    finite = jnp.isfinite(data)
+    safe = jnp.where(finite, data, 0.0)
 
     if fit_type == "gaussian":
         # log-transform WITHOUT shifting (log of a Gaussian is exactly
@@ -326,18 +308,20 @@ def find_peak(
         # and strongly downweighted. Value-proportional weights keep the
         # log-space fit from amplifying noise in the faint wings — the
         # standard weighting for Gaussian fits in log space.
-        bmax = jnp.max(box, axis=(1, 2), keepdims=True)
+        vals = jnp.where(vm & finite, data, -jnp.inf)
+        bmax = jnp.max(vals, axis=(1, 2), keepdims=True)
         scale = jnp.maximum(bmax, 1e-30)
-        ratio = box / scale
-        zbox = jnp.log(jnp.clip(ratio, 1e-8, None))
+        ratio = safe / scale
+        z = jnp.log(jnp.clip(ratio, 1e-8, None))
         gw = jnp.clip(ratio, 0.0, 1.0)
-        vbox = gw if vbox is None else vbox * gw
+        w = vm.astype(data.dtype) * gw
     elif fit_type == "quadratic":
-        zbox = box
+        z = data
+        w = vm.astype(data.dtype)
     else:
         raise ValueError(f"unknown fit_type: {fit_type!r}")
 
-    coef = _quad_coeffs(zbox, vbox, k)
+    coef, r0_, c0_, badpix = _fit_moments(data, z, w, iy, ix, k)
     c0c, c1, c2, c3, c4, c5 = [coef[:, i] for i in range(6)]
 
     # Stationary point of the quadratic: solve [2c3 c4; c4 2c5] p = -[c1; c2]
@@ -355,6 +339,9 @@ def find_peak(
     # a surface with NO valid pixel in the search area has peak_val=-inf
     # and an argmax of (0, 0) on raw data — never report a good fit there
     fit_ok = fit_ok & jnp.isfinite(peak_val)
+    # a non-finite pixel with nonzero weight inside the fit box poisons
+    # the fit (reference dynamic-slice semantics) -> integer fallback
+    fit_ok = fit_ok & ~badpix
 
     # Box-center coordinates -> image coordinates.
     cy = r0_.astype(data.dtype) + (k - 1) / 2.0
