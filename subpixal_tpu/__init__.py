@@ -55,8 +55,9 @@ from .catalogs import (
     find_sources,
 )
 from .resample import Resample, Drizzle, Exposure, make_output_wcs
-from .wcs.wcs import TanWCS, apply_tangent_affine
-from .wcs.fitswcs import wcs_from_header, wcs_to_header
+from .wcs.wcs import TanWCS, DistGrid, apply_tangent_affine
+from .wcs.fitswcs import (wcs_from_header, wcs_to_header,
+                          wcs_from_hdul)
 from .align import align_images, AlignConfig, AlignResult, ImageAlignInfo
 from .utils import parse_file_name
 
@@ -80,7 +81,8 @@ __all__ = [
     "ImageCatalog", "ImageSourceCatalog", "SExCatalog", "SExImageCatalog",
     "Table", "find_sources",
     # wcs
-    "TanWCS", "apply_tangent_affine", "wcs_from_header", "wcs_to_header",
+    "TanWCS", "DistGrid", "apply_tangent_affine", "wcs_from_header",
+    "wcs_to_header", "wcs_from_hdul",
     # align
     "align_images", "AlignConfig", "AlignResult", "ImageAlignInfo",
     # utils

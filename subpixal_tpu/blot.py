@@ -36,10 +36,19 @@ _PIXMAP_CACHE_MAX = 16
 _PIXMAP_CACHE_BYTES = 512 * 1024 * 1024
 
 
+def _grid_cache_key(g):
+    if g is None:
+        return None
+    return (None if g.data_x is None else g.data_x.tobytes(),
+            None if g.data_y is None else g.data_y.tobytes(),
+            g.crpix, g.crval, g.cdelt)
+
+
 def _wcs_cache_key(w: TanWCS):
     return (w.crpix.tobytes(), w.crval.tobytes(), w.cd.tobytes(),
             *(None if getattr(w, f) is None else getattr(w, f).tobytes()
-              for f in ("a", "b", "ap", "bp")))
+              for f in ("a", "b", "ap", "bp")),
+            _grid_cache_key(w.cpdis), _grid_cache_key(w.d2im))
 
 
 def compute_pixmap(
@@ -140,16 +149,73 @@ def _poly2d_j(C, u, v):
     return acc
 
 
-def _pixmap_compose(u, v, cd1, A, B_, M, icd2, AP2, BP2, A2, B2, *,
-                    sip_mode, sip2_mode):
+def _grid_sample_j(grid, meta, x, y):
+    """Bilinear lookup-table sample on device (DistGrid semantics).
+
+    ``meta`` rows: (crpix, crval, cdelt) per axis — see
+    :class:`subpixal_tpu.wcs.wcs.DistGrid`. Static grid shape; clamped
+    at the edges; pure gather + FMA, jit/vmap-safe.
+    """
+    gh, gw = grid.shape
+    gx = (x - meta[1, 0]) / meta[2, 0] + meta[0, 0]
+    gy = (y - meta[1, 1]) / meta[2, 1] + meta[0, 1]
+    gx = jnp.clip(gx, 0.0, gw - 1.0)
+    gy = jnp.clip(gy, 0.0, gh - 1.0)
+    ix = jnp.clip(jnp.floor(gx), 0, max(gw - 2, 0)).astype(jnp.int32)
+    iy = jnp.clip(jnp.floor(gy), 0, max(gh - 2, 0)).astype(jnp.int32)
+    fx = gx - ix
+    fy = gy - iy
+    ix1 = jnp.minimum(ix + 1, gw - 1)
+    iy1 = jnp.minimum(iy + 1, gh - 1)
+    v00 = grid[iy, ix]
+    v01 = grid[iy, ix1]
+    v10 = grid[iy1, ix]
+    v11 = grid[iy1, ix1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def _pixmap_compose(u, v, cd1, A, B_, M, icd2, AP2, BP2, A2, B2,
+                    tab1, tab2, crpix1, crpix2, *,
+                    sip_mode, sip2_mode, tab_modes=(False,) * 4):
     """The shared WCS composition on (broadcastable) crpix-relative
-    coordinate arrays: forward SIP → tangent → exact 3x3 tangent-plane
-    homography → inverse tangent (inverse SIP / Newton). Returns
-    crpix2-relative coordinates of the same broadcast shape."""
-    if sip_mode:  # forward SIP of the source frame
-        du = _poly2d_j(A, u, v)
-        dv = _poly2d_j(B_, u, v)
-        u, v = u + du, v + dv
+    coordinate arrays: (d2im → forward SIP + cpdis) → tangent → exact
+    3x3 tangent-plane homography → inverse tangent (inverse SIP /
+    Picard over the total correction incl. lookup tables). Returns
+    crpix2-relative coordinates of the same broadcast shape.
+
+    ``tab1``/``tab2`` are 6-tuples (d2im_x, d2im_y, d2im_meta,
+    cpdis_x, cpdis_y, cpdis_meta) of grid arrays + metas (placeholders
+    when the static ``tab_modes`` = (d2im1, cpdis1, d2im2, cpdis2)
+    flags say absent).
+    """
+    d2im1_on, cpdis1_on, d2im2_on, cpdis2_on = tab_modes
+
+    def fwd_offsets(uu, vv, cd_a, cd_b, tab, d2im_on, cpdis_on, crpix):
+        """host TanWCS._focal_offsets on crpix-relative coords."""
+        if d2im_on:
+            x = uu + crpix[0]
+            y = vv + crpix[1]
+            uu = uu + _grid_sample_j(tab[0], tab[2], x, y)
+            vv = vv + _grid_sample_j(tab[1], tab[2], x, y)
+        du = dv = None
+        if cd_a is not None:
+            du = _poly2d_j(cd_a, uu, vv)
+            dv = _poly2d_j(cd_b, uu, vv)
+        if cpdis_on:
+            x = uu + crpix[0]
+            y = vv + crpix[1]
+            cdx = _grid_sample_j(tab[3], tab[5], x, y)
+            cdy = _grid_sample_j(tab[4], tab[5], x, y)
+            du = cdx if du is None else du + cdx
+            dv = cdy if dv is None else dv + cdy
+        if du is not None:
+            uu, vv = uu + du, vv + dv
+        return uu, vv
+
+    u, v = fwd_offsets(u, v, A if sip_mode else None,
+                       B_ if sip_mode else None, tab1,
+                       d2im1_on, cpdis1_on, crpix1)
     d2r = jnp.float32(np.pi / 180.0)
     x = (cd1[0, 0] * u + cd1[0, 1] * v) * d2r
     y = (cd1[1, 0] * u + cd1[1, 1] * v) * d2r
@@ -158,24 +224,41 @@ def _pixmap_compose(u, v, cd1, A, B_, M, icd2, AP2, BP2, A2, B2, *,
     eta2 = (M[2, 0] + M[2, 1] * x + M[2, 2] * y) / w0 / d2r
     up = icd2[0, 0] * xi2 + icd2[0, 1] * eta2
     vp = icd2[1, 0] * xi2 + icd2[1, 1] * eta2
-    if sip2_mode == "inverse":
+    tab2_on = d2im2_on or cpdis2_on
+    if sip2_mode == "inverse" and not tab2_on:
         u2 = up + _poly2d_j(AP2, up, vp)
         v2 = vp + _poly2d_j(BP2, up, vp)
-    elif sip2_mode == "newton":
-        u2, v2 = up, vp
+    elif sip2_mode in ("newton", "inverse") or tab2_on:
+        # fixed-trip Picard over the TOTAL forward correction (SIP +
+        # tables), seeded by AP/BP when available — mirrors
+        # TanWCS.tangent_to_pixel
+        if sip2_mode == "inverse":
+            u2 = up + _poly2d_j(AP2, up, vp)
+            v2 = vp + _poly2d_j(BP2, up, vp)
+        else:
+            u2, v2 = up, vp
+        sip2_on = sip2_mode == "newton"
         for _ in range(3):
-            u2 = up - _poly2d_j(A2, u2, v2)
-            v2 = vp - _poly2d_j(B2, u2, v2)
+            fu, fv = fwd_offsets(u2, v2, A2 if sip2_on else None,
+                                 B2 if sip2_on else None, tab2,
+                                 d2im2_on, cpdis2_on, crpix2)
+            u2 = u2 - (fu - up)
+            v2 = v2 - (fv - vp)
     else:
         u2, v2 = up, vp
     return u2, v2
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode"))
+    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode",
+                              "tab_modes"))
 def _pixmap_device_core(crpix1, cd1, A, B_, M, icd2, AP2, BP2, A2, B2,
-                        crpix2, blc, *, shape, sip_mode, sip2_mode):
-    """One jitted program; cached per (shape, SIP configuration)."""
+                        crpix2, *tabs_blc, shape, sip_mode, sip2_mode,
+                        tab_modes=(False,) * 4):
+    """One jitted program; cached per (shape, SIP/table configuration)."""
+    *tabs, blc = tabs_blc
+    tab1, tab2 = (tuple(tabs[:6]), tuple(tabs[6:12])) if tabs else (
+        (None,) * 6, (None,) * 6)
     h, w = shape
     yy = (jnp.arange(h, dtype=jnp.float32)[:, None]
           + blc[0].astype(jnp.float32))
@@ -184,40 +267,51 @@ def _pixmap_device_core(crpix1, cd1, A, B_, M, icd2, AP2, BP2, A2, B2,
     u = xx - crpix1[0]
     v = yy - crpix1[1]
     u2, v2 = _pixmap_compose(u, v, cd1, A, B_, M, icd2, AP2, BP2, A2, B2,
-                             sip_mode=sip_mode, sip2_mode=sip2_mode)
+                             tab1, tab2, crpix1, crpix2,
+                             sip_mode=sip_mode, sip2_mode=sip2_mode,
+                             tab_modes=tab_modes)
     return (jnp.broadcast_to(u2 + crpix2[0], shape),
             jnp.broadcast_to(v2 + crpix2[1], shape))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode"))
+    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode",
+                              "tab_modes"))
 def _cutout_pixmaps_device_core(crpix1, cd1, A, B_, M, icd2, AP2, BP2,
-                                A2, B2, crpix2, blc, *, shape, sip_mode,
-                                sip2_mode):
+                                A2, B2, crpix2, *tabs_blc, shape,
+                                sip_mode, sip2_mode,
+                                tab_modes=(False,) * 4):
     """Batched per-cutout pixmaps: ``blc`` is (N, 2) float32 (x0, y0)
     cutout origins; returns (N, h, w) coordinate pairs."""
+    *tabs, blc = tabs_blc
+    tab1, tab2 = (tuple(tabs[:6]), tuple(tabs[6:12])) if tabs else (
+        (None,) * 6, (None,) * 6)
     h, w = shape
     yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     u = xx + blc[:, 0, None, None] - crpix1[0]
     v = yy + blc[:, 1, None, None] - crpix1[1]
     u2, v2 = _pixmap_compose(u, v, cd1, A, B_, M, icd2, AP2, BP2, A2, B2,
-                             sip_mode=sip_mode, sip2_mode=sip2_mode)
+                             tab1, tab2, crpix1, crpix2,
+                             sip_mode=sip_mode, sip2_mode=sip2_mode,
+                             tab_modes=tab_modes)
     N = blc.shape[0]
     return (jnp.broadcast_to(u2 + crpix2[0], (N, h, w)),
             jnp.broadcast_to(v2 + crpix2[1], (N, h, w)))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode"))
+    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode",
+                              "tab_modes"))
 def _cutout_pixmaps_stack_core(params, blc, *, shape, sip_mode,
-                               sip2_mode):
+                               sip2_mode, tab_modes=(False,) * 4):
     """vmap of :func:`_cutout_pixmaps_device_core` over a leading
     exposure axis: params are (E, ...)-stacked, blc is (E, N, 2).
     Returns (E, N, h, w) pairs — ONE dispatch for the whole stack."""
     def one(p, b):
         return _cutout_pixmaps_device_core(
-            *p, b, shape=shape, sip_mode=sip_mode, sip2_mode=sip2_mode)
+            *p, b, shape=shape, sip_mode=sip_mode, sip2_mode=sip2_mode,
+            tab_modes=tab_modes)
 
     return jax.vmap(one)(params, blc)
 
@@ -231,10 +325,10 @@ def _stacked_wcs_params(wcs_list, to_wcs):
     shapes = {tuple(p.shape for p in pk) for pk, _, _ in packs}
     if len(modes) != 1 or len(shapes) != 1:
         return None, None, None
-    sip_mode, sip2_mode = modes.pop()
+    sip_mode, sip2_cfg = modes.pop()
     stacked = tuple(jnp.stack([pk[i] for pk, _, _ in packs])
                     for i in range(len(packs[0][0])))
-    return stacked, sip_mode, sip2_mode
+    return stacked, sip_mode, sip2_cfg
 
 
 def compute_cutout_pixmaps_device_stack(wcs_list, to_wcs, blc, shape):
@@ -243,24 +337,28 @@ def compute_cutout_pixmaps_device_stack(wcs_list, to_wcs, blc, shape):
     tunneled runtimes). ``blc`` is (E, N, 2); returns (E, N, h, w)
     pairs, or None when the WCSs mix SIP configurations (caller falls
     back to per-frame calls)."""
-    stacked, sip_mode, sip2_mode = _stacked_wcs_params(wcs_list, to_wcs)
+    stacked, sip_mode, sip2_cfg = _stacked_wcs_params(wcs_list, to_wcs)
     if stacked is None:
         return None
+    sip2_mode, tab_modes = sip2_cfg
     blc_j = jnp.asarray(np.asarray(blc, np.float32))
     return _cutout_pixmaps_stack_core(
         stacked, blc_j, shape=tuple(shape), sip_mode=sip_mode,
-        sip2_mode=sip2_mode)
+        sip2_mode=sip2_mode, tab_modes=tab_modes)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode"))
-def _pixmap_stack_core(params, *, shape, sip_mode, sip2_mode):
+    jax.jit, static_argnames=("shape", "sip_mode", "sip2_mode",
+                              "tab_modes"))
+def _pixmap_stack_core(params, *, shape, sip_mode, sip2_mode,
+                       tab_modes=(False,) * 4):
     zero = jnp.zeros((2,), jnp.float32)
 
     def one(p):
         return _pixmap_device_core(*p, zero, shape=shape,
                                    sip_mode=sip_mode,
-                                   sip2_mode=sip2_mode)
+                                   sip2_mode=sip2_mode,
+                                   tab_modes=tab_modes)
 
     return jax.vmap(one)(params)
 
@@ -269,23 +367,56 @@ def compute_pixmap_device_stack(wcs_list, to_wcs, shape):
     """:func:`compute_pixmap_device` for a whole same-shape exposure
     stack in ONE device program. Returns (E, H, W) pairs or None when
     the WCSs mix SIP configurations."""
-    stacked, sip_mode, sip2_mode = _stacked_wcs_params(wcs_list, to_wcs)
+    stacked, sip_mode, sip2_cfg = _stacked_wcs_params(wcs_list, to_wcs)
     if stacked is None:
         return None
+    sip2_mode, tab_modes = sip2_cfg
     return _pixmap_stack_core(stacked, shape=tuple(shape),
-                              sip_mode=sip_mode, sip2_mode=sip2_mode)
+                              sip_mode=sip_mode, sip2_mode=sip2_mode,
+                              tab_modes=tab_modes)
+
+
+def _grid_params(w: TanWCS):
+    """(6 f32 arrays, (d2im_on, cpdis_on)) table pack for one WCS."""
+    f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)  # noqa: E731
+    z1 = f32(np.zeros((1, 1), np.float32))
+    zm = f32(np.zeros((3, 2), np.float32))
+    out, flags = [], []
+    for g in (w.d2im, w.cpdis):
+        if g is None:
+            out += [z1, z1, zm]
+            flags.append(False)
+        else:
+            meta = f32(np.array([g.crpix, g.crval, g.cdelt], np.float64))
+            gx = z1 if g.data_x is None else f32(g.data_x)
+            gy = z1 if g.data_y is None else f32(g.data_y)
+            out += [gx, gy, meta]
+            flags.append(True)
+    return out, tuple(flags)
 
 
 def _device_wcs_params(from_wcs: TanWCS, to_wcs: TanWCS):
-    """f32 parameter pack + static SIP modes for the device pixmap cores."""
+    """f32 parameter pack + static SIP/table modes for the device
+    pixmap cores. Returns (params, sip_mode, (sip2_mode, tab_modes))
+    — the third element is the static inverse/table configuration.
+
+    When ``to_wcs`` carries lookup tables, the inverse runs the Picard
+    loop over the total correction with the FORWARD SIP (sip2_mode
+    'newton') even if AP/BP exist — mirroring
+    ``TanWCS.tangent_to_pixel`` up to the AP/BP seeding (f32 device
+    grids are mpix-class; the seed difference is far below that).
+    """
     from .wcs.wcs import tangent_homography
 
     f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)  # noqa: E731
     z1 = np.zeros((1, 1), np.float32)
     sip_mode = from_wcs.a is not None
+    tabs1, flags1 = _grid_params(from_wcs)
+    tabs2, flags2 = _grid_params(to_wcs)
+    to_tables = any(flags2)
     if to_wcs.a is None:
         sip2_mode = "none"
-    elif to_wcs.ap is not None:
+    elif to_wcs.ap is not None and not to_tables:
         sip2_mode = "inverse"
     else:
         sip2_mode = "newton"
@@ -300,8 +431,9 @@ def _device_wcs_params(from_wcs: TanWCS, to_wcs: TanWCS):
         f32(to_wcs.a if sip2_mode == "newton" else z1),
         f32(to_wcs.b if sip2_mode == "newton" else z1),
         f32(to_wcs.crpix),
+        *tabs1, *tabs2,
     )
-    return params, sip_mode, sip2_mode
+    return params, sip_mode, (sip2_mode, flags1 + flags2)
 
 
 def compute_pixmap_device(
@@ -321,10 +453,12 @@ def compute_pixmap_device(
     :func:`compute_cutout_pixmaps_device` for the measurement-geometry
     accuracy discussion. Returns float32 jax arrays.
     """
-    params, sip_mode, sip2_mode = _device_wcs_params(from_wcs, to_wcs)
+    params, sip_mode, (sip2_mode, tab_modes) = _device_wcs_params(
+        from_wcs, to_wcs)
     return _pixmap_device_core(
         *params, jnp.asarray(np.asarray(blc, np.float32)),
-        shape=tuple(shape), sip_mode=sip_mode, sip2_mode=sip2_mode)
+        shape=tuple(shape), sip_mode=sip_mode, sip2_mode=sip2_mode,
+        tab_modes=tab_modes)
 
 
 def compute_cutout_pixmaps_device(
@@ -352,11 +486,12 @@ def compute_cutout_pixmaps_device(
     Pass ``AlignConfig(cutout_pixmaps='host')`` for the exact float64
     geometry.
     """
-    params, sip_mode, sip2_mode = _device_wcs_params(from_wcs, to_wcs)
+    params, sip_mode, (sip2_mode, tab_modes) = _device_wcs_params(
+        from_wcs, to_wcs)
     blc_j = jnp.asarray(np.asarray(blc, np.float32))
     return _cutout_pixmaps_device_core(
         *params, blc_j, shape=tuple(shape), sip_mode=sip_mode,
-        sip2_mode=sip2_mode)
+        sip2_mode=sip2_mode, tab_modes=tab_modes)
 
 
 def blot_image(

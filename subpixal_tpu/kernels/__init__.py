@@ -12,6 +12,13 @@ TPU-native replacements for the reference's native compute layer
 * :mod:`subpixal_tpu.kernels.drizzle` — area-overlap deposit
   (``cdriz.tdriz`` equivalent), formulated as per-block separable
   overlap matmuls accumulated tile-by-tile (no scatter at all).
+* :mod:`subpixal_tpu.kernels.measure` — the fused displacement
+  measurement (reference ``subpixal/cc.py`` chain): normalize ->
+  forward matmul-DFT -> cross-spectrum -> windowed coarse argmax ->
+  upsampled matrix-DFT window, VMEM-resident per cutout block.
+  OPT-IN numeric cross-check (``SUBPIXAL_TPU_FUSED_MEASURE=1``):
+  measured slower than the XLA einsum path — the module docstring
+  keeps the three-attempt fusion post-mortem and the design rule.
 
 The pure-XLA reference implementations live in
 :mod:`subpixal_tpu.ops.interp` and :mod:`subpixal_tpu.ops.drizzle`; both
@@ -23,7 +30,8 @@ from __future__ import annotations
 
 import jax
 
-__all__ = ["use_pallas", "sample_cutouts_pallas", "drizzle_deposit_pallas"]
+__all__ = ["use_pallas", "sample_cutouts_pallas", "drizzle_deposit_pallas",
+           "measure_displacement_rank3"]
 
 
 def use_pallas(requested: bool | str = "auto") -> bool:
@@ -43,3 +51,4 @@ def use_pallas(requested: bool | str = "auto") -> bool:
 
 from .blot import sample_cutouts_pallas  # noqa: E402
 from .drizzle import drizzle_deposit_pallas  # noqa: E402
+from .measure import measure_displacement_rank3  # noqa: E402

@@ -231,53 +231,28 @@ def _irfft2(G: jax.Array, s: tuple[int, int]) -> jax.Array:
     return jnp.fft.irfft2(G, s=s)
 
 
-def _use_fused_xspec(H: int, W: int) -> bool:
-    """Whether the fused Pallas normalize+DFT cross-spectrum kernel runs.
-
-    OPT-IN (``SUBPIXAL_TPU_FUSED_XSPEC=1``, read at trace time like
-    ``SUBPIXAL_TPU_FFT``): measured on v5e the per-cutout (64-wide)
-    matmuls starve the MXU — 661 µs/batch vs the XLA einsum path's
-    198 µs, whose batched matmuls XLA lane-packs automatically. The
-    kernel is kept as the starting point for a lane-packed redesign."""
-    import os
-
-    forced = os.environ.get("SUBPIXAL_TPU_FUSED_XSPEC", "").lower()
-    if forced not in ("1", "true", "on"):
-        return False
-    if not _use_matmul_dft(H, W):
-        return False
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except RuntimeError:  # pragma: no cover
-        return False
-
-
 def _use_fused_measure(H: int, W: int) -> bool:
     """Whether the fused Pallas measurement kernel runs
-    (:func:`subpixal_tpu.kernels.correlate.measure_displacement_pallas`).
+    (:func:`subpixal_tpu.kernels.measure.measure_displacement_rank3`).
 
     OPT-IN (``SUBPIXAL_TPU_FUSED_MEASURE=1``, read at TRACE time like
-    ``SUBPIXAL_TPU_FFT``): measured on v5e (2026-08-18) the fused
-    kernel runs the 512x64^2 batch in 450-660 us where THIS XLA einsum
-    path takes ~131 us honestly timed (an earlier "42 us" reading was
-    the short-loop min-of-5 timer artifact — see bench.py
-    _dev_time_per_iter). The kernel's matmuls
-    are full-width, but its per-cutout glue — 4·CB lane-restack copies
-    and CB argmax extractions per block, ~2000 Mosaic ops per batch at
-    ~0.15-0.25 us each — costs several times more than the
-    ~25 us of HBM spectrum traffic the fusion saves. XLA's batched
-    dot_general lowering lane-packs the per-cutout contractions
-    automatically and fuses the elementwise stages, so the hand fusion
-    has nothing left to win. Kept for numeric cross-checking (exact
-    coarse-shift parity, ~3e-6 surface agreement in tests) and as the
-    starting point for a future restack-free layout.
+    ``SUBPIXAL_TPU_FFT``): the THIRD fusion attempt also lost to this
+    XLA einsum path on v5e — ~310-375 us per 500x64^2 batch vs ~93 us
+    (hardened dependent-loop median, 2026-08-18), despite eliminating
+    every per-cutout Mosaic op. Stage ablation shows the cost is spread
+    across Mosaic's batched ``dot_general`` lowering and rank-3
+    small-lane elementwise (~0.2 us/op fixed + poor VPU tiling), not
+    any one stage; the XLA path's lane-packed flat matmuls + fused
+    elementwise run at ~80 % of HBM streaming bandwidth, which bounds
+    any fusion's win to well under the Mosaic overhead floor measured
+    here. Full post-mortem: :mod:`subpixal_tpu.kernels.measure`.
+    Shift parity vs the XLA path is <1e-6 px, so the kernel remains a
+    numeric cross-check and a base for future Mosaic-toolchain wins.
     """
     import os
 
     forced = os.environ.get("SUBPIXAL_TPU_FUSED_MEASURE", "").lower()
     if forced not in ("1", "true", "on"):
-        return False
-    if not _use_matmul_dft(H, W):
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -337,20 +312,10 @@ def _cross_spectrum(ref, img, cc_type, ref_mask, img_mask):
 
     Mask-free NCC/ZNCC takes the spectral-normalization path
     (:func:`_spectral_ncc_product`) — no spatial normalize pass at all.
-    The opt-in fused Pallas kernel (:func:`subpixal_tpu.kernels.
-    correlate.cross_spectrum_pallas`) keeps masked statistics +
-    normalize + forward DFT + product VMEM-resident for the masked case.
     """
     if (cc_type in ("NCC", "ZNCC") and ref_mask is None
-            and img_mask is None
-            and not _use_fused_xspec(*ref.shape[-2:])):
+            and img_mask is None):
         return _spectral_ncc_product(ref, img)
-    if _use_fused_xspec(*ref.shape[-2:]):
-        from ..kernels.correlate import cross_spectrum_pallas
-
-        Gr, Gi = cross_spectrum_pallas(ref, img, ref_mask, img_mask,
-                                       cc_type=cc_type)
-        return jax.lax.complex(Gr, Gi)
     r = _normalize(ref, ref_mask, cc_type)
     i = _normalize(img, img_mask, cc_type)
     if _use_matmul_dft(*r.shape[-2:]):
@@ -603,9 +568,9 @@ def find_displacement(
         # cross-spectrum -> windowed coarse -> upsampled window, all
         # VMEM-resident) when the coarse search is window-confined
         if windowed and _use_fused_measure(H, W):
-            from ..kernels.correlate import measure_displacement_pallas
+            from ..kernels.measure import measure_displacement_rank3
 
-            C, s0y, s0x = measure_displacement_pallas(
+            C, s0y, s0x = measure_displacement_rank3(
                 ref_b, img_b, ref_mask, img_mask, cc_type=cc_type,
                 usfac=int(usfac), nwin=nwin, bounds=bounds)
             off_y = s0y.astype(jnp.float32) - (nwin // 2) / usfac

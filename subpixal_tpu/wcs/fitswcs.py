@@ -13,7 +13,8 @@ import numpy as np
 from ..io.fits import Header
 from .wcs import TanWCS
 
-__all__ = ["wcs_from_header", "wcs_to_header"]
+__all__ = ["wcs_from_header", "wcs_to_header", "wcs_from_hdul",
+           "distortion_from_hdus", "distortion_to_hdus"]
 
 
 def _sip_matrix(hdr: Header, prefix: str) -> np.ndarray | None:
@@ -116,3 +117,88 @@ def wcs_to_header(wcs: TanWCS, hdr: Header | None = None) -> Header:
     for prefix, m in (("A", wcs.a), ("B", wcs.b), ("AP", wcs.ap), ("BP", wcs.bp)):
         _write_sip(hdr, prefix, m)
     return hdr
+
+
+# --------------------------------------------------------------------- #
+# lookup-table distortion extensions (stwcs NPOLFILE/D2IMFILE layout)
+# --------------------------------------------------------------------- #
+
+def distortion_from_hdus(hdul, kind: str = "WCSDVARR",
+                         skip_record_check: bool = False):
+    """Read a :class:`~subpixal_tpu.wcs.wcs.DistGrid` from FITS image
+    extensions named ``kind`` (``WCSDVARR`` = NPOL / CPDIS lookup,
+    ``D2IMARR`` = detector-to-image), the layout stwcs writes into HST
+    science files (SURVEY §1 Host I/O: stwcs lookup-table corrections).
+
+    Convention (FITS WCS Paper IV, as emitted by stwcs): EXTVER 1 is
+    the axis-1 (x) correction grid, EXTVER 2 the axis-2 (y) grid; each
+    extension's own CRPIX/CRVAL/CDELT keywords anchor the grid in
+    (1-based) science-pixel coordinates — converted to the 0-based
+    :class:`DistGrid` anchor here. The record-valued ``DPj`` keywords
+    of the science header are NOT required (they only point at these
+    extensions). Returns None when no ``kind`` extension exists.
+    """
+    from .wcs import DistGrid
+
+    grids = {}
+    meta = None
+    for hdu in hdul:
+        if str(hdu.header.get("EXTNAME", "")).strip().upper() != kind:
+            continue
+        ver = int(hdu.header.get("EXTVER", 1))
+        if hdu.data is None:
+            continue
+        grids[ver] = np.asarray(hdu.data, np.float64)
+        m = (float(hdu.header.get("CRPIX1", 1.0)) - 1.0,
+             float(hdu.header.get("CRPIX2", 1.0)) - 1.0,
+             float(hdu.header.get("CRVAL1", 1.0)) - 1.0,
+             float(hdu.header.get("CRVAL2", 1.0)) - 1.0,
+             float(hdu.header.get("CDELT1", 1.0)),
+             float(hdu.header.get("CDELT2", 1.0)))
+        if meta is None:
+            meta = m
+        elif m != meta:
+            raise ValueError(
+                f"{kind} EXTVER grids disagree on CRPIX/CRVAL/CDELT — "
+                "per-axis grid geometries are not supported")
+    if not grids:
+        return None
+    return DistGrid(
+        data_x=grids.get(1), data_y=grids.get(2),
+        crpix=(meta[0], meta[1]), crval=(meta[2], meta[3]),
+        cdelt=(meta[4], meta[5]))
+
+
+def distortion_to_hdus(grid, kind: str = "WCSDVARR"):
+    """Write a :class:`DistGrid` as ``kind`` image extensions (EXTVER
+    1 = x grid, 2 = y grid) — the inverse of
+    :func:`distortion_from_hdus`."""
+    from ..io.fits import HDU
+
+    out = []
+    for ver, data in ((1, grid.data_x), (2, grid.data_y)):
+        if data is None:
+            continue
+        hdu = HDU(data=np.asarray(data, np.float32), name=kind)
+        hdu.header["EXTVER"] = ver
+        hdu.header["CRPIX1"] = grid.crpix[0] + 1.0
+        hdu.header["CRPIX2"] = grid.crpix[1] + 1.0
+        hdu.header["CRVAL1"] = grid.crval[0] + 1.0
+        hdu.header["CRVAL2"] = grid.crval[1] + 1.0
+        hdu.header["CDELT1"] = grid.cdelt[0]
+        hdu.header["CDELT2"] = grid.cdelt[1]
+        out.append(hdu)
+    return out
+
+
+def wcs_from_hdul(hdul, ext=0) -> TanWCS:
+    """:func:`wcs_from_header` of ``hdul[ext]`` plus any lookup-table
+    distortion extensions (``WCSDVARR`` -> ``cpdis``, ``D2IMARR`` ->
+    ``d2im``) present in the file — the full stwcs-style HST chain."""
+    w = wcs_from_header(hdul[ext].header if hasattr(hdul[ext], "header")
+                        else hdul[ext])
+    cpdis = distortion_from_hdus(hdul, "WCSDVARR")
+    d2im = distortion_from_hdus(hdul, "D2IMARR")
+    if cpdis is not None or d2im is not None:
+        w = w.replace(cpdis=cpdis, d2im=d2im)
+    return w

@@ -34,7 +34,7 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["TanWCS", "apply_tangent_affine", "fit_wcs_offset",
+__all__ = ["TanWCS", "DistGrid", "apply_tangent_affine", "fit_wcs_offset",
            "tangent_homography"]
 
 
@@ -103,6 +103,71 @@ def _get_xp(*arrs):
 
 
 @dataclasses.dataclass(frozen=True)
+class DistGrid:
+    """Per-axis lookup-table distortion (FITS WCS Paper IV subset).
+
+    The reference handles HST frames through stwcs, which layers
+    lookup-table corrections (NPOLFILE → ``WCSDVARR`` extensions,
+    D2IMFILE → ``D2IMARR``) on top of SIP (SURVEY §1 "Host I/O", §2 #2);
+    real ACS/WFC3 frames carry residual table distortion at the few-mpix
+    level. This implements the Paper IV ``-TAB``/CPDIS sampled-grid
+    convention: a coarse correction grid bilinearly interpolated at the
+    (0-based) pixel position, clamped at the grid edges.
+
+    ``data_x``/``data_y`` are (gh, gw) correction grids **in pixels**
+    for the x and y axes (either may be None = zero). A pixel ``p``
+    samples the grid at index ``(p - crval) / cdelt + crpix`` per axis
+    (``crpix`` 0-based grid index of the anchor, ``crval`` the pixel
+    coordinate it anchors, ``cdelt`` pixels per grid cell — the FITS
+    keywords of the WCSDVARR/D2IMARR extension HDUs, 1-based there,
+    converted on ingest).
+    """
+
+    data_x: np.ndarray | None = None
+    data_y: np.ndarray | None = None
+    crpix: tuple[float, float] = (0.0, 0.0)   # (gx0, gy0), 0-based
+    crval: tuple[float, float] = (0.0, 0.0)   # anchored pixel (x, y)
+    cdelt: tuple[float, float] = (1.0, 1.0)   # pixels per grid step
+
+    def __post_init__(self):
+        for f in ("data_x", "data_y"):
+            val = getattr(self, f)
+            if val is not None:
+                object.__setattr__(self, f, np.asarray(val, np.float64))
+        for f in ("crpix", "crval", "cdelt"):
+            object.__setattr__(
+                self, f, tuple(float(v) for v in getattr(self, f)))
+
+    def _sample(self, grid, x, y, xp):
+        gh, gw = grid.shape
+        gx = (x - self.crval[0]) / self.cdelt[0] + self.crpix[0]
+        gy = (y - self.crval[1]) / self.cdelt[1] + self.crpix[1]
+        gx = xp.clip(gx, 0.0, gw - 1.0)
+        gy = xp.clip(gy, 0.0, gh - 1.0)
+        ix = xp.clip(xp.floor(gx), 0, gw - 2).astype(int)
+        iy = xp.clip(xp.floor(gy), 0, gh - 2).astype(int)
+        fx = gx - ix
+        fy = gy - iy
+        g = xp.asarray(grid) if xp is not np else grid
+        v00 = g[iy, ix]
+        v01 = g[iy, ix + 1]
+        v10 = g[iy + 1, ix]
+        v11 = g[iy + 1, ix + 1]
+        return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+                + fy * ((1 - fx) * v10 + fx * v11))
+
+    def delta(self, x, y):
+        """(dx, dy) corrections at 0-based pixel positions (x, y)."""
+        xp = _get_xp(x, y)
+        zero = xp.zeros_like(xp.asarray(x, dtype=float))
+        dx = (self._sample(self.data_x, x, y, xp)
+              if self.data_x is not None else zero)
+        dy = (self._sample(self.data_y, x, y, xp)
+              if self.data_y is not None else zero)
+        return dx, dy
+
+
+@dataclasses.dataclass(frozen=True)
 class TanWCS:
     """Gnomonic (TAN) WCS with optional SIP distortion. Immutable.
 
@@ -116,6 +181,14 @@ class TanWCS:
     a, b : optional (n, n) float — SIP forward distortion for x and y:
         u' = u + A(u, v), v' = v + B(u, v) with (u, v) = pixel - crpix.
     ap, bp : optional (n, n) float — SIP inverse polynomials.
+    cpdis : optional :class:`DistGrid` — NPOL-style lookup-table
+        distortion (stwcs NPOLFILE → ``WCSDVARR``): sampled at the
+        (d2im-corrected) pixel position, added to the focal-plane
+        coordinates ALONGSIDE the SIP terms (astropy ``pix2foc``
+        semantics: ``foc = p + d2im + cpdis(p1) + sip(p1 - crpix)``).
+    d2im : optional :class:`DistGrid` — detector-to-image correction
+        (stwcs D2IMFILE → ``D2IMARR``), applied to the raw pixel
+        coordinates before everything else.
     """
 
     crpix: np.ndarray
@@ -125,6 +198,8 @@ class TanWCS:
     b: np.ndarray | None = None
     ap: np.ndarray | None = None
     bp: np.ndarray | None = None
+    cpdis: "DistGrid | None" = None
+    d2im: "DistGrid | None" = None
 
     def __post_init__(self):
         object.__setattr__(self, "crpix", np.asarray(self.crpix, np.float64))
@@ -148,15 +223,30 @@ class TanWCS:
     # ------------------------------------------------------------------ #
     # forward: pixel -> world
     # ------------------------------------------------------------------ #
-    def pixel_to_tangent(self, x, y):
-        """Pixel -> tangent-plane (xi, eta) in degrees (includes SIP)."""
-        xp = _get_xp(x, y)
+    def _focal_offsets(self, x, y, xp):
+        """(u, v) focal-plane offsets from crpix at raw pixels (x, y),
+        through d2im → (SIP + cpdis) — astropy ``pix2foc`` semantics."""
+        if self.d2im is not None:
+            ddx, ddy = self.d2im.delta(x, y)
+            x, y = x + ddx, y + ddy
         u = x - self.crpix[0]
         v = y - self.crpix[1]
+        du = dv = None
         if self.a is not None:
             du = _poly_eval(self.a, u, v, xp)
             dv = _poly_eval(self.b, u, v, xp)
+        if self.cpdis is not None:
+            cdx, cdy = self.cpdis.delta(x, y)
+            du = cdx if du is None else du + cdx
+            dv = cdy if dv is None else dv + cdy
+        if du is not None:
             u, v = u + du, v + dv
+        return u, v
+
+    def pixel_to_tangent(self, x, y):
+        """Pixel -> tangent (xi, eta) deg (incl. SIP + lookup tables)."""
+        xp = _get_xp(x, y)
+        u, v = self._focal_offsets(x, y, xp)
         xi = self.cd[0, 0] * u + self.cd[0, 1] * v
         eta = self.cd[1, 0] * u + self.cd[1, 1] * v
         return xi, eta
@@ -199,23 +289,34 @@ class TanWCS:
         return xi * _R2D, eta * _R2D
 
     def tangent_to_pixel(self, xi, eta, newton_iters: int = 3):
-        """Tangent-plane (deg) -> pixel, inverting CD and SIP."""
+        """Tangent (deg) -> pixel, inverting CD, SIP and lookup tables."""
         xp = _get_xp(xi, eta)
         inv = np.linalg.inv(self.cd)
-        up = inv[0, 0] * xi + inv[0, 1] * eta  # distorted (u', v')
+        up = inv[0, 0] * xi + inv[0, 1] * eta  # focal-plane (u', v')
         vp = inv[1, 0] * xi + inv[1, 1] * eta
-        if self.a is None:
+        tables = self.cpdis is not None or self.d2im is not None
+        if self.a is None and not tables:
             u, v = up, vp
-        elif self.ap is not None:
+        elif self.ap is not None and not tables:
             # SIP convention: u = u' + AP(u', v'), v = v' + BP(u', v')
             u = up + _poly_eval(self.ap, up, vp, xp)
             v = vp + _poly_eval(self.bp, up, vp, xp)
         else:
-            # Fixed-trip Newton/Picard refinement of u + A(u,v) = u'.
-            u, v = up, vp
+            # Fixed-trip Picard refinement of the TOTAL forward
+            # correction (SIP + cpdis + d2im; corrections are smooth and
+            # sub-pixel-to-few-pixel, so Picard contracts), seeded by
+            # the AP/BP inverse when available.
+            if self.ap is not None:
+                u = up + _poly_eval(self.ap, up, vp, xp)
+                v = vp + _poly_eval(self.bp, up, vp, xp)
+            else:
+                u, v = up, vp
             for _ in range(int(newton_iters)):
-                u = up - _poly_eval(self.a, u, v, xp)
-                v = vp - _poly_eval(self.b, u, v, xp)
+                x = u + self.crpix[0]
+                y = v + self.crpix[1]
+                fu, fv = self._focal_offsets(x, y, xp)
+                u = u - (fu - up)
+                v = v - (fv - vp)
         return u + self.crpix[0], v + self.crpix[1]
 
     def world_to_pixel(self, ra, dec, newton_iters: int = 3):
@@ -239,8 +340,18 @@ class TanWCS:
     def with_shifted_crpix(self, dx: float, dy: float) -> "TanWCS":
         """WCS of a subarray whose (0,0) is at parent pixel (dx, dy) —
         the reference's deep-copied-cutout-WCS-with-CRPIX-offset
-        (SURVEY §3.5)."""
-        return self.replace(crpix=self.crpix - np.array([dx, dy]))
+        (SURVEY §3.5). Lookup-table distortions stay anchored to the
+        DETECTOR pixels (their pixel-space anchors shift with the
+        frame, as stwcs does for subarrays)."""
+        def shift_grid(g):
+            if g is None:
+                return None
+            return dataclasses.replace(
+                g, crval=(g.crval[0] - dx, g.crval[1] - dy))
+
+        return self.replace(crpix=self.crpix - np.array([dx, dy]),
+                            cpdis=shift_grid(self.cpdis),
+                            d2im=shift_grid(self.d2im))
 
 
 def apply_tangent_affine(

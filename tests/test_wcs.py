@@ -217,3 +217,144 @@ def test_compute_pixmap_device_matches_host():
         ex = float(np.abs(np.asarray(dx, np.float64) - hx).max())
         ey = float(np.abs(np.asarray(dy, np.float64) - hy).max())
         assert ex < 5e-3 and ey < 5e-3, (ex, ey)
+
+
+# --------------------------------------------------------------------- #
+# lookup-table distortion (NPOL/D2IM-style; VERDICT r3 missing #1)
+# --------------------------------------------------------------------- #
+
+def _smooth_grid(gh, gw, amp, seed):
+    rng = np.random.default_rng(seed)
+    gy, gx = np.mgrid[0:gh, 0:gw].astype(float)
+    gy /= gh - 1
+    gx /= gw - 1
+    return amp * (np.sin(2.1 * np.pi * gx + rng.uniform(0, 1))
+                  * np.cos(1.7 * np.pi * gy + rng.uniform(0, 1)))
+
+
+def _table_wcs(amp=0.08, d2im_amp=0.0, seed=5):
+    from subpixal_tpu.wcs.wcs import DistGrid
+
+    cd = (0.05 / 3600.0) * np.array([[-0.9998, 0.02], [0.021, 1.0001]])
+    a = np.zeros((4, 4)); a[0, 2] = 1e-7; a[2, 0] = -2e-7
+    b = np.zeros((4, 4)); b[0, 2] = -1e-7
+    # 16x16 grid spanning a 1024^2 frame (64 px per cell — NPOL scale)
+    cpdis = DistGrid(
+        data_x=_smooth_grid(16, 16, amp, seed),
+        data_y=_smooth_grid(16, 16, amp, seed + 1),
+        crpix=(0.0, 0.0), crval=(0.0, 0.0), cdelt=(1024 / 15, 1024 / 15))
+    d2im = None
+    if d2im_amp:
+        d2im = DistGrid(
+            data_x=_smooth_grid(8, 8, d2im_amp, seed + 2),
+            crpix=(0.0, 0.0), crval=(0.0, 0.0),
+            cdelt=(1024 / 7, 1024 / 7))
+    return TanWCS(crpix=np.array([512.0, 512.0]),
+                  crval=np.array([150.0, 2.0]), cd=cd, a=a, b=b,
+                  cpdis=cpdis, d2im=d2im)
+
+
+def test_table_distortion_roundtrip_sub_mpix():
+    """pixel -> world -> pixel through SIP + cpdis + d2im closes to
+    <0.1 mpix (VERDICT r3 'lookup-table distortion' done-criterion)."""
+    w = _table_wcs(amp=0.12, d2im_amp=0.03)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(5, 1018, 256)
+    y = rng.uniform(5, 1018, 256)
+    ra, dec = w.pixel_to_world(x, y)
+    x2, y2 = w.world_to_pixel(ra, dec)
+    err = np.hypot(x2 - x, y2 - y).max()
+    assert err < 1e-4, f"roundtrip {err * 1e3:.4f} mpix >= 0.1 mpix"
+    # the tables actually moved something (test isn't vacuous)
+    w0 = w.replace(cpdis=None, d2im=None)
+    ra0, dec0 = w0.pixel_to_world(x, y)
+    assert np.hypot((ra0 - ra) * 3600, (dec0 - dec) * 3600).max() > 1e-4
+
+
+def test_table_distortion_offset_recovery():
+    """fit_wcs_offset through two table-distorted WCSs recovers a
+    planted CRPIX shift to sub-mpix."""
+    from subpixal_tpu.wcs.wcs import fit_wcs_offset
+
+    w_a = _table_wcs(amp=0.1)
+    w_b = w_a.with_shifted_crpix(0.37, -0.21)
+    x = np.linspace(40, 980, 12)
+    y = np.linspace(40, 980, 12)
+    xb, yb = fit_wcs_offset(w_a, w_b, x, y)
+    np.testing.assert_allclose(xb, x - 0.37, atol=1e-4)
+    np.testing.assert_allclose(yb, y + 0.21, atol=1e-4)
+
+
+def test_table_distortion_device_pixmap_matches_host():
+    """Device pixmaps with cpdis/d2im on either side agree with the
+    f64 host path to mpix-class f32 accuracy."""
+    import jax
+
+    from subpixal_tpu.blot import compute_pixmap, compute_pixmap_device
+
+    w_tab = _table_wcs(amp=0.1, d2im_amp=0.04)
+    w_tan = TanWCS(crpix=np.array([520.0, 505.0]),
+                   crval=np.array([150.002, 2.001]),
+                   cd=(0.05 / 3600.0) * np.array([[-1.0, 0.0],
+                                                  [0.0, 1.0]]))
+    shape = (512, 512)
+    for src, dst in ((w_tab, w_tan), (w_tan, w_tab), (w_tab, w_tab)):
+        hx, hy = compute_pixmap(src, dst, shape)
+        dx, dy = compute_pixmap_device(src, dst, shape)
+        jax.block_until_ready((dx, dy))
+        ex = float(np.abs(np.asarray(dx, np.float64) - hx).max())
+        ey = float(np.abs(np.asarray(dy, np.float64) - hy).max())
+        assert ex < 5e-3 and ey < 5e-3, (ex, ey)
+
+
+def test_table_distortion_cutout_pixmaps_stack():
+    """The stacked per-cutout device pixmaps thread the table params."""
+    import jax
+
+    from subpixal_tpu.blot import (compute_cutout_pixmaps_device_stack,
+                                   compute_pixmap)
+
+    w1 = _table_wcs(amp=0.1, seed=7)
+    w2 = _table_wcs(amp=0.1, seed=7).with_shifted_crpix(0.4, -0.3)
+    ref = TanWCS(crpix=np.array([520.0, 505.0]),
+                 crval=np.array([150.002, 2.001]),
+                 cd=(0.05 / 3600.0) * np.array([[-1.0, 0.0],
+                                                [0.0, 1.0]]))
+    blc = np.array([[[100.0, 200.0], [400.0, 300.0]],
+                    [[120.0, 180.0], [380.0, 320.0]]], np.float32)
+    out = compute_cutout_pixmaps_device_stack([w1, w2], ref, blc, (16, 16))
+    assert out is not None
+    px, py = out
+    jax.block_until_ready((px, py))
+    for e, w in enumerate((w1, w2)):
+        for n in range(2):
+            hx, hy = compute_pixmap(
+                w, ref, (16, 16), blc=(int(blc[e, n, 1]), int(blc[e, n, 0])))
+            assert np.abs(np.asarray(px[e, n], np.float64) - hx).max() < 5e-3
+            assert np.abs(np.asarray(py[e, n], np.float64) - hy).max() < 5e-3
+
+
+def test_table_distortion_fits_roundtrip(tmp_path):
+    """DistGrid -> WCSDVARR/D2IMARR extensions -> file -> wcs_from_hdul
+    reproduces the distorted transform exactly (f32 grid quantization
+    only)."""
+    from subpixal_tpu.io.fits import HDU, read_fits, write_fits
+    from subpixal_tpu.wcs.fitswcs import (distortion_to_hdus,
+                                          wcs_from_hdul, wcs_to_header)
+
+    w = _table_wcs(amp=0.1, d2im_amp=0.03)
+    sci = HDU(data=np.zeros((8, 8), np.float32))
+    sci.header = wcs_to_header(w, sci.header)
+    hdus = [sci] + distortion_to_hdus(w.cpdis, "WCSDVARR") \
+        + distortion_to_hdus(w.d2im, "D2IMARR")
+    path = tmp_path / "tab.fits"
+    write_fits(path, hdus)
+    w2 = wcs_from_hdul(read_fits(path))
+    assert w2.cpdis is not None and w2.d2im is not None
+    x = np.linspace(10, 1000, 9)
+    y = np.linspace(10, 1000, 9)
+    ra1, dec1 = w.pixel_to_world(x, y)
+    ra2, dec2 = w2.pixel_to_world(x, y)
+    # grids stored f32: ~1e-7 px quantization, far under a mpix
+    assert np.hypot((ra1 - ra2) * 3600 / 0.05,
+                    (dec1 - dec2) * 3600 / 0.05).max() < 1e-4
