@@ -988,6 +988,128 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
 
 
 _LOOP_CACHE: dict = {}
+_AOT_COMPILED: dict = {}
+
+
+def _aot_key(cfg: "AlignConfig", fitgeom: str, E: int, arg_tree) -> str:
+    """Content key for the AOT-exported device loop: every traced-in
+    static (the normalized cfg, geometry, argument signature) plus the
+    software/hardware provenance the serialized module depends on."""
+    import hashlib
+
+    import jax
+
+    key_cfg = dataclasses.replace(
+        cfg, eps_shift=0.0, history="all", min_sources=0,
+        cutout_pixmaps="", device_catalog="", catalog_nsigma=0.0,
+        catalog_npixels=0, catalog_max_sources=0, catalog_window=0)
+    sig = jax.tree.map(
+        lambda a: (tuple(a.shape), str(jnp.asarray(a).dtype))
+        if hasattr(a, "shape") else repr(a), arg_tree)
+    dev = jax.devices()[0]
+    raw = repr((jax.__version__, jax.default_backend(),
+                getattr(dev, "device_kind", "?"), key_cfg, fitgeom, E,
+                sig))
+    return hashlib.sha256(raw.encode()).hexdigest()[:32]
+
+
+def _aot_path(key: str):
+    import os
+
+    d = os.environ.get("SUBPIXAL_TPU_AOT_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "subpixal_tpu_aot")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, key + ".jaxexp")
+
+
+def _aot_enabled() -> bool:
+    import os
+
+    v = os.environ.get("SUBPIXAL_TPU_AOT_LOOP", "").lower()
+    if v in ("0", "false", "off"):
+        return False
+    if v in ("1", "true", "on"):
+        return True
+    # default: accelerator backends only — the export/save pays an
+    # extra lower per geometry, which a single-process CPU test run
+    # would never earn back
+    try:
+        return jax.default_backend() in ("tpu", "axon", "gpu")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _aot_loop_load(cfg, fitgeom, E, Ms, ts, eps_j, args,
+                   setup_breakdown):
+    """Deserialize + compile a previously exported device loop.
+
+    Returns a compiled callable with the loop's signature, or None on
+    any miss/failure (the caller then traces normally). The backend
+    compile of the deserialized module is served by the persistent
+    compilation cache; what this skips is the ~5-6 s Python
+    trace+lower of the align step/loop that every fresh process
+    otherwise pays (VERDICT r3 task 2, measured 2026-08-18).
+    """
+    if not _aot_enabled():
+        return None
+    import os
+
+    from jax import export as jex
+
+    key = _aot_key(cfg, fitgeom, E, (Ms, ts, eps_j) + tuple(args))
+    hit = _AOT_COMPILED.get(key)
+    if hit is not None:
+        _AOT_COMPILED[key] = _AOT_COMPILED.pop(key)  # LRU refresh
+        return hit
+    path = _aot_path(key)
+    if not os.path.exists(path):
+        return None
+    try:
+        t0 = time.time()
+        with open(path, "rb") as f:
+            mod = jex.deserialize(f.read())
+        compiled = jax.jit(mod.call).lower(Ms, ts, eps_j,
+                                           *args).compile()
+        setup_breakdown["loop_aot_load"] = round(time.time() - t0, 3)
+        if len(_AOT_COMPILED) > 16:
+            _AOT_COMPILED.pop(next(iter(_AOT_COMPILED)))
+        _AOT_COMPILED[key] = compiled
+        return compiled
+    except Exception as e:  # noqa: BLE001 - any failure -> retrace
+        setup_breakdown["loop_aot_error"] = f"{type(e).__name__}"
+        try:
+            os.unlink(path)  # poisoned blob (version skew etc.)
+        except OSError:
+            pass
+        return None
+
+
+def _aot_loop_save(cfg, fitgeom, E, loop, Ms, ts, eps_j, args,
+                   setup_breakdown):
+    """Export + persist the freshly built device loop for future
+    processes. Pays one extra lower of the already-traced program."""
+    if not _aot_enabled():
+        return
+    import os
+
+    from jax import export as jex
+
+    try:
+        t0 = time.time()
+        shapes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                           jnp.asarray(a).dtype),
+            (Ms, ts, eps_j) + tuple(args))
+        mod = jex.export(loop)(*shapes)
+        path = _aot_path(_aot_key(cfg, fitgeom, E,
+                                  (Ms, ts, eps_j) + tuple(args)))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(mod.serialize())
+        os.replace(tmp, path)
+        setup_breakdown["loop_aot_save"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001 - cache write is best-effort
+        setup_breakdown["loop_aot_error"] = f"save:{type(e).__name__}"
 
 
 def _build_device_loop(step, max_iterations: int, E: int, cache_key=None):
@@ -1841,14 +1963,31 @@ def align_images(
         # one device program runs the whole fixed point; a single host
         # sync per entry (re-entered only by a sparse self-heal)
         while True:
-            loop = _build_device_loop(
-                step, cfg.max_iterations, E,
-                cache_key=("loop", cfg.max_iterations, E, id(step)))
-            # compile ahead of time so the one-time compile is reported
-            # in setup_breakdown, not averaged into any iter_s
             eps_j = jnp.float32(cfg.eps_shift)
             t_c = time.time()
-            compiled = loop.lower(Ms, ts, eps_j, *args).compile()
+            compiled = None
+            loop_key = ("loop", cfg.max_iterations, E, id(step))
+            if (mesh is None and spatial_mesh is None
+                    and loop_key not in _LOOP_CACHE):
+                # AOT warm start (VERDICT r3 task 2): a fresh process
+                # pays ~5-6 s of Python trace+lower for THIS loop even
+                # when the persistent cache serves the backend compile.
+                # The serialized jax.export module skips the retrace
+                # (measured 6.6 s -> 0.8 s warm). When the loop is
+                # already traced IN-PROCESS, it wins over the AOT
+                # module (whose wrapper would compile separately).
+                compiled = _aot_loop_load(
+                    cfg, fitgeom, E, Ms, ts, eps_j, args,
+                    setup_breakdown)
+            if compiled is None:
+                loop = _build_device_loop(
+                    step, cfg.max_iterations, E, cache_key=loop_key)
+                # compile ahead of time so the one-time compile is
+                # reported in setup_breakdown, not averaged into iter_s
+                compiled = loop.lower(Ms, ts, eps_j, *args).compile()
+                if mesh is None and spatial_mesh is None:
+                    _aot_loop_save(cfg, fitgeom, E, loop, Ms, ts, eps_j,
+                                   args, setup_breakdown)
             setup_breakdown["loop_compile"] = (
                 setup_breakdown.get("loop_compile", 0.0)
                 + (time.time() - t_c))

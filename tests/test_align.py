@@ -533,3 +533,45 @@ def test_align_with_lookup_table_distortion():
     rel_true = err - err[0]
     resid = np.abs(rel - rel_true).max()
     assert resid < 0.02, f"table relative shift error {resid*1e3:.1f} mpix"
+
+
+def test_aot_loop_warm_start(tmp_path, monkeypatch):
+    """The exported device loop round-trips: a 'fresh process'
+    (simulated by clearing the in-process caches) loads the serialized
+    module instead of retracing, and produces identical results.
+    (VERDICT r3 task 2: warm-start latency.)"""
+    from subpixal_tpu import align as A
+
+    monkeypatch.setenv("SUBPIXAL_TPU_AOT_LOOP", "1")
+    monkeypatch.setenv("SUBPIXAL_TPU_AOT_DIR", str(tmp_path))
+
+    def scene():
+        stars = star_positions(seed=4)
+        ref_frame = make_wcs((128, 128))
+        rng = np.random.default_rng(5)
+        err = np.array([(0.0, 0.0), (0.6, -0.4)])
+        exps = []
+        for e in range(2):
+            dith = rng.uniform(-4, 4, 2)
+            true_wcs = make_wcs((128 + dith[0], 128 + dith[1]))
+            data = render(true_wcs, stars, ref_frame, (256, 256),
+                          seed=50 + e)
+            wrong = make_wcs((128 + dith[0] + err[e][0],
+                              128 + dith[1] + err[e][1]))
+            exps.append(Exposure(data, wrong, name=f"s{e}"))
+        return exps
+
+    kw = dict(fitgeom="shift", max_iterations=3, usfac=4,
+              fit_type="gaussian", min_sources=5, device_loop=True)
+    res1 = align_images(exposures=scene(), **kw)
+    assert "loop_aot_save" in res1.setup_breakdown, res1.setup_breakdown
+    assert list(tmp_path.glob("*.jaxexp")), "no exported loop on disk"
+
+    # simulate a fresh process: drop every in-process cache
+    A._LOOP_CACHE.clear()
+    A._STEP_CACHE.clear()
+    A._AOT_COMPILED.clear()
+    res2 = align_images(exposures=scene(), **kw)
+    assert "loop_aot_load" in res2.setup_breakdown, res2.setup_breakdown
+    np.testing.assert_allclose(np.asarray(res2.shifts),
+                               np.asarray(res1.shifts), atol=1e-6)

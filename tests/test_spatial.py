@@ -29,9 +29,14 @@ from subpixal_tpu.parallel import (
 from jax.sharding import PartitionSpec as P
 
 
+import os
+
+_MESH_N = int(os.environ.get("SUBPIXAL_TPU_TEST_MESH", "8"))
+
+
 @pytest.fixture(scope="module")
 def mesh():
-    return make_mesh(8, axis_name="rows")
+    return make_mesh(_MESH_N, axis_name="rows")
 
 
 def _pixmap(h, w, sx=1.03, sy=1.11, tx=1.7, ty=2.3):
