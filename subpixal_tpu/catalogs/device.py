@@ -40,13 +40,22 @@ tables. Matches the host finder's component semantics bit-for-bit but
 costs seconds at mosaic scale; use it when exact SExtractor-like
 component areas of arbitrarily large sources matter.
 
-Documented deviation vs the host finder: ``'peaks'`` measures each
+``'peaks'`` also runs the SExtractor-style multi-threshold deblender
+IN-WINDOW (round 4): the host ladder (DEBLEND_NTHRESH exponential
+levels between threshold and component peak) is scanned per candidate
+window, and a merged peak becomes its own source at the lowest level
+where its flood region separates from every other in-component local
+maximum with > DEBLEND_MINCONT of the component flux on both sides —
+measured on that separated region.
+
+Documented deviations vs the host finder: ``'peaks'`` measures each
 source inside a ``window`` x ``window`` box (area/flux/bbox of sources
-larger than the window are truncated), and neither device method runs
-the multi-threshold deblender (SExtractor DEBLEND_NTHRESH/
-DEBLEND_MINCONT, `catalogs._deblend`); crowded-field users should force
-the host finder (``AlignConfig.device_catalog='host'``) — see
-docs/parity.md.
+larger than the window are truncated), deblending is likewise
+window-scale, and deblended children lose their sub-level skirt pixels
+to the brightest peak (the host assigns them by nearest seed), so
+child flux/area read slightly low; ``'ccl'`` does not deblend.
+Crowded-field users who need exact host semantics force the host
+finder (``AlignConfig.device_catalog='host'``) — see docs/parity.md.
 """
 
 from __future__ import annotations
@@ -256,9 +265,11 @@ _LATER = ((0, 1), (1, -1), (1, 0), (1, 1))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_sources", "npixels", "window"))
+    jax.jit, static_argnames=("max_sources", "npixels", "window",
+                              "deblend_nthresh", "deblend_cont"))
 def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
-                             window):
+                             window, deblend_nthresh=32,
+                             deblend_cont=0.005):
     """Device detection program, peaks method (module docstring).
 
     Returns ``(seg_rank int32 (H, W), packed f32 (11, max_sources),
@@ -343,23 +354,9 @@ def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
     grow, _ = jax.lax.while_loop(lambda s: s[1], ff_body,
                                  (grow0, jnp.bool_(True)))
 
-    data = jnp.where(grow, wimg - threshold, 0.0).astype(jnp.float32)
-    absy = rows[:, :, None].astype(jnp.float32) + jnp.zeros((1, 1, win))
-    absx = cols[:, None, :].astype(jnp.float32) + jnp.zeros((1, win, 1))
-    area = jnp.sum(grow, axis=(1, 2)).astype(jnp.float32)
-    flux = jnp.sum(data, axis=(1, 2))
-    safe = jnp.where(flux > 0, flux, 1.0)
-    cx = jnp.sum(data * absx, axis=(1, 2)) / safe
-    cy = jnp.sum(data * absy, axis=(1, 2)) / safe
-    big = jnp.float32(H * W)
-    xmin = jnp.min(jnp.where(grow, absx, big), axis=(1, 2))
-    ymin = jnp.min(jnp.where(grow, absy, big), axis=(1, 2))
-    xmax = jnp.max(jnp.where(grow, absx, -1.0), axis=(1, 2))
-    ymax = jnp.max(jnp.where(grow, absy, -1.0), axis=(1, 2))
-    peakv = vals - threshold
-
-    # dedup: a peak whose component (within the window) contains a
-    # strictly brighter pixel belongs to that brighter bump's source;
+    # dedup prep: a peak whose component (within the window) contains
+    # a strictly brighter pixel belongs to that brighter bump's source
+    # (unless multi-threshold deblending below separates it);
     # equal-valued twin peaks keep only the raster-first one. Local
     # maxima are RECOMPUTED in-window (border-pixel misclassification
     # only matters for exact-equal values >win/2 apart — negligible).
@@ -373,14 +370,125 @@ def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
     wflat = (rows[:, :, None] * W + cols[:, None, :])
     eq_twin = jnp.any(grow & wpk & (wx == own)
                       & (wflat < flat[:, None, None]), axis=(1, 2))
-    keep = valid & (area >= npixels) & ~brighter & ~eq_twin
 
-    # segmentation plane: scatter 1-based brightness ranks, brighter
-    # (smaller rank) wins overlaps — a windowed scatter-min, the only
-    # full-plane scatter in the program
+    # --- window-scale multi-threshold deblending --------------------- #
+    # Host `catalogs._deblend` semantics (SExtractor DEBLEND_NTHRESH /
+    # DEBLEND_MINCONT), vectorized over the candidate windows: scan the
+    # host's exponential threshold ladder between the detection
+    # threshold and the COMPONENT peak; a merged candidate becomes a
+    # separate source at the lowest level where its own flood region
+    # (a) contains no other in-component local maximum and (b) both it
+    # and the rest of the component carry > deblend_cont of the
+    # component's total flux. Survivors are measured on that separated
+    # region; a candidate that never separates keeps the reference
+    # behavior (merged into the brighter peak / keeps the full
+    # component when brightest).
+    base_flux = jnp.sum(jnp.where(grow, wimg - threshold, 0.0),
+                        axis=(1, 2))
+    found = jnp.zeros((B,), bool)
+    region = grow
+    if deblend_nthresh > 1 and deblend_cont < 1.0:
+        oth_core = jnp.zeros_like(grow)
+        others = grow & wpk & (wflat != flat[:, None, None])
+        comp_peak = jnp.max(jnp.where(grow, wx, -jnp.inf), axis=(1, 2))
+        tot_safe = jnp.where(base_flux > 0, base_flux, 1.0)
+        K = int(deblend_nthresh)
+        for k in range(1, K):
+            s_k = k / K
+            frac_k = float(np.expm1(4.0 * s_k) / np.expm1(4.0))
+            # geometric ladder for positive thresholds (SExtractor),
+            # additive-exponential otherwise (host `_deblend` parity)
+            ratio = jnp.where(threshold > 0,
+                              comp_peak / jnp.where(threshold > 0,
+                                                    threshold, 1.0),
+                              1.0)
+            lev = jnp.where(
+                threshold > 0,
+                threshold * jnp.power(jnp.maximum(ratio, 1e-20), s_k),
+                threshold + (comp_peak - threshold) * frac_k)
+            mask_k = grow & (wx > lev[:, None, None])
+            g = seed & mask_k
+
+            def db_body(state, mask_k=mask_k):
+                gg, _ = state
+                d = gg
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy or dx:
+                            d = d | _shift3(gg, dy, dx, False)
+                d = d & mask_k
+                return d, jnp.any(d != gg)
+
+            R, _ = jax.lax.while_loop(lambda st: st[1], db_body,
+                                      (g, jnp.bool_(True)))
+            sep = ~jnp.any(R & others, axis=(1, 2)) & jnp.any(
+                R, axis=(1, 2))
+            f_self = jnp.sum(jnp.where(R, wimg - threshold, 0.0),
+                             axis=(1, 2)) / tot_safe
+            f_other = jnp.sum(
+                jnp.where(mask_k & ~R, wimg - threshold, 0.0),
+                axis=(1, 2)) / tot_safe
+            ok = sep & (f_self > deblend_cont) & (f_other > deblend_cont)
+            new = ok & ~found
+            region = jnp.where(new[:, None, None], R, region)
+            oth_core = jnp.where(new[:, None, None], mask_k & ~R,
+                                 oth_core)
+            found = found | ok
+
+        # competitive expansion (host parity: every component pixel is
+        # assigned to a child — the host uses nearest-seed euclidean;
+        # lockstep geodesic dilation of the separated cores over the
+        # component approximates it, contested ring pixels going to
+        # neither side). Without this the child's area is just its
+        # above-saddle core: systematically tiny flux and spurious
+        # ``npixels`` rejections.
+        def ex_body(state):
+            a, b, _ = state
+            free = grow & ~a & ~b
+            da = jnp.zeros_like(a)
+            db = jnp.zeros_like(b)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy or dx:
+                        da = da | _shift3(a, dy, dx, False)
+                        db = db | _shift3(b, dy, dx, False)
+            da = da & free
+            db = db & free
+            contested = da & db
+            a2 = a | (da & ~contested)
+            b2 = b | (db & ~contested)
+            return a2, b2, jnp.any(a2 != a) | jnp.any(b2 != b)
+
+        exp_self, _, _ = jax.lax.while_loop(
+            lambda st: st[2], ex_body,
+            (region & found[:, None, None],
+             oth_core & found[:, None, None], jnp.bool_(True)))
+        region = jnp.where(found[:, None, None], exp_self, region)
+
+    data = jnp.where(region, wimg - threshold, 0.0).astype(jnp.float32)
+    absy = rows[:, :, None].astype(jnp.float32) + jnp.zeros((1, 1, win))
+    absx = cols[:, None, :].astype(jnp.float32) + jnp.zeros((1, win, 1))
+    area = jnp.sum(region, axis=(1, 2)).astype(jnp.float32)
+    flux = jnp.sum(data, axis=(1, 2))
+    safe = jnp.where(flux > 0, flux, 1.0)
+    cx = jnp.sum(data * absx, axis=(1, 2)) / safe
+    cy = jnp.sum(data * absy, axis=(1, 2)) / safe
+    big = jnp.float32(H * W)
+    xmin = jnp.min(jnp.where(region, absx, big), axis=(1, 2))
+    ymin = jnp.min(jnp.where(region, absy, big), axis=(1, 2))
+    xmax = jnp.max(jnp.where(region, absx, -1.0), axis=(1, 2))
+    ymax = jnp.max(jnp.where(region, absy, -1.0), axis=(1, 2))
+    peakv = vals - threshold
+
+    keep = valid & (area >= npixels) & (~brighter | found) & ~eq_twin
+
+    # segmentation plane: scatter 1-based brightness ranks over each
+    # source's final region (full component, or the separated deblend
+    # region), brighter (smaller rank) wins overlaps — a windowed
+    # scatter-min, the only full-plane scatter in the program
     rank = jnp.arange(1, B + 1, dtype=jnp.int32)
     BIGI = jnp.int32(B + 2)
-    upd = jnp.where(grow & keep[:, None, None], rank[:, None, None],
+    upd = jnp.where(region & keep[:, None, None], rank[:, None, None],
                     BIGI)
     seg = jnp.full((H, W), BIGI, jnp.int32)
     seg = seg.at[rows[:, :, None].astype(jnp.int32),
@@ -408,7 +516,8 @@ def _peaks_dims(shape, max_sources, window):
 
 
 def warm_compile(shape, *, npixels: int = 5, window: int = 32,
-                 max_sources: int = 8192) -> None:
+                 max_sources: int = 8192, deblend_nthresh: int = 32,
+                 deblend_cont: float = 0.005) -> None:
     """AOT-compile the peaks-finder programs for an (H, W) image.
 
     Call BEFORE the first Pallas dispatch in the process: on tunneled
@@ -425,7 +534,9 @@ def warm_compile(shape, *, npixels: int = 5, window: int = 32,
     thr = jax.ShapeDtypeStruct((), jnp.float32)
     sigma_clipped_stats_device.lower(img).compile()
     _find_sources_peaks_core.lower(
-        img, thr, max_sources=B, npixels=npixels, window=win).compile()
+        img, thr, max_sources=B, npixels=npixels, window=win,
+        deblend_nthresh=deblend_nthresh,
+        deblend_cont=deblend_cont).compile()
     _remap_ranks.lower(
         jax.ShapeDtypeStruct((H, W), jnp.int32),
         jax.ShapeDtypeStruct((B + 1,), jnp.int32)).compile()
@@ -435,9 +546,12 @@ def find_sources_device(image, threshold: float | None = None,
                         nsigma: float = 3.0, npixels: int = 5,
                         connectivity: int = 8,
                         max_sources: int = 8192,
-                        method: str = "auto", window: int = 32):
+                        method: str = "auto", window: int = 32,
+                        deblend_nthresh: int = 32,
+                        deblend_cont: float = 0.005):
     """Device analogue of :func:`subpixal_tpu.catalogs.find_sources`
-    (deblending: window-scale only — module docstring).
+    (multi-threshold deblending runs IN-WINDOW for the 'peaks' method —
+    module docstring; ``deblend_nthresh=1`` disables).
 
     Returns (Table, seg_id_plane) where the Table (host, KB-class) has
     the host finder's columns and ``seg_id_plane`` is a DEVICE int32
@@ -462,7 +576,9 @@ def find_sources_device(image, threshold: float | None = None,
         H, W = img.shape
         B, win = _peaks_dims((H, W), max_sources, window)
         seg_rank, packed, _ = _find_sources_peaks_core(
-            img, thr, max_sources=B, npixels=npixels, window=win)
+            img, thr, max_sources=B, npixels=npixels, window=win,
+            deblend_nthresh=int(deblend_nthresh),
+            deblend_cont=float(deblend_cont))
         from ..utils import fetch_to_host
 
         arr = fetch_to_host(packed)     # ONE device->host table fetch
