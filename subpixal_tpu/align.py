@@ -553,13 +553,13 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
 
         def drizzle_all(Ms_, ts_):
             if (spatial_mesh is not None
-                    and len(spatial_mesh.axis_names) == 2
-                    and len(set(dri_ratios)) == 1):
+                    and len(spatial_mesh.axis_names) == 2):
                 # 2-D (frames, rows) mesh: ONE stack deposit — frames
                 # shard for throughput, rows for memory; psum over the
-                # frames axis moves band-sized tiles only. (Per-frame
-                # pscale ratios need the per-frame path: the kernel's
-                # candidate window is statically shaped by the ratio.)
+                # frames axis moves band-sized tiles only. Mixed
+                # per-frame pscale ratios (two-camera mosaics) ride
+                # lax.switch branches inside the deposit (round 4 —
+                # previously fell back to the per-frame path).
                 from .parallel.spatial import (
                     drizzle_deposit_stack_spatial)
 
@@ -569,7 +569,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 sci, wht = drizzle_deposit_stack_spatial(
                     spatial_mesh, exp_data, exp_wht, px, py, out_shape,
                     pixfrac=cfg.pixfrac,
-                    pscale_ratio=float(dri_ratios[0]),
+                    pscale_ratio=tuple(float(r) for r in dri_ratios),
                     kernel=cfg.kernel)
                 return (drizzle_combine(sci, wht),
                         jnp.zeros(E, jnp.int32))

@@ -221,7 +221,7 @@ def drizzle_deposit_stack_spatial(
     y_out: jax.Array,
     out_shape: tuple[int, int],
     pixfrac: float = 1.0,
-    pscale_ratio: float = 1.0,
+    pscale_ratio=1.0,
     kernel: str = "square",
 ) -> tuple[jax.Array, jax.Array]:
     """Deposit an ``(E, H, W)`` exposure stack over a 2-D ``(frames,
@@ -236,9 +236,11 @@ def drizzle_deposit_stack_spatial(
     ``HW/N_rows`` accumulator rows.
 
     ``E`` is zero-padded to a multiple of the frames axis (zero-weight
-    frames deposit nothing). One shared ``pscale_ratio``; per-frame
-    ratios need the per-frame API (``drizzle_deposit_spatial``) because
-    the kernel's candidate window is shaped statically by the ratio.
+    frames deposit nothing). ``pscale_ratio`` may be a scalar or a
+    per-frame sequence (two-camera mosaics): the kernel's candidate
+    window is shaped statically by the ratio, so distinct ratios become
+    ``lax.switch`` branches selected by each device's LOCAL frame ids —
+    the same trick the 1-D frame mesh uses (align.py · deposit_local).
     Returns row-sharded ``(ceil(Ho/Nr)*Nr, Wo)`` accumulators
     (replicated over the frames axis).
     """
@@ -261,6 +263,16 @@ def drizzle_deposit_stack_spatial(
         xo = jnp.broadcast_to(xo, (E, H, W))
     if yo.ndim == 2:
         yo = jnp.broadcast_to(yo, (E, H, W))
+    ratios = (tuple(float(r) for r in pscale_ratio)
+              if hasattr(pscale_ratio, "__len__")
+              else (float(pscale_ratio),) * E)
+    if len(ratios) != E:
+        raise ValueError(
+            f"pscale_ratio: expected {E} per-frame values, got "
+            f"{len(ratios)}")
+    uniq = tuple(sorted(set(ratios)))
+    ridx = jnp.asarray([uniq.index(r) for r in ratios], jnp.int32)
+
     pad = (-E) % Nf
     if pad:
         zpad = ((0, pad), (0, 0), (0, 0))
@@ -268,17 +280,27 @@ def drizzle_deposit_stack_spatial(
         w = jnp.pad(w, zpad)        # zero weight -> deposits nothing
         xo = jnp.pad(xo, zpad)
         yo = jnp.pad(yo, zpad)
+        ridx = jnp.pad(ridx, (0, pad))
     El = (E + pad) // Nf
 
-    def shard_fn(d, wl, xl, yl):
+    def _branch(ratio):
+        def f(d_, w_, x_, y_):
+            return drizzle_deposit(
+                d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
+                pscale_ratio=ratio, kernel=kernel)
+        return f
+
+    def shard_fn(d, wl, xl, yl, ri):
         row0 = (jax.lax.axis_index(rax) * Hl).astype(jnp.float32)
         sci = jnp.zeros((Hl, Wo), jnp.float32)
         whtb = jnp.zeros((Hl, Wo), jnp.float32)
+        branches = [_branch(r) for r in uniq]
         for e in range(El):  # static unroll over local frame slots
-            s, ww = drizzle_deposit(
-                d[e], wl[e], xl[e], yl[e] - row0, (Hl, Wo),
-                pixfrac=pixfrac, pscale_ratio=pscale_ratio,
-                kernel=kernel)
+            if len(branches) == 1:
+                s, ww = branches[0](d[e], wl[e], xl[e], yl[e] - row0)
+            else:
+                s, ww = jax.lax.switch(
+                    ri[e], branches, d[e], wl[e], xl[e], yl[e] - row0)
             sci = sci + s
             whtb = whtb + ww
         keep = (row0 + jax.lax.iota(jnp.float32, Hl) < Ho)[:, None]
@@ -289,10 +311,10 @@ def drizzle_deposit_stack_spatial(
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(fax, None, None),) * 4,
+        in_specs=(P(fax, None, None),) * 4 + (P(fax),),
         out_specs=(P(rax, None), P(rax, None)),
     )
-    return fn(data, w, xo, yo)
+    return fn(data, w, xo, yo, ridx)
 
 
 # --------------------------------------------------------------------- #
