@@ -1770,6 +1770,7 @@ def align_images(
 
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
     ts = jnp.zeros((E, 2), jnp.float32)
+    _mesh_heal_ctx: dict = {}
     if mesh is not None:
         if cfg.wcsupdate == "otf":
             raise ValueError(
@@ -1823,6 +1824,7 @@ def align_images(
         from .parallel.distributed import stage_global
 
         ax = mesh.axis_names[0]
+        _mesh_heal_ctx.update(Ep=Ep, ax=ax)
         args = [stage_global(a, mesh, _PS(ax)) for a in args]
         Ms = stage_global(Ms, mesh, _PS())
         ts = stage_global(ts, mesh, _PS())
@@ -1890,11 +1892,13 @@ def align_images(
         pixels. Two heals are attempted (each raises the margin by the
         correction magnitude at heal time) before falling back to the
         old warn-and-continue. Returns True when the loop should
-        re-enter on healed inputs. Mesh runs keep warn-only (the staged
-        global deposit arrays would need re-sharding)."""
+        re-enter on healed inputs. Under ``mesh=`` the healed deposit
+        arrays are re-padded to the mesh size and re-staged with the
+        frame sharding (round 4 — previously warn-only); the mesh step
+        retraces for the new live-block shapes automatically."""
         if _heal["margin"] is None or max_corr <= _heal["margin"]:
             return False
-        if mesh is None and _heal["attempts"] < 2:
+        if _heal["attempts"] < 2:
             nonlocal args
             _heal["attempts"] += 1
             Ms_h = np.asarray(Ms, np.float64)
@@ -1919,7 +1923,25 @@ def align_images(
             dd, dw, dpx, dpy = _compact_blocks(
                 exp_data, exp_wht, dri_px_j, dri_py_j,
                 jnp.asarray(idx2), jnp.asarray(valid2))
-            args = [dd, dw, dpx, dpy] + list(args[4:])
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as _PS
+
+                from .parallel.distributed import stage_global
+
+                Ep_h, ax_h = _mesh_heal_ctx["Ep"], _mesh_heal_ctx["ax"]
+
+                def _pf(a):
+                    a = jnp.asarray(a)
+                    if Ep_h == a.shape[0]:
+                        return a
+                    padw = ([(0, Ep_h - a.shape[0])]
+                            + [(0, 0)] * (a.ndim - 1))
+                    return jnp.pad(a, padw)
+
+                args = ([stage_global(_pf(a), mesh, _PS(ax_h))
+                         for a in (dd, dw, dpx, dpy)] + list(args[4:]))
+            else:
+                args = [dd, dw, dpx, dpy] + list(args[4:])
             _heal["margin"] = float(max_corr + margin)
             setup_breakdown["sparse_live_frac"] = round(
                 idx2.shape[1] / sparse_ctx["nb_total"], 4)

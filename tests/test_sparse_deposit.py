@@ -272,3 +272,39 @@ def test_offgrid_blocks_are_dead():
     idx, valid = _live_block_indices(bb, cut_bb, data.shape[1:],
                                      blot_margin=48.0, corr_margin=2.0)
     assert valid.sum() == 0
+
+
+def test_mesh_sparse_self_heal_recovers():
+    """VERDICT r3 task 7: the sparse-deposit live-set self-heal now
+    runs under ``mesh=`` too — the healed compact deposit arrays are
+    re-padded and re-staged with the frame sharding, and the mesh run
+    lands on the dense answer instead of only warning."""
+    from subpixal_tpu.catalogs import ImageSourceCatalog
+    from subpixal_tpu.parallel import make_mesh
+    from subpixal_tpu.resample import Drizzle, Exposure
+
+    import subpixal_tpu.align as A
+
+    def scene():
+        exps = _warning_scene(E=4, seed=21)
+        e3 = exps[3]
+        bad = e3.wcs.replace(crpix=e3.wcs.crpix + np.array([30.0, 0.0]))
+        return exps[:3] + [Exposure(e3.data.copy(), bad, name=e3.name)]
+
+    clean = Drizzle([scene()[0]])
+    clean.execute()
+    cat = ImageSourceCatalog(np.asarray(clean.output_sci))
+
+    kw = dict(fitgeom="shift", max_iterations=8, usfac=2,
+              fit_type="gaussian", cutout_shape=(96, 96), min_sources=3,
+              combine_seg_mask=False, peak_search_box=None,
+              use_pallas=False)
+    res_mesh = A.align_images([cat], Drizzle(scene()), mesh=make_mesh(4),
+                              sparse_deposit=True, **kw)
+    res_dense = A.align_images([cat], Drizzle(scene()),
+                               sparse_deposit=False, **kw)
+    assert res_mesh.setup_breakdown.get("sparse_heals", 0) >= 1, \
+        res_mesh.setup_breakdown
+    assert res_mesh.converged and res_dense.converged
+    np.testing.assert_allclose(np.asarray(res_mesh.shifts),
+                               np.asarray(res_dense.shifts), atol=5e-3)
