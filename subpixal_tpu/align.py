@@ -1318,13 +1318,30 @@ def align_images(
                  or (cfg.device_catalog == "auto"
                      and jax.default_backend() in ("tpu", "axon", "gpu")))
             and getattr(resample, "_sci_acc", None) is not None
-            # spatial mode: detection runs on the host-gathered product
-            # (the device finder assumes a replicated plane)
             and spatial_mesh is None)
+        # spatial mode: the BAND-LOCAL finder (catalogs/spatial.py)
+        # detects on the row-sharded mosaic — no host gather at all
+        # (VERDICT r3 task 5). Same gating philosophy as the device
+        # finder: 'auto' engages on accelerator backends, 'device'
+        # forces it everywhere, 'host' keeps the host-gather path.
+        use_spatial_catalog = (
+            catalogs is None
+            and (cfg.device_catalog == "device"
+                 or (cfg.device_catalog == "auto"
+                     and jax.default_backend() in ("tpu", "axon", "gpu")))
+            and getattr(resample, "_sci_acc", None) is not None
+            and spatial_mesh is not None)
         if use_dev_catalog:
             from .ops.drizzle import drizzle_combine
 
             drz_sci = None  # never fetched; detection reads this:
+            drz_sci_dev = drizzle_combine(
+                resample._sci_acc, resample._wht_acc,
+                fill=getattr(resample, "fillval", 0.0))
+        elif use_spatial_catalog:
+            from .ops.drizzle import drizzle_combine
+
+            drz_sci = None  # never fetched; band-local detection reads:
             drz_sci_dev = drizzle_combine(
                 resample._sci_acc, resample._wht_acc,
                 fill=getattr(resample, "fillval", 0.0))
@@ -1347,6 +1364,15 @@ def align_images(
                         npixels=cfg.catalog_npixels,
                         max_sources=cfg.catalog_max_sources,
                         window=cfg.catalog_window)]
+            elif use_spatial_catalog:
+                from .catalogs.spatial import SpatialSourceCatalog
+
+                cat_list = [SpatialSourceCatalog(
+                    spatial_mesh, drz_sci_dev, int(out_shape[0]),
+                    nsigma=cfg.catalog_nsigma,
+                    npixels=cfg.catalog_npixels,
+                    max_sources=cfg.catalog_max_sources,
+                    window=cfg.catalog_window)]
             else:
                 cat_list = [ImageSourceCatalog(
                     drz_sci, nsigma=cfg.catalog_nsigma,
@@ -1373,7 +1399,7 @@ def align_images(
         prim = []
         src_cat_l: list[int] = []
         for ci, (cat, seg_i) in enumerate(zip(cats, seg_planes)):
-            if use_dev_catalog:
+            if use_dev_catalog or use_spatial_catalog:
                 # box/filter logic of create_primary_cutouts from the
                 # table's bbox columns alone — the mosaic pixels stay
                 # on device (only shapes/ids/positions are consumed
@@ -1506,7 +1532,12 @@ def align_images(
         # (C, H, W) per-catalog segmentation stack (zero plane = no seg).
         # Device-resident planes (device catalog) stay put — stacking on
         # host would fetch AND re-upload 64 MB per plane at 4k^2.
-        if any(isinstance(s, jax.Array) for s in seg_planes):
+        if use_spatial_catalog:
+            # the sharded (padded-rows, W) seg plane cannot stack with
+            # out_shape planes; spatial seg cutouts are sampled by
+            # sample_spatial at the staging site below
+            seg_f = np.zeros((1, 1, 1), np.float32)
+        elif any(isinstance(s, jax.Array) for s in seg_planes):
             seg_f = jnp.stack([
                 jnp.zeros(out_shape, jnp.float32) if s is None
                 else jnp.asarray(s).astype(jnp.float32)
@@ -1674,11 +1705,35 @@ def align_images(
             else:
                 dri_px_j, dri_py_j = st
             t = _mark("frame_pixmaps", t)
-        img_cut, img_msk, seg_cut = _stage_device_inputs(
-            exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
-            cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),
-            jnp.asarray(src_cat, jnp.int32), jnp.asarray(seg_ok),
-            cut_shape=cut_shape, use_seg=have_seg)
+        if use_spatial_catalog and have_seg:
+            from .parallel.spatial import sample_spatial
+
+            img_cut, img_msk, _ = _stage_device_inputs(
+                exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
+                cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),
+                jnp.asarray(src_cat, jnp.int32), jnp.asarray(seg_ok),
+                cut_shape=cut_shape, use_seg=False)
+            seg_plane = seg_planes[0].astype(jnp.float32)
+            E_, N_ = cut_px_j.shape[:2]
+            hh, ww = cut_shape
+            sseg, _ = sample_spatial(
+                spatial_mesh, seg_plane,
+                cut_px_j.reshape(E_ * N_, hh, ww),
+                cut_py_j.reshape(E_ * N_, hh, ww),
+                interp="nearest", logical_rows=int(out_shape[0]))
+            sseg = sseg.reshape(E_, N_, hh, ww)
+            ids_j = jnp.asarray(src_ids, jnp.float32)
+            seg_cut = (jnp.abs(sseg - ids_j[None, :, None, None]) < 0.5
+                       ).astype(jnp.float32)
+            seg_cut = jnp.maximum(
+                seg_cut, (~jnp.asarray(seg_ok))[None, :, None, None
+                                                ].astype(jnp.float32))
+        else:
+            img_cut, img_msk, seg_cut = _stage_device_inputs(
+                exp_data, jnp.asarray(centers), jnp.asarray(seg_f),
+                cut_px_j, cut_py_j, jnp.asarray(src_ids, jnp.float32),
+                jnp.asarray(src_cat, jnp.int32), jnp.asarray(seg_ok),
+                cut_shape=cut_shape, use_seg=have_seg)
         t = _mark("device_stage", t)
 
         # per-exposure input/output pixel-scale ratios: the deposit

@@ -272,10 +272,11 @@ def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
                              deblend_cont=0.005):
     """Device detection program, peaks method (module docstring).
 
-    Returns ``(seg_rank int32 (H, W), packed f32 (11, max_sources),
+    Returns ``(seg_rank int32 (H, W), packed f32 (13, max_sources),
     n_cand int32)``. ``seg_rank`` holds 1-based brightness ranks
     (1 = brightest, 0 = background); ``packed`` rows are keep, area,
-    flux, cx, cy, peak, xmin, xmax, ymin, ymax, n_cand — one array so
+    flux, cx, cy, peak, xmin, xmax, ymin, ymax, n_cand, peak_y,
+    peak_x — one array so
     the host fetches the whole table in a single transfer (per-column
     fetches each pay a relay round trip on tunneled runtimes).
     """
@@ -499,6 +500,7 @@ def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
         keep.astype(jnp.float32), area, flux, cx, cy, peakv,
         xmin, xmax, ymin, ymax,
         jnp.full((B,), n_cand, jnp.float32),
+        py.astype(jnp.float32), px.astype(jnp.float32),
     ])
     return seg, packed, n_cand
 
