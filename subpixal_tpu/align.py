@@ -493,7 +493,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 dri_ratios: tuple, pallas: bool = False,
                 blot_tile: tuple[int, int] | None = None,
                 driz_tile: tuple[int, int] | None = None,
-                spatial_mesh=None):
+                spatial_mesh=None, big_shape=None):
     """Create the jitted per-iteration device step.
 
     Closure over static config (including the input/output pixel-scale
@@ -514,10 +514,17 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
 
     def step(Ms, ts, exp_data, exp_wht, dri_px, dri_py,
              cut_px, cut_py, img_cut, img_msk, seg_cut, jac, xy0,
-             src_w, src_valid):
+             src_w, src_valid, *big_args):
         E = exp_data.shape[0]
         N = cut_px.shape[1]
         h, w = cut_shape
+        if big_shape is not None:
+            # oversized-footprint bucket (VERDICT r3 task 4): sources
+            # whose segmentation footprint exceeds the base cutout are
+            # RE-measured whole at a second static shape; their rows
+            # override the base measurements before the fit
+            (big_cpx, big_cpy, big_img, big_msk, big_seg,
+             big_idx, big_valid) = big_args
 
         # ---- 1. re-drizzle all exposures with current corrections ----
         # Pallas kernels also report tile-ESCAPE counts (pixels their
@@ -603,32 +610,22 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             )(flat_x, flat_y)
             return vals, ok, jnp.zeros(flat_x.shape[0], jnp.int32)
 
-        def measure(drz, Ms_, ts_, sel=None):
-            """Displacements of exposures ``sel`` vs ``drz``.
-
-            ``sel=None`` measures all exposures without the (pointless)
-            identity gathers a full index selection would emit."""
-            if sel is None:
-                k = E
-                Mi, ti = Ms_, ts_
-                cpx, cpy = cut_px, cut_py
-                img, mk0, seg = img_cut, img_msk, seg_cut
-            else:
-                k = len(sel)
-                idx = jnp.asarray(sel)
-                Mi, ti = Ms_[idx], ts_[idx]
-                cpx, cpy = cut_px[idx], cut_py[idx]
-                img, mk0, seg = img_cut[idx], img_msk[idx], seg_cut[idx]
+        def measure_set(drz, Mi, ti, cpx, cpy, img, mk0, seg, hw):
+            """Displacements of one cutout set (k, n, hh, ww) vs
+            ``drz`` — shared by the base batch and the oversized
+            bucket (whose static shape differs)."""
+            k, n = cpx.shape[:2]
+            hh, ww = hw
             bpx, bpy = _affine_apply_grid(
                 Mi[:, None, None, None], ti[:, None, None, None],
                 cpx, cpy,
-            )  # (k,N,h,w)
-            flat_x = bpx.reshape(k * N, h, w)
-            flat_y = bpy.reshape(k * N, h, w)
+            )  # (k,n,hh,ww)
+            flat_x = bpx.reshape(k * n, hh, ww)
+            flat_y = bpy.reshape(k * n, hh, ww)
             blot_vals, blot_ok, blot_esc = blot_cutouts(drz, flat_x, flat_y)
-            blotted = blot_vals.reshape(k, N, h, w)
-            blot_valid = blot_ok.reshape(k, N, h, w)
-            esc_e = jnp.sum(blot_esc.reshape(k, N), axis=1)  # (k,)
+            blotted = blot_vals.reshape(k, n, hh, ww)
+            blot_valid = blot_ok.reshape(k, n, hh, ww)
+            esc_e = jnp.sum(blot_esc.reshape(k, n), axis=1)  # (k,)
 
             msk = mk0 & blot_valid
             if cfg.combine_seg_mask:
@@ -636,16 +633,33 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 blotted = blotted * seg
 
             d = find_displacement(
-                blotted.reshape(k * N, h, w), img.reshape(k * N, h, w),
+                blotted.reshape(k * n, hh, ww), img.reshape(k * n, hh, ww),
                 cc_type=cfg.cc_type, usfac=cfg.usfac,
                 peak_fit_box=cfg.peak_fit_box, fit_type=cfg.fit_type,
-                ref_mask=msk.reshape(k * N, h, w),
-                img_mask=msk.reshape(k * N, h, w),
+                ref_mask=msk.reshape(k * n, hh, ww),
+                img_mask=msk.reshape(k * n, hh, ww),
                 peak_search_box=cfg.peak_search_box,
             )
-            dxy = jnp.stack([d.dx, d.dy], axis=-1).reshape(k, N, 2)
-            return (dxy, d.fit_ok.reshape(k, N), d.peak.reshape(k, N),
+            dxy = jnp.stack([d.dx, d.dy], axis=-1).reshape(k, n, 2)
+            return (dxy, d.fit_ok.reshape(k, n), d.peak.reshape(k, n),
                     esc_e)
+
+        def measure(drz, Ms_, ts_, sel=None):
+            """Displacements of exposures ``sel`` vs ``drz``.
+
+            ``sel=None`` measures all exposures without the (pointless)
+            identity gathers a full index selection would emit."""
+            if sel is None:
+                Mi, ti = Ms_, ts_
+                cpx, cpy = cut_px, cut_py
+                img, mk0, seg = img_cut, img_msk, seg_cut
+            else:
+                idx = jnp.asarray(sel)
+                Mi, ti = Ms_[idx], ts_[idx]
+                cpx, cpy = cut_px[idx], cut_py[idx]
+                img, mk0, seg = img_cut[idx], img_msk[idx], seg_cut[idx]
+            return measure_set(drz, Mi, ti, cpx, cpy, img, mk0, seg,
+                               (h, w))
 
         if cfg.wcsupdate == "otf" and E > 1:
             # update-as-you-go (reference non-'batch' mode, SURVEY §3.1):
@@ -697,6 +711,31 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             drz, driz_esc = drizzle_all(Ms, ts)
             dxy, meas_ok, peak, blot_esc = measure(drz, Ms, ts)
             escaped = driz_esc + blot_esc
+            if big_shape is not None:
+                dxyB, okB, pkB, escB = measure_set(
+                    drz, Ms, ts, big_cpx, big_cpy, big_img, big_msk,
+                    big_seg, big_shape)
+                escaped = escaped + escB
+                # one-hot override (scatter .set with padded duplicate
+                # indices is order-undefined); NB is tiny
+                sel = ((big_idx[:, None] == jnp.arange(N)[None, :])
+                       & big_valid[:, None])           # (NB, N)
+                selF = sel.astype(jnp.float32)
+                anyb = jnp.any(sel, axis=0)            # (N,)
+                dxy = jnp.where(
+                    anyb[None, :, None],
+                    jnp.einsum("bn,ebk->enk", selF, dxyB, precision=_P),
+                    dxy)
+                meas_ok = jnp.where(
+                    anyb[None, :],
+                    jnp.einsum("bn,eb->en", selF,
+                               okB.astype(jnp.float32),
+                               precision=_P) > 0.5,
+                    meas_ok)
+                peak = jnp.where(
+                    anyb[None, :],
+                    jnp.einsum("bn,eb->en", selF, pkB, precision=_P),
+                    peak)
 
             # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
             # Displacement in ref-frame px: duv = (M_e @ J_{e,n}) @ d_{e,n}.
@@ -1434,10 +1473,26 @@ def align_images(
             cut_shape = cfg.cutout_shape
         h, w = cut_shape
         # sources whose segmentation footprint exceeds the static cutout
-        # are measured on a centered crop (the reference sizes cutouts to
-        # the footprint — record + warn instead of truncating silently)
-        truncated = [c.src_id for c in prim
-                     if c.data.shape[0] > h or c.data.shape[1] > w]
+        # shape: on the single-chip batch path they are RE-measured
+        # whole in a second static-shape bucket (VERDICT r3 task 4);
+        # elsewhere (mesh / spatial / otf) they are measured on
+        # centered crops — record + warn instead of truncating silently
+        over_i = [i for i, c in enumerate(prim)
+                  if c.data.shape[0] > h or c.data.shape[1] > w]
+        big_hw = None
+        big_src_i: list[int] = []
+        if (over_i and mesh is None and spatial_mesh is None
+                and cfg.wcsupdate != "otf"):
+            cap = max(256, 2 * max(h, w))
+            need = max(max(prim[i].data.shape) for i in over_i) + 4
+            sB = int(np.ceil(min(need, cap) / 16) * 16)
+            big_src_i = [i for i in over_i
+                         if max(prim[i].data.shape) + 4 <= sB]
+            if big_src_i:
+                big_hw = (sB, sB)
+        in_bucket = set(big_src_i)
+        truncated = [prim[i].src_id for i in over_i
+                     if i not in in_bucket]
         if truncated:
             import warnings as _warnings
 
@@ -1736,6 +1791,69 @@ def align_images(
                 cut_shape=cut_shape, use_seg=have_seg)
         t = _mark("device_stage", t)
 
+        big_args: list = []
+        if big_hw is not None:
+            # ---- oversized-footprint bucket staging (task 4) -------- #
+            hB, wB = big_hw
+            bidx = np.asarray(big_src_i, np.int64)
+            NB = len(bidx)
+            NBp = max(-(-NB // 8) * 8, 8)
+            big_valid = np.arange(NBp) < NB
+
+            def padB(a, fill):
+                pad = [(0, 0), (0, NBp - NB)] + [(0, 0)] * (a.ndim - 2)
+                return np.pad(a, pad, constant_values=fill)
+
+            centersB = padB(centers[:, bidx], 0.0)
+            off = np.array([w // 2 - wB // 2, h // 2 - hB // 2],
+                           np.float32)
+            blcB = padB(blc_all[:, bidx] + off[None, None], 0.0)
+            src_idsB = np.concatenate(
+                [src_ids[bidx], np.full(NBp - NB, -1, np.int64)])
+            src_catB = np.concatenate(
+                [src_cat[bidx], np.zeros(NBp - NB, np.int64)])
+            seg_okB = np.concatenate(
+                [seg_ok[bidx], np.ones(NBp - NB, bool)])
+            # cutout pixmaps at the big shape (device f32 program; the
+            # f64 Jacobians are the SAME per-source ones as the base
+            # bucket — jac is shape-independent)
+            stB = compute_cutout_pixmaps_device_stack(
+                [e.wcs for e in exps], ref_wcs, blcB, (hB, wB))
+            if stB is None:  # mixed SIP structure: per-frame programs
+                mapsB = [compute_cutout_pixmaps_device(
+                    e.wcs, ref_wcs, blcB[ei], (hB, wB))
+                    for ei, e in enumerate(exps)]
+                cpxB = jnp.stack([m[0] for m in mapsB])
+                cpyB = jnp.stack([m[1] for m in mapsB])
+            else:
+                cpxB, cpyB = stB
+            big_imgB, big_mskB, big_segB = _stage_device_inputs(
+                exp_data, jnp.asarray(centersB), jnp.asarray(seg_f),
+                cpxB, cpyB, jnp.asarray(src_idsB, jnp.float32),
+                jnp.asarray(src_catB, jnp.int32), jnp.asarray(seg_okB),
+                cut_shape=(hB, wB), use_seg=have_seg)
+            # widen the per-source ref-frame bboxes to the BIG windows
+            # (feeds the Pallas blot tile and the sparse live set)
+            for e, exp in enumerate(exps):
+                bxB = blcB[e, :NB, 0].astype(np.float64)
+                byB = blcB[e, :NB, 1].astype(np.float64)
+                cx4 = np.stack([bxB, bxB + wB - 1, bxB, bxB + wB - 1])
+                cy4 = np.stack([byB, byB, byB + hB - 1, byB + hB - 1])
+                ra4b, dec4b = exp.wcs.pixel_to_world(cx4, cy4)
+                rx4b, ry4b = ref_wcs.world_to_pixel(ra4b, dec4b)
+                rx4b = np.asarray(rx4b)
+                ry4b = np.asarray(ry4b)
+                cb_y0[e, bidx] = ry4b.min(0) - 1.0
+                cb_y1[e, bidx] = ry4b.max(0) + 1.0
+                cb_x0[e, bidx] = rx4b.min(0) - 1.0
+                cb_x1[e, bidx] = rx4b.max(0) + 1.0
+            big_args = [cpxB, cpyB, big_imgB, big_mskB, big_segB,
+                        jnp.asarray(np.concatenate(
+                            [bidx.astype(np.int32),
+                             np.zeros(NBp - NB, np.int32)])),
+                        jnp.asarray(big_valid)]
+            t = _mark("big_bucket_stage", t)
+
         # per-exposure input/output pixel-scale ratios: the deposit
         # kernel footprint and weights depend on each camera's own
         # scale (a mean ratio mis-sizes BOTH cameras of a mixed stack)
@@ -1889,11 +2007,13 @@ def align_images(
     else:
         step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
                                   cfg.fitgeom, dri_ratios, pallas,
-                                  blot_tile, driz_tile, spatial_mesh)
+                                  blot_tile, driz_tile, spatial_mesh,
+                                  big_hw)
         args = [jnp.asarray(a) for a in (
             dep_data, dep_wht, dep_px, dep_py,
             cut_px_j, cut_py_j, img_cut, img_msk, seg_cut, jac, xy0,
             flux_w[None].repeat(E, 0).astype(np.float32), src_valid)]
+        args += [jnp.asarray(a) for a in big_args]
     jax.block_until_ready(args)  # host->device staging charged to setup,
     t = _mark("stage_args", t)   # not to the first iteration's iter_s
     setup_s = time.time() - t_setup
