@@ -374,7 +374,7 @@ def measure_displacement_rank3(
     spectral = (cc_type in ("NCC", "ZNCC")
                 and ref_mask is None and img_mask is None)
     C = _consts(H, W, usfac, nwin, bounds)
-    CWS, CHS, _, _ = _dft_consts(H, W)
+    CWS, CHS = _dft_consts(H, W)[:2]
 
     if _P_FWD is jax.lax.Precision.HIGHEST:
         fwd_mode, fwd_consts = "highest", [jnp.asarray(CWS.T),

@@ -70,6 +70,21 @@ _P_READOUT = {
 }.get(_os.environ.get("SUBPIXAL_TPU_READOUT_PRECISION", "").lower(),
       jax.lax.Precision.HIGHEST)
 
+#: COARSE windowed-surface precision. The windowed coarse lags feed ONLY
+#: an integer argmax — a relative surface error of 2^-18 (HIGH) cannot
+#:flip the argmax between lags unless two lag values agree to ~4e-6 of
+#: the peak, in which case they straddle the true peak and either choice
+#: keeps the true peak inside the ±(nwin/2)/usfac upsampled window — so
+#: HIGH is exactly as accurate as HIGHEST here and halves the coarse
+#: chain's MXU passes (~6.5 us of 97 us at 500x64^2, v5e). The subpixel
+#: read-out (_P_READOUT) stays HIGHEST by default; this knob only
+#: affects which integer lag the refinement window is centered on.
+_P_COARSE = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}.get(_os.environ.get("SUBPIXAL_TPU_COARSE_PRECISION", "").lower(),
+      jax.lax.Precision.HIGH)
+
 
 class Displacement(NamedTuple):
     """Batched displacement measurement.
@@ -167,7 +182,7 @@ def _dft_consts(H: int, W: int):
     # cache NUMPY constants: jnp arrays materialized during a trace are
     # tracer-bound and must not be memoized across traces
     f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
-    return tuple(map(f32, (CWS, CHS, CHSi, CWSi)))
+    return tuple(map(f32, (CWS, CHS, CHSi, CWSi, CH, SH, CH + SH)))
 
 
 def _use_matmul_dft(H: int, W: int) -> bool:
@@ -195,27 +210,40 @@ def _use_matmul_dft(H: int, W: int) -> bool:
 
 
 def _rfft2_matmul(x: jax.Array):
-    """Batched rfft2 as TWO stacked-matrix MXU passes; returns (re, im).
+    """Batched rfft2 as MXU matmul passes; returns (re, im).
 
-    W-pass: one matmul against [CW; SW] gives [Xr | Xi] along the last
-    axis; H-pass: one matmul against [CH; SH] gives all four products
-    CH/SH x Xr/Xi in a (2H, 2Wr) block, combined by slicing.
+    W-pass: one real matmul against [CW; SW] gives [Xr | Xi] along the
+    last axis (real input, already minimal). H-pass: the complex product
+    (CH + iSH) @ (Xr + iXi) via the KARATSUBA 3-multiply split::
+
+        P1 = CH @ Xr;  P2 = SH @ Xi;  P3 = (CH + SH) @ (Xr + Xi)
+        Yr = P1 - P2;  Yi = P3 - P1 - P2
+
+    — 3/4 the MAC count of the stacked [CH; SH] @ [Xr | Xi] form this
+    replaced (405 vs 540 MFLOP logical at 500x64^2; the H-pass was the
+    single largest stage of the displacement pipeline, measured 23.6 us
+    of ~95 us on v5e). The extra combines are VPU elementwise on
+    VMEM-resident arrays (the whole pipeline's intermediates live in
+    VMEM — profiled 2026-08-19) and fuse into the consumers. Exact
+    arithmetic identical; f32 rounding differs by ~1 ulp-class terms.
     """
     H, W = x.shape[-2:]
     Wr = W // 2 + 1
-    CWS, CHS, _, _ = _dft_consts(H, W)
+    consts = _dft_consts(H, W)
+    CWS, CH, SH, CHpS = consts[0], consts[4], consts[5], consts[6]
     X = jnp.einsum("...hw,kw->...hk", x, CWS, precision=_P_FWD)  # [Xr|Xi]
-    Q = jnp.einsum("gh,...hk->...gk", CHS, X, precision=_P_FWD)
-    Yr = Q[..., :H, :Wr] - Q[..., H:, Wr:]   # CH@Xr - SH@Xi
-    Yi = Q[..., :H, Wr:] + Q[..., H:, :Wr]   # CH@Xi + SH@Xr
-    return Yr, Yi
+    Xr, Xi = X[..., :Wr], X[..., Wr:]
+    P1 = jnp.einsum("gh,...hk->...gk", CH, Xr, precision=_P_FWD)
+    P2 = jnp.einsum("gh,...hk->...gk", SH, Xi, precision=_P_FWD)
+    P3 = jnp.einsum("gh,...hk->...gk", CHpS, Xr + Xi, precision=_P_FWD)
+    return P1 - P2, P3 - P1 - P2
 
 
 def _irfft2_matmul(Gr: jax.Array, Gi: jax.Array, s: tuple[int, int]):
     """Batched irfft2 of an rfft half-spectrum as two stacked passes."""
     H, W = s
     Wr = W // 2 + 1
-    _, _, CHSi, CWSi = _dft_consts(H, W)
+    CHSi, CWSi = _dft_consts(H, W)[2:4]
     G = jnp.concatenate([Gr, Gi], axis=-1)                  # (..., H, 2Wr)
     Q = jnp.einsum("gh,...hk->...gk", CHSi, G, precision=_P)
     Zr = Q[..., :H, :Wr] - Q[..., H:, Wr:]   # CHi@Gr - SHi@Gi
@@ -449,14 +477,19 @@ def _upsampled_correlation(
     # two shared-operand MXU contractions over the whole batch.
     # Precision.HIGHEST: full f32 accumulation — these matmuls set the
     # upsampled-correlation subpixel precision (<0.01 pix target).
-    # The second contraction is written in explicit real arithmetic:
-    # only Re(C) is consumed, so its imaginary half (which a complex
-    # einsum would also compute) is never formed.
+    # Stage 1 is the complex product K2y @ Gd via the Karatsuba
+    # 3-multiply split (3/4 the MACs of the 4 real block products a
+    # complex einsum lowers to); stage 2 is written in explicit real
+    # arithmetic: only Re(C) is consumed, so its imaginary half (which
+    # a complex einsum would also compute) is never formed.
     P = _P_READOUT
-    tmp = jnp.einsum("iu,buv->biv", K2y, Gd, precision=P)
-    C = (jnp.einsum("jv,biv->bij", jnp.real(K2x), jnp.real(tmp),
-                    precision=P)
-         - jnp.einsum("jv,biv->bij", jnp.imag(K2x), jnp.imag(tmp),
+    Kyr, Kyi = jnp.real(K2y), jnp.imag(K2y)
+    Gdr, Gdi = jnp.real(Gd), jnp.imag(Gd)
+    P1 = jnp.einsum("iu,buv->biv", Kyr, Gdr, precision=P)
+    P2 = jnp.einsum("iu,buv->biv", Kyi, Gdi, precision=P)
+    P3 = jnp.einsum("iu,buv->biv", Kyr + Kyi, Gdr + Gdi, precision=P)
+    C = (jnp.einsum("jv,biv->bij", jnp.real(K2x), P1 - P2, precision=P)
+         - jnp.einsum("jv,biv->bij", jnp.imag(K2x), P3 - P1 - P2,
                       precision=P))
     off_y = s0y.astype(jnp.float32) - (nwin // 2) / usfac
     off_x = s0x.astype(jnp.float32) - (nwin // 2) / usfac
@@ -491,11 +524,17 @@ def _windowed_coarse_surface(G, bounds, H: int, W: int):
     Ky = _us_dft_kernel(zero, ty, H, H)[0]    # (ny, H)
     Kx = _us_dft_kernel(zero, tx, Wr, W)[0]   # (nx, Wr)
     Gw = G * _hermitian_weights(W)[None, None, :]
-    P = _P_READOUT
-    tmp = jnp.einsum("iu,buv->biv", Ky, Gw, precision=P)
-    C = (jnp.einsum("jv,biv->bij", jnp.real(Kx), jnp.real(tmp),
-                    precision=P)
-         - jnp.einsum("jv,biv->bij", jnp.imag(Kx), jnp.imag(tmp),
+    # _P_COARSE (HIGH by default): this surface feeds only the integer
+    # argmax — see the _P_COARSE note. Stage 1 via the Karatsuba
+    # 3-multiply split, stage 2 real-only (as in _upsampled_correlation).
+    P = _P_COARSE
+    Kyr, Kyi = jnp.real(Ky), jnp.imag(Ky)
+    Gwr, Gwi = jnp.real(Gw), jnp.imag(Gw)
+    P1 = jnp.einsum("iu,buv->biv", Kyr, Gwr, precision=P)
+    P2 = jnp.einsum("iu,buv->biv", Kyi, Gwi, precision=P)
+    P3 = jnp.einsum("iu,buv->biv", Kyr + Kyi, Gwr + Gwi, precision=P)
+    C = (jnp.einsum("jv,biv->bij", jnp.real(Kx), P1 - P2, precision=P)
+         - jnp.einsum("jv,biv->bij", jnp.imag(Kx), P3 - P1 - P2,
                       precision=P))
     return C / (H * W), lag_y0, lag_x0, ny, nx
 
