@@ -1058,7 +1058,57 @@ def _aot_path(key: str):
     d = os.environ.get("SUBPIXAL_TPU_AOT_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "subpixal_tpu_aot")
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, key + ".jaxexp")
+    # .jaxexe = pickled serialize_executable payload (accelerators);
+    # .jaxexp = jax.export StableHLO (CPU — see _aot_use_serialized)
+    return os.path.join(d, key + (".jaxexe" if _aot_use_serialized()
+                                  else ".jaxexp"))
+
+
+def _aot_use_serialized() -> bool:
+    """serialize_executable (load = ~50 ms, no lower/compile) vs
+    jax.export (load = retrace-free but re-lowers + re-compiles).
+
+    XLA:CPU AOT-loads complex executables unreliably: the align loop
+    (while_loop subcomputations) loads without error but its results
+    raise ``Buffer Definition Event: Function ... not found`` at fetch
+    (observed 2026-08-19; the loader also warns about machine-feature
+    mismatches / SIGILL). Accelerator backends load correctly, so CPU
+    keeps the jax.export route and everything else gets the
+    executable pickle.
+    """
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _ensure_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache for library users.
+
+    A plain ``align_images`` process with no cache pays the full
+    backend-compile bill EVERY run — measured 95 s/process for the
+    8x1024² smoke on the tunneled v5e (catalog warm-compile alone
+    51-61 s) vs ~10 s with the cache on. ``bench.py`` / tests /
+    ``__graft_entry__`` enable it explicitly; users shouldn't have to
+    know to. No-op when the user already configured a cache dir, on
+    non-accelerator backends (single-process CPU runs don't earn the
+    disk writes back), or under ``SUBPIXAL_TPU_COMPILE_CACHE=0``.
+    """
+    import os
+
+    if os.environ.get("SUBPIXAL_TPU_COMPILE_CACHE", "").lower() in (
+            "0", "false", "off"):
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return  # the user (or a prior call) already configured one
+        if jax.default_backend() not in ("tpu", "axon", "gpu"):
+            return
+    except RuntimeError:  # pragma: no cover - no backend at all
+        return
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def _aot_enabled() -> bool:
@@ -1080,20 +1130,27 @@ def _aot_enabled() -> bool:
 
 def _aot_loop_load(cfg, fitgeom, E, Ms, ts, eps_j, args,
                    setup_breakdown):
-    """Deserialize + compile a previously exported device loop.
+    """Load a previously serialized COMPILED device loop.
 
-    Returns a compiled callable with the loop's signature, or None on
-    any miss/failure (the caller then traces normally). The backend
-    compile of the deserialized module is served by the persistent
-    compilation cache; what this skips is the ~5-6 s Python
-    trace+lower of the align step/loop that every fresh process
-    otherwise pays (VERDICT r3 task 2, measured 2026-08-18).
+    Returns a loaded executable with the loop's signature, or None on
+    any miss/failure (the caller then traces normally). Round 4 first
+    shipped this via ``jax.export`` (StableHLO): that skipped the
+    ~5-6 s Python trace+lower but still re-LOWERED and re-COMPILED the
+    module per process — and the export round-trip changes the HLO
+    hash, so the first warm process paid a full backend compile the
+    persistent cache couldn't serve (measured 76 s on the tunneled
+    v5e, 2026-08-19). ``jax.experimental.serialize_executable``
+    pickles the compiled executable itself: load is ~50 ms (measured),
+    no lower, no compile, no cache dependency. The pickle is keyed by
+    jax version + backend + device kind (:func:`_aot_key`) and any
+    load failure falls back to a normal trace and deletes the blob.
     """
     if not _aot_enabled():
         return None
     import os
+    import pickle
 
-    from jax import export as jex
+    from jax.experimental import serialize_executable as _se
 
     key = _aot_key(cfg, fitgeom, E, (Ms, ts, eps_j) + tuple(args))
     hit = _AOT_COMPILED.get(key)
@@ -1105,10 +1162,27 @@ def _aot_loop_load(cfg, fitgeom, E, Ms, ts, eps_j, args,
         return None
     try:
         t0 = time.time()
-        with open(path, "rb") as f:
-            mod = jex.deserialize(f.read())
-        compiled = jax.jit(mod.call).lower(Ms, ts, eps_j,
-                                           *args).compile()
+        if _aot_use_serialized():
+            # the blob is a pickle from the user's own cache dir — the
+            # same trust domain as the persistent compilation cache
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            # the AOT loop is single-chip by construction (mesh/
+            # spatial runs never reach here) — pin ONE execution
+            # device, or the loader defaults to ALL local devices and
+            # builds an 8-shard executable on the forced-8-device CPU
+            # test platform
+            dev = jax.devices()[0]
+            compiled = _se.deserialize_and_load(
+                payload, in_tree, out_tree, backend=dev.client,
+                execution_devices=[dev])
+        else:
+            from jax import export as jex
+
+            with open(path, "rb") as f:
+                mod = jex.deserialize(f.read())
+            compiled = jax.jit(mod.call).lower(Ms, ts, eps_j,
+                                               *args).compile()
         setup_breakdown["loop_aot_load"] = round(time.time() - t0, 3)
         if len(_AOT_COMPILED) > 16:
             _AOT_COMPILED.pop(next(iter(_AOT_COMPILED)))
@@ -1123,28 +1197,38 @@ def _aot_loop_load(cfg, fitgeom, E, Ms, ts, eps_j, args,
         return None
 
 
-def _aot_loop_save(cfg, fitgeom, E, loop, Ms, ts, eps_j, args,
-                   setup_breakdown):
-    """Export + persist the freshly built device loop for future
-    processes. Pays one extra lower of the already-traced program."""
+def _aot_loop_save(cfg, fitgeom, E, loop, compiled, Ms, ts, eps_j,
+                   args, setup_breakdown):
+    """Persist the freshly compiled device loop for future processes:
+    the serialized EXECUTABLE on accelerators (a later load pays
+    neither lower nor backend compile), the jax.export module on CPU
+    (see :func:`_aot_use_serialized`)."""
     if not _aot_enabled():
         return
     import os
+    import pickle
 
-    from jax import export as jex
+    from jax.experimental import serialize_executable as _se
 
     try:
         t0 = time.time()
-        shapes = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
-                                           jnp.asarray(a).dtype),
-            (Ms, ts, eps_j) + tuple(args))
-        mod = jex.export(loop)(*shapes)
         path = _aot_path(_aot_key(cfg, fitgeom, E,
                                   (Ms, ts, eps_j) + tuple(args)))
         tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(mod.serialize())
+        if _aot_use_serialized():
+            payload, in_tree, out_tree = _se.serialize(compiled)
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree), f)
+        else:
+            from jax import export as jex
+
+            shapes = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                               jnp.asarray(a).dtype),
+                (Ms, ts, eps_j) + tuple(args))
+            mod = jex.export(loop)(*shapes)
+            with open(tmp, "wb") as f:
+                f.write(mod.serialize())
         os.replace(tmp, path)
         setup_breakdown["loop_aot_save"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001 - cache write is best-effort
@@ -1260,6 +1344,7 @@ def align_images(
             eps_shift=eps_shift, history=history, **kw,
         )
     cfg = config
+    _ensure_compile_cache()
 
     if resample is None:
         if exposures is None:
@@ -2164,15 +2249,14 @@ def align_images(
             t_c = time.time()
             compiled = None
             loop_key = ("loop", cfg.max_iterations, E, id(step))
-            if (mesh is None and spatial_mesh is None
-                    and loop_key not in _LOOP_CACHE):
+            if mesh is None and spatial_mesh is None:
                 # AOT warm start (VERDICT r3 task 2): a fresh process
-                # pays ~5-6 s of Python trace+lower for THIS loop even
-                # when the persistent cache serves the backend compile.
-                # The serialized jax.export module skips the retrace
-                # (measured 6.6 s -> 0.8 s warm). When the loop is
-                # already traced IN-PROCESS, it wins over the AOT
-                # module (whose wrapper would compile separately).
+                # pays ~5-6 s of Python trace+lower (plus, through the
+                # jax.export route this replaced, a backend re-compile)
+                # for THIS loop. The serialized executable loads in
+                # ~50 ms. The in-process _AOT_COMPILED hit also serves
+                # repeat in-process calls (cheaper than re-lowering
+                # the cached jitted loop).
                 compiled = _aot_loop_load(
                     cfg, fitgeom, E, Ms, ts, eps_j, args,
                     setup_breakdown)
@@ -2183,8 +2267,9 @@ def align_images(
                 # reported in setup_breakdown, not averaged into iter_s
                 compiled = loop.lower(Ms, ts, eps_j, *args).compile()
                 if mesh is None and spatial_mesh is None:
-                    _aot_loop_save(cfg, fitgeom, E, loop, Ms, ts, eps_j,
-                                   args, setup_breakdown)
+                    _aot_loop_save(cfg, fitgeom, E, loop, compiled,
+                                   Ms, ts, eps_j, args,
+                                   setup_breakdown)
             setup_breakdown["loop_compile"] = (
                 setup_breakdown.get("loop_compile", 0.0)
                 + (time.time() - t_c))
