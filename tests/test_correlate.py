@@ -290,3 +290,64 @@ class TestSpectralNCC:
                                 fit_type="gaussian")
         assert abs(float(d.dx) - 0.4) < 0.02
         assert abs(float(d.dy)) < 0.02
+
+
+class TestPackedPath:
+    """The batch-minor lane-packed pipeline (``ops.correlate_packed``) must
+    match the batch-major path bit-for-intent on its whole dispatch
+    envelope: unmasked NCC/ZNCC, windowed coarse search, both fit types,
+    squeeze semantics, and fallback positions where the fit fails."""
+
+    @staticmethod
+    def _scene(B=24, h=64, w=48, seed=11, noise=1e-3):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        dx = rng.uniform(-1.5, 1.5, B)
+        dy = rng.uniform(-1.5, 1.5, B)
+        ref = np.exp(-((xx[None] - w / 2) ** 2 + (yy[None] - h / 2) ** 2)
+                     / 8.0) + rng.normal(0, noise, (B, h, w))
+        img = np.exp(-((xx[None] - w / 2 - dx[:, None, None]) ** 2
+                       + (yy[None] - h / 2 - dy[:, None, None]) ** 2)
+                     / 8.0) + rng.normal(0, noise, (B, h, w))
+        return (jnp.asarray(ref, jnp.float32), jnp.asarray(img, jnp.float32),
+                dx, dy)
+
+    @pytest.mark.parametrize("cc_type", ["NCC", "ZNCC"])
+    @pytest.mark.parametrize("fit_type", ["gaussian", "quadratic"])
+    def test_parity_vs_batch_major(self, monkeypatch, cc_type, fit_type):
+        ref, img, dx, dy = self._scene()
+        monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "0")
+        d0 = find_displacement(ref, img, cc_type=cc_type, usfac=10,
+                               fit_type=fit_type)
+        monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "force")
+        d1 = find_displacement(ref, img, cc_type=cc_type, usfac=10,
+                               fit_type=fit_type)
+        assert np.abs(np.asarray(d0.dx) - np.asarray(d1.dx)).max() < 1e-4
+        assert np.abs(np.asarray(d0.dy) - np.asarray(d1.dy)).max() < 1e-4
+        pk0, pk1 = np.asarray(d0.peak), np.asarray(d1.peak)
+        assert np.abs(pk0 - pk1).max() / max(1e-9, np.abs(pk0).max()) < 1e-4
+        assert np.array_equal(np.asarray(d0.fit_ok), np.asarray(d1.fit_ok))
+        # and both recover the planted shifts
+        ex = np.asarray(d1.dx) - dx
+        ey = np.asarray(d1.dy) - dy
+        assert np.sqrt(np.mean(ex**2 + ey**2)) < 5e-3
+
+    def test_packed_squeeze_single_pair(self, monkeypatch):
+        monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "force")
+        ref, img = shifted_pair(dx=0.3, dy=-0.2)
+        d = find_displacement(ref, img, cc_type="NCC", usfac=10,
+                              fit_type="gaussian")
+        assert np.ndim(np.asarray(d.dx)) == 0
+        assert abs(float(d.dx) - 0.3) < 1e-3
+        assert abs(float(d.dy) + 0.2) < 1e-3
+        assert bool(d.fit_ok)
+
+    def test_packed_not_engaged_for_masks(self, monkeypatch):
+        """Masked calls must keep the batch-major path (packed has no
+        masked-NCC spectrum); this just pins the dispatch guard."""
+        monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "force")
+        ref, img = shifted_pair(dx=0.25, dy=0.1)
+        msk = jnp.ones(ref.shape, bool)
+        d = find_displacement(ref, img, cc_type="NCC", usfac=10,
+                              ref_mask=msk, img_mask=msk)
+        assert abs(float(d.dx) - 0.25) < 2e-3
