@@ -624,16 +624,18 @@ def find_displacement(
             return res
 
         # batch-minor lane-packed pipeline (deferred NCC scale, stacked
-        # readouts — default on TPU; parity <2e-6 px with the path below;
-        # see :mod:`subpixal_tpu.ops.correlate_packed`)
-        if (windowed and cc_type in ("NCC", "ZNCC") and ref_mask is None
-                and img_mask is None):
+        # readouts — default on TPU; parity <2e-5 px with the path below;
+        # see :mod:`subpixal_tpu.ops.correlate_packed`). Covers masked
+        # and CC calls via a spatial pre-normalize (the align loop always
+        # passes masks).
+        if windowed:
             from .correlate_packed import find_displacement_packed, use_packed
 
             if use_packed():
                 dx, dy, value, fit_ok = find_displacement_packed(
                     ref_b, img_b, cc_type, int(usfac), int(peak_fit_box),
-                    fit_type, bounds, nwin)
+                    fit_type, bounds, nwin,
+                    ref_mask=ref_mask, img_mask=img_mask)
                 res = Displacement(dx=dx, dy=dy, peak=value, fit_ok=fit_ok)
                 if squeeze:
                     res = Displacement(*(r[0] for r in res))

@@ -280,12 +280,22 @@ def find_displacement_packed(
     fit_type: str,
     bounds: tuple[int, int, int, int],
     nwin: int,
+    ref_mask: jax.Array | None = None,
+    img_mask: jax.Array | None = None,
 ):
     """Packed-layout displacement core (see module docstring for scope).
 
-    Inputs are (B, H, W) unmasked cutouts; ``bounds`` the static coarse
-    search window, ``nwin`` the upsampled window side. Returns raw
+    Inputs are (B, H, W) cutouts; ``bounds`` the static coarse search
+    window, ``nwin`` the upsampled window side. Returns raw
     ``(dx, dy, peak, fit_ok)`` arrays (the caller wraps/squeezes).
+
+    Masked NCC/ZNCC and plain CC run the spatial ``_normalize`` first
+    (one elementwise pass, fused by XLA into the stage-1 matmul operand)
+    instead of the deferred-scale spectral form: after mask-aware mean
+    subtraction the spectra are DC-free by construction (``Σd == 0``)
+    and the 1/(σ√n) scales are already applied, so no deferred
+    correction is needed. Parity with the batch-major masked path is
+    layout-only (f32 summation order).
     """
     B, H, W = ref_b.shape
     Wr = W // 2 + 1
@@ -296,16 +306,26 @@ def find_displacement_packed(
     Kyc, Kxcw, Ky2, Kx2w = map(jnp.asarray, (Kyc, Kxcw, Ky2, Kx2w))
     wv = jnp.asarray(_fold_weights_np(W))
 
-    Rr, Ri = _fwd_packed(ref_b.astype(jnp.float32))
-    Ir, Ii = _fwd_packed(img_b.astype(jnp.float32))
-    # deferred NCC scale (per-cutout scalar; applied to the peak value
-    # only — see module docstring item 3)
-    scale = (n * jax.lax.rsqrt(jnp.maximum(_dc_free_power(Rr, Ri, wv), 1e-20))
-             * jax.lax.rsqrt(jnp.maximum(_dc_free_power(Ir, Ii, wv), 1e-20)))
-    # unscaled cross-spectrum G = F(img) * conj(F(ref))
+    if ref_mask is not None or img_mask is not None or cc_type == "CC":
+        from .correlate import _normalize
+
+        Rr, Ri = _fwd_packed(_normalize(ref_b, ref_mask, cc_type))
+        Ir, Ii = _fwd_packed(_normalize(img_b, img_mask, cc_type))
+        scale = None
+    else:
+        Rr, Ri = _fwd_packed(ref_b.astype(jnp.float32))
+        Ir, Ii = _fwd_packed(img_b.astype(jnp.float32))
+        # deferred NCC scale (per-cutout scalar; applied to the peak
+        # value only — see module docstring item 3)
+        scale = (n
+                 * jax.lax.rsqrt(jnp.maximum(_dc_free_power(Rr, Ri, wv),
+                                             1e-20))
+                 * jax.lax.rsqrt(jnp.maximum(_dc_free_power(Ir, Ii, wv),
+                                             1e-20)))
+    # cross-spectrum G = F(img) * conj(F(ref)) (unscaled iff deferred)
     Gr = Ir * Rr + Ii * Ri
     Gi = Ii * Rr - Ir * Ri
-    g00 = Gr[0, 0, :]                       # DC bin (imag part is 0)
+    g00 = Gr[0, 0, :] if scale is not None else None  # DC bin (imag = 0)
 
     # coarse integer lags: argmax is invariant to the positive scale AND
     # the DC offset, so the windowed surface is used completely raw
@@ -322,12 +342,15 @@ def find_displacement_packed(
     Gdr = Gr * Tr - Gi * Ti
     Gdi = Gr * Ti + Gi * Tr
     Cu = _readout_stacked(Gdr, Gdi, Ky2, Kx2w[0], Kx2w[1], nwin, _P_READOUT)
-    # DC subtraction + spectrum normalization on the TINY window only
-    Cu = (Cu - g00[None, None, :]) / n
+    # DC subtraction (deferred path only) + inverse-DFT 1/n, on the
+    # TINY window only
+    Cu = (Cu / n if g00 is None else (Cu - g00[None, None, :]) / n)
 
     x, y, value, fit_ok = _find_peak_packed(Cu, int(peak_fit_box), fit_type)
     off_y = s0y.astype(jnp.float32) - (nwin // 2) / usfac
     off_x = s0x.astype(jnp.float32) - (nwin // 2) / usfac
     dx = off_x + x / usfac
     dy = off_y + y / usfac
-    return dx, dy, value * scale, fit_ok
+    if scale is not None:
+        value = value * scale
+    return dx, dy, value, fit_ok

@@ -342,12 +342,31 @@ class TestPackedPath:
         assert abs(float(d.dy) + 0.2) < 1e-3
         assert bool(d.fit_ok)
 
-    def test_packed_not_engaged_for_masks(self, monkeypatch):
-        """Masked calls must keep the batch-major path (packed has no
-        masked-NCC spectrum); this just pins the dispatch guard."""
+    def test_packed_masked_accuracy(self, monkeypatch):
+        """Masked calls take the packed path (spatial pre-normalize) and
+        still recover the planted shift."""
         monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "force")
         ref, img = shifted_pair(dx=0.25, dy=0.1)
         msk = jnp.ones(ref.shape, bool)
         d = find_displacement(ref, img, cc_type="NCC", usfac=10,
                               ref_mask=msk, img_mask=msk)
         assert abs(float(d.dx) - 0.25) < 2e-3
+
+    @pytest.mark.parametrize("cc_type", ["NCC", "CC"])
+    def test_masked_and_cc_parity(self, monkeypatch, cc_type):
+        """Masked (and plain-CC) calls now take the packed path via a
+        spatial pre-normalize — must match batch-major bit-for-intent."""
+        ref, img, _, _ = self._scene(B=12)
+        rng = np.random.default_rng(5)
+        msk = jnp.asarray(rng.random(ref.shape) > 0.07)
+        kw = dict(cc_type=cc_type, usfac=10, fit_type="gaussian",
+                  ref_mask=msk, img_mask=msk)
+        monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "0")
+        d0 = find_displacement(ref, img, **kw)
+        monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "force")
+        d1 = find_displacement(ref, img, **kw)
+        assert np.abs(np.asarray(d0.dx) - np.asarray(d1.dx)).max() < 1e-4
+        assert np.abs(np.asarray(d0.dy) - np.asarray(d1.dy)).max() < 1e-4
+        pk0, pk1 = np.asarray(d0.peak), np.asarray(d1.peak)
+        assert np.abs(pk0 - pk1).max() / max(1e-9, np.abs(pk0).max()) < 1e-4
+        assert np.array_equal(np.asarray(d0.fit_ok), np.asarray(d1.fit_ok))
