@@ -163,6 +163,15 @@ def _dc_free_power(Xr, Xi, wv):
     return p - Xr[0, 0, :] ** 2
 
 
+def _spatial_power(x):
+    """``n·Σx² − (Σx)²`` per cutout — equals :func:`_dc_free_power` of
+    its spectrum by Parseval, without touching the spectrum arrays."""
+    n = float(x.shape[-2] * x.shape[-1])
+    sx = jnp.sum(x, axis=(-2, -1))
+    sxx = jnp.sum(x * x, axis=(-2, -1))
+    return n * sxx - sx * sx
+
+
 def _readout_stacked(Gr, Gi, Kystack, Kxr, Kxi, nrows: int, P):
     """``Re{Ky @ G @ Kxᵀ}`` via two single-read stacked-matrix einsums.
 
@@ -304,7 +313,6 @@ def find_displacement_packed(
         H, W, tuple(bounds), int(usfac), int(nwin))
     lag_y0, lag_x0, ny, nx = geom
     Kyc, Kxcw, Ky2, Kx2w = map(jnp.asarray, (Kyc, Kxcw, Ky2, Kx2w))
-    wv = jnp.asarray(_fold_weights_np(W))
 
     if ref_mask is not None or img_mask is not None or cc_type == "CC":
         from .correlate import _normalize
@@ -313,15 +321,19 @@ def find_displacement_packed(
         Ir, Ii = _fwd_packed(_normalize(img_b, img_mask, cc_type))
         scale = None
     else:
-        Rr, Ri = _fwd_packed(ref_b.astype(jnp.float32))
-        Ir, Ii = _fwd_packed(img_b.astype(jnp.float32))
+        rf = ref_b.astype(jnp.float32)
+        im = img_b.astype(jnp.float32)
+        Rr, Ri = _fwd_packed(rf)
+        Ir, Ii = _fwd_packed(im)
         # deferred NCC scale (per-cutout scalar; applied to the peak
-        # value only — see module docstring item 3)
-        scale = (n
-                 * jax.lax.rsqrt(jnp.maximum(_dc_free_power(Rr, Ri, wv),
-                                             1e-20))
-                 * jax.lax.rsqrt(jnp.maximum(_dc_free_power(Ir, Ii, wv),
-                                             1e-20)))
+        # value only — see module docstring item 3), computed in the
+        # SPATIAL domain via Parseval (DC-free half-spectrum power
+        # == n·Σx² − (Σx)²): a spectral-domain power reduction would
+        # make the per-input spectra multi-consumer (dots + reduce),
+        # blocking XLA from fusing the Karatsuba combine straight into
+        # the cross-spectrum — measured +17 MB/iter of HBM traffic
+        scale = (n * jax.lax.rsqrt(jnp.maximum(_spatial_power(rf), 1e-20))
+                 * jax.lax.rsqrt(jnp.maximum(_spatial_power(im), 1e-20)))
     # cross-spectrum G = F(img) * conj(F(ref)) (unscaled iff deferred)
     Gr = Ir * Rr + Ii * Ri
     Gi = Ii * Rr - Ir * Ri
