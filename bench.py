@@ -484,6 +484,48 @@ def bench_align_2k():
     }
 
 
+def bench_align_spatial():
+    """Spatial (row-band-sharded) align at the smoke's frame size
+    (VERDICT r3 task 5 datapoint): the same 8x1024^2 scene driven
+    through ``Drizzle(spatial_mesh=...)`` on a 1-device mesh — the
+    sharded program (band deposit, halo'd gather, psum'd fit) running
+    on the real chip. Emits the per-iteration time for comparison with
+    ``align_iter_ms`` (the replicated-plane path on the same scene);
+    the multi-band (8-way) execution of the identical program is
+    validated by the driver's CPU-mesh dryrun instead (one real chip
+    here). Spatial mode is XLA-only (use_pallas is forced off), so the
+    honest comparison is sharded-XLA vs replicated-Pallas — the
+    default paths a user gets at each scale.
+
+    Runs BEFORE any Mosaic compile (it is pure XLA; compile-order
+    rule, see ``bench_kernels``).
+    """
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.parallel.sharding import make_mesh
+    from subpixal_tpu.resample import Drizzle
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
+
+    mesh = make_mesh(1, axis_name="rows")
+    exps, planted = simulate_stack(n_exp=8, shape=(1024, 1024),
+                                   n_stars=60, seed=11, device=True)
+    d = Drizzle(exps, spatial_mesh=mesh)
+    res = align_images(resample=d, fitgeom="shift", max_iterations=4,
+                       eps_shift=1e-7, usfac=8, fit_type="gaussian")
+    err_mpix = 1e3 * pairwise_shift_errors(res.shifts, planted)
+    assert err_mpix < 10.0, f"spatial align fit error {err_mpix:.2f} mpix"
+    iters = [recs[0].iter_s for recs in res.history]
+    steady = iters[1:] or iters
+    return {
+        "align_spatial_iter_ms": round(1e3 * float(np.median(steady)), 1),
+        "align_spatial_fit_err_mpix": round(err_mpix, 3),
+        "align_spatial_setup_s": round(res.setup_s, 2),
+    }
+
+
 def main():
     import os
 
@@ -514,9 +556,13 @@ def main():
     assert vs_ref < 0.1, (
         f"shift_rmse_vs_reference_mpix={vs_ref:.4f} >= 0.1 — device "
         "measurement drifted from the f64 reference algorithm")
-    extras = bench_kernels()  # pallas sections last (compile-order rule)
+    extras = bench_align_spatial()  # pure XLA — before any Mosaic
+    extras.update(bench_kernels())  # pallas sections last (compile-order)
     extras.update(bench_align_smoke(parity_ref))
     extras.update(bench_align_2k())
+    if "align_spatial_iter_ms" in extras and "align_iter_ms" in extras:
+        extras["align_spatial_vs_replicated"] = round(
+            extras["align_spatial_iter_ms"] / extras["align_iter_ms"], 2)
 
     print(json.dumps({
         "metric": "batched cutout cross-correlations/sec "

@@ -31,6 +31,8 @@ capability extensions with no reference counterpart (SURVEY §2b).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -173,7 +175,28 @@ def drizzle_deposit_spatial(
     elementwise (``drizzle_combine`` under jit keeps the sharding) and
     crop with :func:`gather_rows`.
     """
-    Ho, Wo = map(int, out_shape)
+    fn = _deposit_spatial_jit(mesh, (int(out_shape[0]), int(out_shape[1])),
+                              float(pixfrac), float(pscale_ratio), kernel,
+                              in_wht is None)
+    return fn(jnp.asarray(in_data, jnp.float32),
+              None if in_wht is None else jnp.asarray(in_wht, jnp.float32),
+              jnp.asarray(x_out, jnp.float32),
+              jnp.asarray(y_out, jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _deposit_spatial_jit(mesh, out_shape, pixfrac, pscale_ratio, kernel,
+                         no_wht):
+    """Jitted sharded deposit for one static config.
+
+    The shard_map MUST run under jit: an eager shard_map dispatches
+    every primitive of the deposit graph as its own one-op sharded
+    program (~3,800 dispatches / ~2 min per call measured on the
+    1-core CPU test rig, 2026-08-19). The cache keys the jitted
+    callable on the static config so repeat calls (the align loop,
+    parity tests) reuse one executable.
+    """
+    Ho, Wo = out_shape
     ax = _rows_axis(mesh)
     Hl = band_rows(mesh, Ho)
 
@@ -187,16 +210,18 @@ def drizzle_deposit_spatial(
         keep = (row0 + jax.lax.iota(jnp.float32, Hl) < Ho)[:, None]
         return sci * keep, wht_acc * keep
 
-    w = jnp.ones_like(jnp.asarray(in_data, jnp.float32)) \
-        if in_wht is None else jnp.asarray(in_wht, jnp.float32)
-    fn = jax.shard_map(
+    sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(ax, None), P(ax, None)),
     )
-    return fn(jnp.asarray(in_data, jnp.float32), w,
-              jnp.asarray(x_out, jnp.float32),
-              jnp.asarray(y_out, jnp.float32))
+
+    @jax.jit
+    def run(data, wht, xo, yo):
+        w = jnp.ones_like(data) if no_wht else wht
+        return sharded(data, w, xo, yo)
+
+    return run
 
 
 def make_mesh2d(n_frames: int, n_rows: int,
@@ -248,21 +273,7 @@ def drizzle_deposit_stack_spatial(
         raise ValueError(
             f"drizzle_deposit_stack_spatial wants a 2-D (frames, rows) "
             f"mesh, got axes {mesh.axis_names}")
-    fax, rax = mesh.axis_names
-    Nf = mesh.shape[fax]
-    Ho, Wo = map(int, out_shape)
-    Hl = -(-Ho // mesh.shape[rax])
-
-    data = jnp.asarray(data, jnp.float32)
-    E, H, W = data.shape
-    w = (jnp.ones_like(data) if wht is None
-         else jnp.asarray(wht, jnp.float32))
-    xo = jnp.asarray(x_out, jnp.float32)
-    yo = jnp.asarray(y_out, jnp.float32)
-    if xo.ndim == 2:
-        xo = jnp.broadcast_to(xo, (E, H, W))
-    if yo.ndim == 2:
-        yo = jnp.broadcast_to(yo, (E, H, W))
+    E = int(jnp.shape(data)[0])
     ratios = (tuple(float(r) for r in pscale_ratio)
               if hasattr(pscale_ratio, "__len__")
               else (float(pscale_ratio),) * E)
@@ -270,17 +281,28 @@ def drizzle_deposit_stack_spatial(
         raise ValueError(
             f"pscale_ratio: expected {E} per-frame values, got "
             f"{len(ratios)}")
-    uniq = tuple(sorted(set(ratios)))
-    ridx = jnp.asarray([uniq.index(r) for r in ratios], jnp.int32)
+    fn = _deposit_stack_spatial_jit(
+        mesh, (int(out_shape[0]), int(out_shape[1])), float(pixfrac),
+        ratios, kernel, wht is None)
+    return fn(jnp.asarray(data, jnp.float32),
+              None if wht is None else jnp.asarray(wht, jnp.float32),
+              jnp.asarray(x_out, jnp.float32),
+              jnp.asarray(y_out, jnp.float32))
 
+
+@functools.lru_cache(maxsize=64)
+def _deposit_stack_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
+                               no_wht):
+    """Jitted 2-D-mesh stack deposit for one static config (see
+    ``_deposit_spatial_jit`` for why the shard_map must be jitted)."""
+    fax, rax = mesh.axis_names
+    Nf = mesh.shape[fax]
+    Ho, Wo = out_shape
+    Hl = -(-Ho // mesh.shape[rax])
+    E = len(ratios)
+    uniq = tuple(sorted(set(ratios)))
+    ridx_np = np.asarray([uniq.index(r) for r in ratios], np.int32)
     pad = (-E) % Nf
-    if pad:
-        zpad = ((0, pad), (0, 0), (0, 0))
-        data = jnp.pad(data, zpad)
-        w = jnp.pad(w, zpad)        # zero weight -> deposits nothing
-        xo = jnp.pad(xo, zpad)
-        yo = jnp.pad(yo, zpad)
-        ridx = jnp.pad(ridx, (0, pad))
     El = (E + pad) // Nf
 
     def _branch(ratio):
@@ -309,12 +331,29 @@ def drizzle_deposit_stack_spatial(
         return (jax.lax.psum(sci * keep, fax),
                 jax.lax.psum(whtb * keep, fax))
 
-    fn = jax.shard_map(
+    sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(fax, None, None),) * 4 + (P(fax),),
         out_specs=(P(rax, None), P(rax, None)),
     )
-    return fn(data, w, xo, yo, ridx)
+
+    @jax.jit
+    def run(data, wht, x_out, y_out):
+        _, H, W = data.shape
+        w = jnp.ones_like(data) if no_wht else wht
+        xo = jnp.broadcast_to(x_out, (E, H, W))
+        yo = jnp.broadcast_to(y_out, (E, H, W))
+        ridx = jnp.asarray(ridx_np)
+        if pad:
+            zpad = ((0, pad), (0, 0), (0, 0))
+            data = jnp.pad(data, zpad)
+            w = jnp.pad(w, zpad)    # zero weight -> deposits nothing
+            xo = jnp.pad(xo, zpad)
+            yo = jnp.pad(yo, zpad)
+            ridx = jnp.pad(ridx, (0, pad))
+        return sharded(data, w, xo, yo, ridx)
+
+    return run
 
 
 # --------------------------------------------------------------------- #
@@ -392,9 +431,20 @@ def sample_spatial(
         raise ValueError(
             f"unknown interp: {interp!r} "
             f"(expected one of {sorted(INTERP_OFFSETS)})")
+    Hp = int(plane.shape[0])
+    fn = _sample_spatial_jit(
+        mesh, Hp, interp, float(fill), float(sinscl),
+        int(logical_rows) if logical_rows is not None else Hp,
+        int(spline_halo))
+    return fn(plane, jnp.asarray(x, jnp.float32),
+              jnp.asarray(y, jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _sample_spatial_jit(mesh, Hp, interp, fill, sinscl, Hg, spline_halo):
+    """Jitted sharded gather for one static config (see
+    ``_deposit_spatial_jit`` for why the shard_map must be jitted)."""
     ax = _rows_axis(mesh)
-    Hp, W = plane.shape
-    Hg = int(logical_rows) if logical_rows is not None else Hp
     Hl = Hp // _n_bands(mesh)
     pad = Hp - Hg
     if interp == "spline3":
@@ -431,23 +481,27 @@ def sample_spatial(
                                         interp, sinscl)
         return jax.lax.psum(part, ax)
 
-    vals = jax.shard_map(
+    sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(ax, None), P(), P()),
         out_specs=P(),
-    )(plane, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+    )
 
-    xq = jnp.asarray(x, jnp.float32)
-    yq = jnp.asarray(y, jnp.float32)
-    if interp == "nearest":
-        xi = jnp.floor(xq + 0.5).astype(jnp.int32)
-        yi = jnp.floor(yq + 0.5).astype(jnp.int32)
-        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < Hg)
-    else:
-        offs = INTERP_OFFSETS[interp]
-        lo, hi = offs[0], offs[-1]
-        xi0 = jnp.floor(xq).astype(jnp.int32)
-        yi0 = jnp.floor(yq).astype(jnp.int32)
-        valid = ((xi0 + lo >= 0) & (xi0 + hi < W)
-                 & (yi0 + lo >= 0) & (yi0 + hi < Hg))
-    return jnp.where(valid, vals, fill), valid
+    @jax.jit
+    def run(plane, xq, yq):
+        W = plane.shape[1]
+        vals = sharded(plane, xq, yq)
+        if interp == "nearest":
+            xi = jnp.floor(xq + 0.5).astype(jnp.int32)
+            yi = jnp.floor(yq + 0.5).astype(jnp.int32)
+            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < Hg)
+        else:
+            offs = INTERP_OFFSETS[interp]
+            lo, hi = offs[0], offs[-1]
+            xi0 = jnp.floor(xq).astype(jnp.int32)
+            yi0 = jnp.floor(yq).astype(jnp.int32)
+            valid = ((xi0 + lo >= 0) & (xi0 + hi < W)
+                     & (yi0 + lo >= 0) & (yi0 + hi < Hg))
+        return jnp.where(valid, vals, fill), valid
+
+    return run

@@ -137,8 +137,9 @@ class TestDepositSpatial:
             sci = s if sci is None else sci + s
             wht = w if wht is None else wht + w
         # elementwise combine under jit preserves the row sharding
+        # (jit normalizes away the trailing None of the spec)
         out = jax.jit(drizzle_combine)(sci, wht)
-        assert out.sharding.spec == P("rows", None)
+        assert out.sharding.spec in (P("rows"), P("rows", None))
         # oracle: unsharded accumulation
         s_ref = np.zeros((H, W), np.float32)
         w_ref = np.zeros((H, W), np.float32)
