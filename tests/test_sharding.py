@@ -111,3 +111,24 @@ def test_sharded_fit_clips_outliers_globally():
     w = np.asarray(fit.weights)
     assert np.all(w[bad] == 0.0), "corrupted points survived global clip"
     assert int(fit.nmatches) >= B - 10
+
+def test_sharded_displacement_packed_path(monkeypatch):
+    """The TPU default engages the PACKED displacement pipeline INSIDE
+    shard_map (mesh-mode align measurement) — force it on CPU and pin
+    parity with the batch-major sharded path (layout-only difference:
+    f32 summation order)."""
+    monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "force")
+    refs, imgs, dxs, dys = gauss_pairs(B=21, seed=7)  # padded per shard
+    mesh = make_mesh()
+    dp = sharded_find_displacement(refs, imgs, mesh=mesh, cc_type="NCC",
+                                   fit_type="gaussian")
+    monkeypatch.setenv("SUBPIXAL_TPU_PACKED", "0")
+    db = sharded_find_displacement(refs, imgs, mesh=mesh, cc_type="NCC",
+                                   fit_type="gaussian")
+    np.testing.assert_allclose(np.asarray(dp.dx), np.asarray(db.dx),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dp.dy), np.asarray(db.dy),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(dp.fit_ok),
+                                  np.asarray(db.fit_ok))
+    np.testing.assert_allclose(np.asarray(dp.dx), dxs, atol=2e-3)
