@@ -495,10 +495,13 @@ def bench_align_spatial():
     validated by the driver's CPU-mesh dryrun instead (one real chip
     here). Spatial mode is XLA-only (use_pallas is forced off), so the
     honest comparison is sharded-XLA vs replicated-Pallas — the
-    default paths a user gets at each scale.
+    default paths a user gets at each scale (~6x measured 2026-08-19:
+    XLA deposit ~2x the Pallas kernel, plus the psum'd halo gather and
+    no sparse in-loop deposit; docs/roadmap.md §Spatial).
 
-    Runs BEFORE any Mosaic compile (it is pure XLA; compile-order
-    rule, see ``bench_kernels``).
+    Runs LAST (see main()): its compiles are the longest of the bench
+    and a cold run that went first degraded the relay for every later
+    section.
     """
     import jax
 
@@ -556,10 +559,15 @@ def main():
     assert vs_ref < 0.1, (
         f"shift_rmse_vs_reference_mpix={vs_ref:.4f} >= 0.1 — device "
         "measurement drifted from the f64 reference algorithm")
-    extras = bench_align_spatial()  # pure XLA — before any Mosaic
-    extras.update(bench_kernels())  # pallas sections last (compile-order)
+    extras = bench_kernels()  # pallas sections last (compile-order rule)
     extras.update(bench_align_smoke(parity_ref))
     extras.update(bench_align_2k())
+    # spatial LAST: its sharded-program compiles are the longest of the
+    # whole bench (~17 min cold through the relay, minutes warm) and a
+    # 2026-08-19 run that put it FIRST left the relay degraded for every
+    # later section (smoke iter 37 -> 138 ms, deposit_stack 2.9 -> 12.6 s
+    # — the queued-work stall mode in .claude/skills/verify/SKILL.md)
+    extras.update(bench_align_spatial())
     if "align_spatial_iter_ms" in extras and "align_iter_ms" in extras:
         extras["align_spatial_vs_replicated"] = round(
             extras["align_spatial_iter_ms"] / extras["align_iter_ms"], 2)

@@ -32,6 +32,7 @@ disk between every stage and loops in Python):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from typing import Any, Sequence
@@ -1030,11 +1031,51 @@ _LOOP_CACHE: dict = {}
 _AOT_COMPILED: dict = {}
 
 
+#: trace-time env knobs that change the compiled loop's PROGRAM (not
+#: just its inputs) — they must key the AOT blob or a knob flip would
+#: silently load a loop built under the other setting
+_AOT_ENV_KNOBS = ("SUBPIXAL_TPU_PACKED", "SUBPIXAL_TPU_FFT",
+                  "SUBPIXAL_TPU_FWD_PRECISION",
+                  "SUBPIXAL_TPU_READOUT_PRECISION",
+                  "SUBPIXAL_TPU_COARSE_PRECISION")
+
+
+@functools.lru_cache(maxsize=1)
+def _code_fingerprint() -> str:
+    """Content hash of the package's source files.
+
+    The AOT loop blob serializes the COMPILED align step: any library
+    change that alters the traced program (a faster measurement path, a
+    numerics fix) must invalidate old blobs. Measured failure without
+    this (2026-08-19): blobs saved before the lane-packed measurement
+    landed kept loading afterwards — the smoke ran the OLD loop at
+    ~67 ms/iter vs ~47 fresh, and a numerics fix would have been
+    silently undone the same way.
+    """
+    import hashlib
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fname in sorted(filenames):
+            if fname.endswith((".py", ".cpp", ".so")):
+                p = os.path.join(dirpath, fname)
+                h.update(fname.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _aot_key(cfg: "AlignConfig", fitgeom: str, E: int, arg_tree) -> str:
     """Content key for the AOT-exported device loop: every traced-in
     static (the normalized cfg, geometry, argument signature) plus the
-    software/hardware provenance the serialized module depends on."""
+    software/hardware provenance the serialized module depends on —
+    including the library source fingerprint and the trace-time env
+    knobs (see :func:`_code_fingerprint` / ``_AOT_ENV_KNOBS``)."""
     import hashlib
+    import os
 
     import jax
 
@@ -1046,9 +1087,10 @@ def _aot_key(cfg: "AlignConfig", fitgeom: str, E: int, arg_tree) -> str:
         lambda a: (tuple(a.shape), str(jnp.asarray(a).dtype))
         if hasattr(a, "shape") else repr(a), arg_tree)
     dev = jax.devices()[0]
+    knobs = tuple(os.environ.get(k, "") for k in _AOT_ENV_KNOBS)
     raw = repr((jax.__version__, jax.default_backend(),
-                getattr(dev, "device_kind", "?"), key_cfg, fitgeom, E,
-                sig))
+                getattr(dev, "device_kind", "?"), _code_fingerprint(),
+                knobs, key_cfg, fitgeom, E, sig))
     return hashlib.sha256(raw.encode()).hexdigest()[:32]
 
 
