@@ -541,7 +541,8 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 s, wgt = drizzle_deposit_spatial(
                     spatial_mesh, exp_data[e], exp_wht[e], px, py,
                     out_shape, pixfrac=cfg.pixfrac,
-                    pscale_ratio=ratio_e, kernel=cfg.kernel)
+                    pscale_ratio=ratio_e, kernel=cfg.kernel,
+                    use_pallas=pallas)
                 return s, wgt, jnp.int32(0)
             if pallas and cfg.kernel != "tophat":  # tophat: not separable
                 from .kernels.drizzle import drizzle_deposit_pallas
@@ -1407,7 +1408,18 @@ def align_images(
                 "mesh= (frame-sharded SPMD align) and a spatial_mesh "
                 "Drizzle (row-band-sharded reference plane) are mutually "
                 "exclusive — the two shard the same devices differently")
-        forced = [k for k, v in (("use_pallas", cfg.use_pallas is True),
+        # the row-band DEPOSIT runs as the Pallas matmul kernel inside
+        # shard_map on TPU backends (probed working on v5e 2026-08-19;
+        # 1-D per-frame path only — the 2-D stack deposit and the blot
+        # gather stay XLA). Everything else Pallas assumes a replicated
+        # plane, so on non-TPU backends (and for sparse_deposit always)
+        # the flags are forced off as before.
+        from .kernels import use_pallas as _resolve_pallas
+
+        spatial_pallas = (_resolve_pallas(cfg.use_pallas)
+                          and jax.default_backend() in ("tpu", "axon"))
+        forced = [k for k, v in (("use_pallas", cfg.use_pallas is True
+                                  and not spatial_pallas),
                                  ("sparse_deposit",
                                   cfg.sparse_deposit is True)) if v]
         if forced:
@@ -1415,12 +1427,13 @@ def align_images(
 
             _warnings.warn(
                 f"spatial_mesh align forces {forced} off (the spatial "
-                "deposit/gather paths are XLA and dense)",
+                "gather/sparse paths are XLA and dense; the Pallas band "
+                "deposit needs a TPU backend)",
                 stacklevel=2)
         # device_loop composes: shard_map inside lax.while_loop inside
         # jit works, so the on-device fixed point (one host sync total)
         # stays available under a spatial mesh
-        cfg = dataclasses.replace(cfg, use_pallas=False,
+        cfg = dataclasses.replace(cfg, use_pallas=spatial_pallas,
                                   sparse_deposit=False)
     if cfg.match_sky or cfg.static_mask or cfg.reject_cr:
         # these stages modify data/weights; keep the caller's Exposure

@@ -162,6 +162,8 @@ def drizzle_deposit_spatial(
     pixfrac: float = 1.0,
     pscale_ratio: float = 1.0,
     kernel: str = "square",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """:func:`subpixal_tpu.ops.drizzle.drizzle_deposit` with the OUTPUT
     accumulators row-band-sharded over ``mesh``.
@@ -174,10 +176,18 @@ def drizzle_deposit_spatial(
     ``(sci, wht)`` are sharded ``(ceil(Ho/N)*N, Wo)`` arrays; combine
     elementwise (``drizzle_combine`` under jit keeps the sharding) and
     crop with :func:`gather_rows`.
+
+    ``use_pallas=True`` runs the band deposit as the MXU matmul kernel
+    (:func:`subpixal_tpu.kernels.drizzle.drizzle_deposit_pallas`) —
+    Mosaic-inside-shard_map, probed working on v5e 2026-08-19 (parity
+    4e-6 vs the XLA band deposit). TPU only (``interpret=True`` for CPU
+    parity tests); ``tophat`` (non-separable) falls back to XLA.
     """
     fn = _deposit_spatial_jit(mesh, (int(out_shape[0]), int(out_shape[1])),
                               float(pixfrac), float(pscale_ratio), kernel,
-                              in_wht is None)
+                              in_wht is None,
+                              bool(use_pallas) and kernel != "tophat",
+                              bool(interpret))
     return fn(jnp.asarray(in_data, jnp.float32),
               None if in_wht is None else jnp.asarray(in_wht, jnp.float32),
               jnp.asarray(x_out, jnp.float32),
@@ -186,7 +196,7 @@ def drizzle_deposit_spatial(
 
 @functools.lru_cache(maxsize=64)
 def _deposit_spatial_jit(mesh, out_shape, pixfrac, pscale_ratio, kernel,
-                         no_wht):
+                         no_wht, use_pallas=False, interpret=False):
     """Jitted sharded deposit for one static config.
 
     The shard_map MUST run under jit: an eager shard_map dispatches
@@ -202,9 +212,17 @@ def _deposit_spatial_jit(mesh, out_shape, pixfrac, pscale_ratio, kernel,
 
     def shard_fn(data, wht, xo, yo):
         row0 = (jax.lax.axis_index(ax) * Hl).astype(jnp.float32)
-        sci, wht_acc = drizzle_deposit(
-            data, wht, xo, yo - row0, (Hl, Wo),
-            pixfrac=pixfrac, pscale_ratio=pscale_ratio, kernel=kernel)
+        if use_pallas:
+            from ..kernels.drizzle import drizzle_deposit_pallas
+
+            sci, wht_acc = drizzle_deposit_pallas(
+                data, wht, xo, yo - row0, (Hl, Wo), pixfrac=pixfrac,
+                pscale_ratio=pscale_ratio, kernel=kernel,
+                interpret=interpret)
+        else:
+            sci, wht_acc = drizzle_deposit(
+                data, wht, xo, yo - row0, (Hl, Wo),
+                pixfrac=pixfrac, pscale_ratio=pscale_ratio, kernel=kernel)
         # rows past the logical Ho live only in the LAST band's padding;
         # the unsharded deposit drops them, so must we
         keep = (row0 + jax.lax.iota(jnp.float32, Hl) < Ho)[:, None]
@@ -214,6 +232,9 @@ def _deposit_spatial_jit(mesh, out_shape, pixfrac, pscale_ratio, kernel,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(ax, None), P(ax, None)),
+        # pallas_call outputs carry no varying-manual-axes metadata;
+        # the deposit is band-exact so the looser check is safe
+        check_vma=not use_pallas,
     )
 
     @jax.jit

@@ -558,15 +558,17 @@ class Drizzle(Resample):
             wht = base if mask is None else base * mask
         wht_j = None if wht is None else jnp.asarray(wht, jnp.float32)
         if self.spatial_mesh is not None:
-            # row-band-sharded output accumulators: the XLA deposit runs
-            # inside shard_map, exactly band-restricted (spatial.py)
+            # row-band-sharded output accumulators: the deposit runs
+            # inside shard_map, exactly band-restricted (spatial.py) —
+            # as the Pallas matmul kernel on TPU backends, XLA elsewhere
             from ..parallel.spatial import drizzle_deposit_spatial
 
             s, w = drizzle_deposit_spatial(
                 self.spatial_mesh, jnp.asarray(data), wht_j,
                 jnp.asarray(px, jnp.float32), jnp.asarray(py, jnp.float32),
                 self._oshape, pixfrac=self.pixfrac, pscale_ratio=ratio,
-                kernel=self.kernel)
+                kernel=self.kernel,
+                use_pallas=_use_pallas(self.use_pallas))
             if scale != 1.0:
                 s = s * jnp.float32(scale)
                 w = w * jnp.float32(scale)

@@ -121,6 +121,28 @@ class TestDepositSpatial:
                                    np.asarray(w_ref), atol=1e-5,
                                    rtol=1e-4)
 
+    def test_pallas_band_deposit_matches_xla(self, mesh):
+        """use_pallas=True runs the Mosaic matmul deposit INSIDE
+        shard_map (the TPU spatial default since round 4); interpreter
+        mode pins parity with the XLA band deposit on CPU."""
+        rng = np.random.default_rng(8)
+        H, W = 100, 64
+        img = rng.random((48, 40)).astype(np.float32)
+        wht = rng.random((48, 40)).astype(np.float32)
+        gx, gy = _pixmap(48, 40)
+        s_ref, w_ref = drizzle_deposit_spatial(mesh, img, wht, gx, gy,
+                                               (H, W), pixfrac=0.8)
+        s_p, w_p = drizzle_deposit_spatial(mesh, img, wht, gx, gy,
+                                           (H, W), pixfrac=0.8,
+                                           use_pallas=True,
+                                           interpret=True)
+        np.testing.assert_allclose(gather_rows(s_p, H),
+                                   gather_rows(s_ref, H),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(gather_rows(w_p, H),
+                                   gather_rows(w_ref, H),
+                                   atol=1e-5, rtol=1e-4)
+
     def test_multi_frame_combine_stays_sharded(self, mesh):
         """Accumulate several frames into the sharded accumulators and
         combine — the full mosaic never exists on one device."""
