@@ -493,11 +493,11 @@ def bench_align_spatial():
     ``align_iter_ms`` (the replicated-plane path on the same scene);
     the multi-band (8-way) execution of the identical program is
     validated by the driver's CPU-mesh dryrun instead (one real chip
-    here). Spatial mode is XLA-only (use_pallas is forced off), so the
-    honest comparison is sharded-XLA vs replicated-Pallas — the
-    default paths a user gets at each scale (~6x measured 2026-08-19:
-    XLA deposit ~2x the Pallas kernel, plus the psum'd halo gather and
-    no sparse in-loop deposit; docs/roadmap.md §Spatial).
+    here). Since round 4 spatial mode runs the Mosaic kernels inside
+    shard_map on TPU backends (band deposit + ownership-masked blot
+    gather), so the remaining gap to ``align_iter_ms`` is the psum'd
+    gather collective and the absent sparse in-loop deposit
+    (docs/roadmap.md §Spatial).
 
     Runs LAST (see main()): its compiles are the longest of the bench
     and a cold run that went first degraded the relay for every later

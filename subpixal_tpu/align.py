@@ -508,9 +508,12 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
     (``parallel/spatial.py``) — the align loop for mosaics whose
     drizzled reference exceeds one chip's HBM. The deposit runs
     band-exact inside shard_map and the blot gathers via psum'd
-    per-band tap partials; everything downstream (correlate, fit,
+    per-band partials; everything downstream (correlate, fit,
     update) is replicated and identical to the unsharded step.
-    Mutually exclusive with ``pallas`` (the spatial paths are XLA).
+    ``pallas`` composes on TPU backends: the 1-D band deposit AND the
+    blot gather run the replicated path's Mosaic matmul kernels inside
+    shard_map (ownership-masked per band, psum'd); the 2-D stack
+    deposit stays XLA.
     """
 
     def step(Ms, ts, exp_data, exp_wht, dri_px, dri_py,
@@ -597,10 +600,14 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             if spatial_mesh is not None:
                 from .parallel.spatial import sample_spatial
 
-                vals, ok = sample_spatial(
+                # pallas: the replicated path's MXU blot kernel per
+                # band (Mosaic-inside-shard_map, like the band deposit)
+                # with real tile-escape counts; XLA tap-gather psum
+                # otherwise
+                return sample_spatial(
                     spatial_mesh, drz, flat_x, flat_y, interp=interp,
-                    logical_rows=out_shape[0])
-                return vals, ok, jnp.zeros(flat_x.shape[0], jnp.int32)
+                    logical_rows=out_shape[0], use_pallas=pallas,
+                    tile=blot_tile or (128, 128), return_escaped=True)
             if pallas:
                 from .kernels.blot import sample_cutouts_pallas
 
@@ -1408,12 +1415,13 @@ def align_images(
                 "mesh= (frame-sharded SPMD align) and a spatial_mesh "
                 "Drizzle (row-band-sharded reference plane) are mutually "
                 "exclusive — the two shard the same devices differently")
-        # the row-band DEPOSIT runs as the Pallas matmul kernel inside
-        # shard_map on TPU backends (probed working on v5e 2026-08-19;
-        # 1-D per-frame path only — the 2-D stack deposit and the blot
-        # gather stay XLA). Everything else Pallas assumes a replicated
-        # plane, so on non-TPU backends (and for sparse_deposit always)
-        # the flags are forced off as before.
+        # the row-band DEPOSIT and the blot GATHER run as the Pallas
+        # matmul kernels inside shard_map on TPU backends (probed
+        # working on v5e 2026-08-19; 1-D per-frame deposit + per-band
+        # ownership-masked gather — the 2-D stack deposit stays XLA).
+        # Everything else Pallas assumes a replicated plane, so on
+        # non-TPU backends (and for sparse_deposit always) the flags
+        # are forced off as before.
         from .kernels import use_pallas as _resolve_pallas
 
         spatial_pallas = (_resolve_pallas(cfg.use_pallas)

@@ -171,7 +171,7 @@ def _blot_kernel(origins_ref, x_ref, y_ref, image_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("interp", "tile", "fill", "interpret",
-                     "return_escaped"),
+                     "return_escaped", "prefiltered"),
 )
 def sample_cutouts_pallas(
     image: jax.Array,

@@ -430,7 +430,11 @@ def sample_spatial(
     sinscl: float = 1.0,
     logical_rows: int | None = None,
     spline_halo: int = 32,
-) -> tuple[jax.Array, jax.Array]:
+    use_pallas: bool = False,
+    tile: tuple[int, int] | None = None,
+    interpret: bool = False,
+    return_escaped: bool = False,
+) -> tuple[jax.Array, ...]:
     """:func:`subpixal_tpu.ops.interp.sample_image` from a row-sharded
     plane — the blot gather for mosaics too large for one device.
 
@@ -447,27 +451,56 @@ def sample_spatial(
     truncation error is ``|z1|**spline_halo`` (the IIR pole is
     z1 = √3−2 ≈ −0.268: 1e-18 at the default 32) — bit-comparable to
     the unsharded prefilter, not bit-identical.
+
+    ``use_pallas=True`` runs each band's gather as the replicated
+    path's MXU blot kernel (:func:`subpixal_tpu.kernels.blot.
+    sample_cutouts_pallas`) instead of the XLA tap gathers — Mosaic
+    inside shard_map, like the band deposit. Each band is halo-extended
+    by the interpolation footprint so every query is computed WHOLE by
+    the single band owning its ``floor(y)`` row; unowned queries are
+    clamped into the band (keeps the kernel's per-cutout tiles tight
+    for straddlers) and masked, and the per-band results ``psum`` — the
+    union is exact because ownership partitions the queries. Requires
+    ``(B, h, w)`` cutout-grid coordinates (falls back to the XLA path
+    otherwise); ``tile`` as in the replicated kernel; ``interpret=True``
+    for CPU parity tests. ``return_escaped=True`` appends the
+    replicated path's per-cutout tile-escape counts (always zero on
+    the XLA path, which has no static tiles).
     """
     if interp not in INTERP_OFFSETS:
         raise ValueError(
             f"unknown interp: {interp!r} "
             f"(expected one of {sorted(INTERP_OFFSETS)})")
+    # the kernel path needs per-cutout (B, h, w) grids and >=2-tap
+    # footprints (nearest is a single clamp+index — XLA already optimal)
+    pallas_ok = bool(use_pallas) and jnp.ndim(x) == 3 and interp != "nearest"
     Hp = int(plane.shape[0])
     fn = _sample_spatial_jit(
         mesh, Hp, interp, float(fill), float(sinscl),
         int(logical_rows) if logical_rows is not None else Hp,
-        int(spline_halo))
+        int(spline_halo), pallas_ok,
+        None if tile is None else (int(tile[0]), int(tile[1])),
+        bool(interpret), bool(return_escaped))
     return fn(plane, jnp.asarray(x, jnp.float32),
               jnp.asarray(y, jnp.float32))
 
 
 @functools.lru_cache(maxsize=64)
-def _sample_spatial_jit(mesh, Hp, interp, fill, sinscl, Hg, spline_halo):
+def _sample_spatial_jit(mesh, Hp, interp, fill, sinscl, Hg, spline_halo,
+                        use_pallas=False, tile=None, interpret=False,
+                        return_escaped=False):
     """Jitted sharded gather for one static config (see
     ``_deposit_spatial_jit`` for why the shard_map must be jitted)."""
     ax = _rows_axis(mesh)
     Hl = Hp // _n_bands(mesh)
     pad = Hp - Hg
+    offs = INTERP_OFFSETS[interp]
+    lo, hi = offs[0], offs[-1]
+    # kernel-path band extension: every query owned by this band
+    # (floor(y) in the band) must find its WHOLE tap footprint — and
+    # the clamped images of unowned queries theirs — inside the
+    # extended band; hi-lo+1 covers both with a row to spare
+    halo_i = hi - lo + 1
     if interp == "spline3":
         # mirror-remap validity: every extended-band slot's reflection
         # must land inside the device's own extended range (see
@@ -479,22 +512,36 @@ def _sample_spatial_jit(mesh, Hp, interp, fill, sinscl, Hg, spline_halo):
                 f"({Hl} - {pad}) and band_rows >= 2*pad + 1; got "
                 f"spline_halo={spline_halo} — use more rows per band "
                 "or fewer devices")
+        if use_pallas and spline_halo < halo_i:
+            raise ValueError(
+                f"use_pallas spline3 needs spline_halo >= {halo_i}")
+    if use_pallas and Hl < halo_i:
+        raise ValueError(
+            f"use_pallas sample needs band_rows >= {halo_i} (the "
+            f"interp footprint halo); got {Hl} — use more rows per "
+            "band or fewer devices")
+
+    def _spline_ext(band, row0, halo):
+        """Mirror-remapped ``spline_halo``-extended band, axis-0
+        prefiltered (the global mirror-boundary prefilter restricted
+        to this band — see the sample_spatial docstring)."""
+        ext = halo_exchange(band, halo, ax, edge="zero")
+        # global row of each extended slot, reflected into the
+        # logical rows (mirror: x[-n]=x[n], x[Hg-1+n]=x[Hg-1-n]);
+        # identity for in-image slots, and exactly the rows the
+        # zero-filled edge halos / zero row padding should hold
+        g = row0 - halo + jnp.arange(Hl + 2 * halo)
+        m = jnp.abs(g)
+        m = jnp.where(m >= Hg, 2 * (Hg - 1) - m, m)
+        ext = ext[jnp.clip(m - (row0 - halo), 0, Hl + 2 * halo - 1)]
+        return _bspline3_prefilter_axis(ext, 0)
 
     def shard_fn(band, xs, ys):
         row0 = jax.lax.axis_index(ax) * Hl
         if interp == "spline3":
-            halo = spline_halo
-            ext = halo_exchange(band, halo, ax, edge="zero")
-            # global row of each extended slot, reflected into the
-            # logical rows (mirror: x[-n]=x[n], x[Hg-1+n]=x[Hg-1-n]);
-            # identity for in-image slots, and exactly the rows the
-            # zero-filled edge halos / zero row padding should hold
-            g = row0 - halo + jnp.arange(Hl + 2 * halo)
-            m = jnp.abs(g)
-            m = jnp.where(m >= Hg, 2 * (Hg - 1) - m, m)
-            ext = ext[jnp.clip(m - (row0 - halo), 0, Hl + 2 * halo - 1)]
-            ext = _bspline3_prefilter_axis(ext, 0)
-            band_c = _bspline3_prefilter_axis(ext[halo:halo + Hl], 1)
+            ext = _spline_ext(band, row0, spline_halo)
+            band_c = _bspline3_prefilter_axis(
+                ext[spline_halo:spline_halo + Hl], 1)
             part = _band_sample_partial(band_c, row0, Hg, xs, ys,
                                         interp, sinscl)
         else:
@@ -502,27 +549,67 @@ def _sample_spatial_jit(mesh, Hp, interp, fill, sinscl, Hg, spline_halo):
                                         interp, sinscl)
         return jax.lax.psum(part, ax)
 
+    def shard_fn_pallas(band, xs, ys):
+        """One band's share via the MXU blot kernel: halo-extend,
+        clamp-and-mask by ownership, psum (values, owned-and-valid)."""
+        from ..kernels.blot import sample_cutouts_pallas
+
+        row0 = jax.lax.axis_index(ax) * Hl
+        if interp == "spline3":
+            ext = _spline_ext(band, row0, spline_halo)
+            ext = _bspline3_prefilter_axis(
+                ext[spline_halo - halo_i:spline_halo + Hl + halo_i], 1)
+        else:
+            ext = halo_exchange(band, halo_i, ax, edge="zero")
+        # ownership: floor(y) in this band's rows — identically
+        # y in [row0, row0+Hl), so the float compare needs no floor
+        own = ((ys >= row0) & (ys < row0 + Hl)).astype(jnp.float32)
+        y_loc = jnp.clip(ys - row0.astype(jnp.float32) + halo_i,
+                         halo_i - 0.5, halo_i + Hl)
+        vals_b, valid_b = sample_cutouts_pallas(
+            ext, xs, y_loc, interp=interp,
+            tile=tile or (128, 128), fill=0.0, interpret=interpret,
+            prefiltered=True)
+        okf = valid_b.astype(jnp.float32) * own
+        return jax.lax.psum((vals_b * okf, okf), ax)
+
     sharded = jax.shard_map(
-        shard_fn, mesh=mesh,
+        shard_fn_pallas if use_pallas else shard_fn, mesh=mesh,
         in_specs=(P(ax, None), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P()) if use_pallas else P(),
+        # pallas_call outputs carry no varying-manual-axes metadata
+        check_vma=not use_pallas,
     )
 
     @jax.jit
     def run(plane, xq, yq):
         W = plane.shape[1]
-        vals = sharded(plane, xq, yq)
         if interp == "nearest":
             xi = jnp.floor(xq + 0.5).astype(jnp.int32)
             yi = jnp.floor(yq + 0.5).astype(jnp.int32)
             valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < Hg)
         else:
-            offs = INTERP_OFFSETS[interp]
-            lo, hi = offs[0], offs[-1]
             xi0 = jnp.floor(xq).astype(jnp.int32)
             yi0 = jnp.floor(yq).astype(jnp.int32)
             valid = ((xi0 + lo >= 0) & (xi0 + hi < W)
                      & (yi0 + lo >= 0) & (yi0 + hi < Hg))
-        return jnp.where(valid, vals, fill), valid
+        if use_pallas:
+            vals, okf = sharded(plane, xq, yq)
+            okb = okf > 0.5
+            ok = valid & okb
+            out = jnp.where(ok, vals, fill)
+            if return_escaped:
+                # pixels the XLA path would sample (footprint inside
+                # the global plane) that the owning band's static tile
+                # missed — same semantics as the replicated kernel
+                esc = jnp.sum((valid & ~okb).astype(jnp.int32),
+                              axis=(1, 2))
+                return out, ok, esc
+            return out, ok
+        vals = sharded(plane, xq, yq)
+        out = jnp.where(valid, vals, fill)
+        if return_escaped:  # no static tiles on the XLA path
+            return out, valid, jnp.zeros(xq.shape[0], jnp.int32)
+        return out, valid
 
     return run

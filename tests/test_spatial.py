@@ -212,6 +212,75 @@ class TestSampleSpatial:
         np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
                                    atol=2e-5)
 
+    @pytest.mark.parametrize(
+        "interp", ["linear", "poly3", "poly5", "sinc", "spline3"])
+    def test_pallas_matches_xla(self, mesh, interp):
+        """use_pallas=True runs the replicated MXU blot kernel per band
+        (Mosaic-inside-shard_map) — parity with the XLA tap-gather path
+        on straddling + edge-crossing cutout grids, zero tile escapes
+        at an ample tile."""
+        rng = np.random.default_rng(11)
+        H, W = 100, 64
+        plane = rng.random((H, W)).astype(np.float32)
+        B, h, w = 8, 8, 8
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        # origins: interior, band-straddling (multiples of 13-row
+        # bands), and off-image (top/left/bottom/right edges)
+        oy0 = np.array([20.0, 12.2, 25.7, 51.9, -3.5, 40.0, 95.1, 60.0])
+        ox0 = np.array([10.0, 30.0, 3.3, 40.0, 20.0, -2.7, 30.0, 59.2])
+        xs = (gx[None] + ox0[:, None, None] + 0.37).astype(np.float32)
+        ys = (gy[None] + oy0[:, None, None] + 0.61).astype(np.float32)
+        sp = shard_rows(mesh, jnp.asarray(plane))
+        kw = dict(interp=interp, fill=-7.0, logical_rows=H)
+        if interp == "spline3":
+            kw["spline_halo"] = 9  # band 13, pad 4 (see guard test)
+        v_ref, ok_ref = sample_spatial(mesh, sp, xs, ys, **kw)
+        v_pl, ok_pl, esc = sample_spatial(
+            mesh, sp, xs, ys, use_pallas=True, tile=(32, 32),
+            interpret=True, return_escaped=True, **kw)
+        np.testing.assert_array_equal(np.asarray(esc),
+                                      np.zeros(B, np.int32))
+        np.testing.assert_array_equal(np.asarray(ok_pl),
+                                      np.asarray(ok_ref))
+        # spline3: per-band prefilter truncation on top of matmul-vs-tap
+        # accumulation-order noise
+        atol = 2e-5 if interp == "spline3" else 1e-5
+        np.testing.assert_allclose(np.asarray(v_pl), np.asarray(v_ref),
+                                   atol=atol)
+
+    def test_pallas_tile_escape_counts(self, mesh):
+        """A cutout grid taller than the static tile reports escaped
+        pixels (globally-valid pixels the tile missed) instead of
+        silently filling them."""
+        rng = np.random.default_rng(12)
+        H, W = 100, 64
+        plane = rng.random((H, W)).astype(np.float32)
+        h, w = 24, 8  # 24 rows + poly5 footprint > Th=16 at tile=(8,8)
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        xs = (gx[None] + 20.37).astype(np.float32)
+        ys = (gy[None] + 30.61).astype(np.float32)
+        sp = shard_rows(mesh, jnp.asarray(plane))
+        v_pl, ok_pl, esc = sample_spatial(
+            mesh, sp, xs, ys, interp="poly5", fill=-7.0,
+            logical_rows=H, use_pallas=True, tile=(8, 8),
+            interpret=True, return_escaped=True)
+        assert int(esc[0]) > 0
+        # escaped pixels are filled and invalid; the survivors match
+        v_ref, ok_ref = sample_spatial(mesh, sp, xs, ys, interp="poly5",
+                                       fill=-7.0, logical_rows=H)
+        ok_pl = np.asarray(ok_pl)
+        assert int(esc[0]) == int((np.asarray(ok_ref) & ~ok_pl).sum())
+        np.testing.assert_allclose(np.asarray(v_pl)[ok_pl],
+                                   np.asarray(v_ref)[ok_pl], atol=1e-5)
+
+    def test_pallas_band_rows_guard(self, mesh):
+        sp = shard_rows(mesh, jnp.zeros((16, 16)))  # band 2 rows
+        with pytest.raises(ValueError, match="band_rows >="):
+            sample_spatial(mesh, sp, jnp.zeros((1, 4, 4)),
+                           jnp.zeros((1, 4, 4)), interp="sinc",
+                           logical_rows=16, use_pallas=True,
+                           interpret=True)
+
     def test_spline3_guard(self, mesh):
         sp = shard_rows(mesh, jnp.zeros((100, 16)))  # band 13, pad 4
         with pytest.raises(ValueError, match="spline3 needs"):
