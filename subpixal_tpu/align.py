@@ -390,9 +390,36 @@ def _compact_blocks(data, wht, px, py, idx, valid, block=DEPOSIT_BLOCK):
             take(px, mode="edge"), take(py, mode="edge"))
 
 
+def _compact_blocks_bands(data, wht, px, py, idx, valid,
+                          block=DEPOSIT_BLOCK):
+    """Per-band :func:`_compact_blocks`: (Nb, E, L) indices gather
+    (Nb, E, L·bh, bw) pseudo-image stacks for the spatial sparse
+    deposit (band axis then shards over the mesh rows axis)."""
+    f = partial(_compact_blocks, data, wht, px, py, block=block)
+    return jax.vmap(f)(idx, valid)
+
+
+def _stage_sparse_bands(mesh, data, wht, px, py, idx, valid):
+    """Band-compact and place band-sharded over the mesh rows axis.
+
+    Frames stay replicated — on a 2-D (frames, rows) mesh the sparse
+    spatial deposit reshards its (small, compacted) frame axis per
+    call inside its own jit."""
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    from .parallel.spatial import _rows_axis
+
+    out = _compact_blocks_bands(data, wht, px, py,
+                                jnp.asarray(idx), jnp.asarray(valid))
+    sh = NamedSharding(mesh, _P(_rows_axis(mesh), None, None, None))
+    return tuple(jax.device_put(o, sh) for o in out)
+
+
 def _live_block_indices(bboxes, cut_bb, out_shape,
                         blot_margin: float, corr_margin: float,
-                        block=DEPOSIT_BLOCK) -> tuple[np.ndarray, np.ndarray]:
+                        block=DEPOSIT_BLOCK,
+                        bands: tuple[int, int] | None = None,
+                        ) -> tuple[np.ndarray, np.ndarray]:
     """Input blocks whose deposits can reach any cutout's blot window.
 
     The in-loop re-drizzle exists only so the blot can sample the
@@ -409,6 +436,16 @@ def _live_block_indices(bboxes, cut_bb, out_shape,
     arrays (host cutout-corner bboxes). Returns ``(idx, valid)`` of
     shape (E, L) with L shared across frames (rounded up to 64 for shape
     reuse across similar scenes).
+
+    ``bands=(n_bands, band_rows)``: the spatial (row-band-sharded)
+    variant — a block is live FOR BAND b iff a needed cell lies inside
+    its padded bbox intersected with the band's output rows, so the
+    union over bands keeps exactly the deposits the replicated live set
+    keeps, each performed by the band that owns its rows (out-of-band
+    cells of a straddling block fail the band deposit's bounds check
+    there and are deposited by the neighbor band, which also lists it).
+    Returns ``(idx, valid)`` of shape (n_bands, E, L), L shared across
+    bands and frames.
     """
     Ho, Wo = out_shape
     cell = 8
@@ -435,26 +472,46 @@ def _live_block_indices(bboxes, cut_bb, out_shape,
     cy1 = np.clip(np.ceil((y1 + pad) / cell).astype(int), 0, gh - 1)
     cx0 = np.clip(np.floor((x0 - pad) / cell).astype(int), 0, gw - 1)
     cx1 = np.clip(np.ceil((x1 + pad) / cell).astype(int), 0, gw - 1)
-    cnt = (integ[cy1 + 1, cx1 + 1] - integ[cy0, cx1 + 1]
-           - integ[cy1 + 1, cx0] + integ[cy0, cx0])
     # blocks entirely outside the output grid never deposit
     on_grid = (y1 + pad >= 0) & (y0 - pad < Ho) \
         & (x1 + pad >= 0) & (x0 - pad < Wo)
-    live = (cnt > 0) & on_grid  # (E, nb)
 
-    E = live.shape[0]
-    L = max(int(live.sum(1).max()), 1)
-    L = -(-L // 64) * 64  # bucket: shape reuse across similar scenes
-    L = min(L, live.shape[1])
-    idx = np.zeros((E, L), np.int64)
-    valid = np.zeros((E, L), bool)
-    for e in range(E):
-        ids = np.flatnonzero(live[e])[:L]
-        idx[e, :len(ids)] = ids
-        # pads repeat the first live block (weight-0'd in _compact_blocks)
-        idx[e, len(ids):] = ids[0] if len(ids) else 0
-        valid[e, :len(ids)] = True
-    return idx, valid
+    def _cnt(ry0, ry1):
+        """Needed cells inside each block's padded bbox with its cell
+        row range clipped to [ry0, ry1] (empty ranges count zero)."""
+        a0 = np.maximum(cy0, ry0)
+        a1 = np.minimum(cy1, ry1)
+        c = (integ[a1 + 1, cx1 + 1] - integ[a0, cx1 + 1]
+             - integ[a1 + 1, cx0] + integ[a0, cx0])
+        return np.where(a0 <= a1, c, 0)
+
+    def _pack(live):
+        E = live.shape[0]
+        L = max(int(live.sum(1).max()), 1)
+        L = -(-L // 64) * 64  # bucket: shape reuse across similar scenes
+        L = min(L, live.shape[1])
+        idx = np.zeros((E, L), np.int64)
+        valid = np.zeros((E, L), bool)
+        for e in range(E):
+            ids = np.flatnonzero(live[e])[:L]
+            idx[e, :len(ids)] = ids
+            # pads repeat the first live block (weight-0'd in
+            # _compact_blocks)
+            idx[e, len(ids):] = ids[0] if len(ids) else 0
+            valid[e, :len(ids)] = True
+        return idx, valid
+
+    if bands is None:
+        return _pack((_cnt(0, gh - 1) > 0) & on_grid)  # (E, nb)
+
+    n_bands, Hl_b = bands
+    live_b = np.stack([
+        (_cnt((b * Hl_b) // cell,
+              min(((b + 1) * Hl_b - 1) // cell, gh - 1)) > 0) & on_grid
+        for b in range(n_bands)])                       # (Nb, E, nb)
+    Nb, E, nb = live_b.shape
+    idx, valid = _pack(live_b.reshape(Nb * E, nb))
+    return (idx.reshape(Nb, E, -1), valid.reshape(Nb, E, -1))
 
 
 _STEP_CACHE: dict = {}
@@ -519,7 +576,9 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
     def step(Ms, ts, exp_data, exp_wht, dri_px, dri_py,
              cut_px, cut_py, img_cut, img_msk, seg_cut, jac, xy0,
              src_w, src_valid, *big_args):
-        E = exp_data.shape[0]
+        # E from the cutout batch: under the spatial sparse deposit
+        # exp_data is the (Nb, E, L·bh, bw) band-compacted stack
+        E = cut_px.shape[0]
         N = cut_px.shape[1]
         h, w = cut_shape
         if big_shape is not None:
@@ -564,6 +623,27 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             return s, wgt, jnp.int32(0)
 
         def drizzle_all(Ms_, ts_):
+            if spatial_mesh is not None and exp_data.ndim == 4:
+                # band-local sparse live set (round 4): exp_data etc.
+                # are (Nb, E, L·bh, bw) band-compacted pseudo-images
+                # (align setup · _compact_blocks_bands), band axis
+                # sharded over the mesh rows axis — each band deposits
+                # only the blocks whose output can reach a blot-needed
+                # cell in ITS rows. Same margin policing / self-heal
+                # as the replicated sparse path (info['max_corr']).
+                from .parallel.spatial import (
+                    drizzle_deposit_sparse_spatial)
+
+                px, py = _affine_apply_grid(
+                    Ms_[None, :, None, None], ts_[None, :, None, None],
+                    dri_px, dri_py)                    # (Nb,E,Lbh,bw)
+                sci, wht = drizzle_deposit_sparse_spatial(
+                    spatial_mesh, exp_data, exp_wht, px, py, out_shape,
+                    pixfrac=cfg.pixfrac,
+                    pscale_ratio=tuple(float(r) for r in dri_ratios),
+                    kernel=cfg.kernel, use_pallas=pallas)
+                return (drizzle_combine(sci, wht),
+                        jnp.zeros(E, jnp.int32))
             if (spatial_mesh is not None
                     and len(spatial_mesh.axis_names) == 2):
                 # 2-D (frames, rows) mesh: ONE stack deposit — frames
@@ -1426,23 +1506,21 @@ def align_images(
 
         spatial_pallas = (_resolve_pallas(cfg.use_pallas)
                           and jax.default_backend() in ("tpu", "axon"))
-        forced = [k for k, v in (("use_pallas", cfg.use_pallas is True
-                                  and not spatial_pallas),
-                                 ("sparse_deposit",
-                                  cfg.sparse_deposit is True)) if v]
-        if forced:
+        if cfg.use_pallas is True and not spatial_pallas:
             import warnings as _warnings
 
             _warnings.warn(
-                f"spatial_mesh align forces {forced} off (the spatial "
-                "gather/sparse paths are XLA and dense; the Pallas band "
-                "deposit needs a TPU backend)",
+                "spatial_mesh align forces use_pallas off (the Mosaic "
+                "kernels inside shard_map need a TPU backend)",
                 stacklevel=2)
         # device_loop composes: shard_map inside lax.while_loop inside
         # jit works, so the on-device fixed point (one host sync total)
-        # stays available under a spatial mesh
-        cfg = dataclasses.replace(cfg, use_pallas=spatial_pallas,
-                                  sparse_deposit=False)
+        # stays available under a spatial mesh. sparse_deposit composes
+        # too (round 4): the live set is computed PER BAND and the
+        # band-compacted pseudo-images shard over the rows axis
+        # (_live_block_indices(bands=...) / drizzle_deposit_sparse_
+        # spatial).
+        cfg = dataclasses.replace(cfg, use_pallas=spatial_pallas)
     if cfg.match_sky or cfg.static_mask or cfg.reject_cr:
         # these stages modify data/weights; keep the caller's Exposure
         # objects untouched (align_images' no-mutation contract)
@@ -2072,21 +2150,37 @@ def align_images(
         # the total correction magnitude each iteration
         # (info['max_corr']) and the loop warns when it exceeds the
         # live-set margin.
+        sp_bands = None
+        if spatial_mesh is not None:
+            # band-local live set (round 4): block i enters band b's
+            # set iff a needed cell lies in its padded bbox ∩ the
+            # band's rows — per-device deposit work drops from ALL
+            # blocks to the band's live count
+            from .parallel.spatial import _n_bands, band_rows
+
+            sp_bands = (_n_bands(spatial_mesh),
+                        band_rows(spatial_mesh, out_shape[0]))
         idx, valid_b = _live_block_indices(
             bb, cut_bb, out_shape,
             blot_margin=float(margin + 4),
-            corr_margin=float(reach + margin + 1))
+            corr_margin=float(reach + margin + 1), bands=sp_bands)
         nb_total = int(bb[0].shape[1])
-        if idx.shape[1] < 0.85 * nb_total:  # compaction must pay for
-            dep_data, dep_wht, dep_px, dep_py = _compact_blocks(
-                exp_data, exp_wht, dri_px_j, dri_py_j,
-                jnp.asarray(idx), jnp.asarray(valid_b))
+        if idx.shape[-1] < 0.85 * nb_total:  # compaction must pay for
+            if sp_bands is not None:
+                dep_data, dep_wht, dep_px, dep_py = _stage_sparse_bands(
+                    spatial_mesh, exp_data, exp_wht, dri_px_j, dri_py_j,
+                    idx, valid_b)
+            else:
+                dep_data, dep_wht, dep_px, dep_py = _compact_blocks(
+                    exp_data, exp_wht, dri_px_j, dri_py_j,
+                    jnp.asarray(idx), jnp.asarray(valid_b))
             sparse_corr_margin = float(margin)
-            sparse_ctx = dict(bb=bb, nb_total=nb_total)  # for self-heal
+            sparse_ctx = dict(bb=bb, nb_total=nb_total,
+                              bands=sp_bands)  # for self-heal
             # fraction of the frame's input blocks the deposit still
             # walks (the compression the sparse path achieves)
             setup_breakdown["sparse_live_frac"] = round(
-                idx.shape[1] / nb_total, 4)
+                idx.shape[-1] / nb_total, 4)
         t = _mark("sparse_blocks", t)
 
     Ms = jnp.tile(jnp.eye(2, dtype=jnp.float32)[None], (E, 1, 1))
@@ -2242,10 +2336,16 @@ def align_images(
             idx2, valid2 = _live_block_indices(
                 sparse_ctx["bb"], heal_bb, out_shape,
                 blot_margin=float(margin + 4),
-                corr_margin=float(reach + margin + 1))
-            dd, dw, dpx, dpy = _compact_blocks(
-                exp_data, exp_wht, dri_px_j, dri_py_j,
-                jnp.asarray(idx2), jnp.asarray(valid2))
+                corr_margin=float(reach + margin + 1),
+                bands=sparse_ctx.get("bands"))
+            if sparse_ctx.get("bands") is not None:
+                dd, dw, dpx, dpy = _stage_sparse_bands(
+                    spatial_mesh, exp_data, exp_wht, dri_px_j,
+                    dri_py_j, idx2, valid2)
+            else:
+                dd, dw, dpx, dpy = _compact_blocks(
+                    exp_data, exp_wht, dri_px_j, dri_py_j,
+                    jnp.asarray(idx2), jnp.asarray(valid2))
             if mesh is not None:
                 from jax.sharding import PartitionSpec as _PS
 
@@ -2267,7 +2367,7 @@ def align_images(
                 args = [dd, dw, dpx, dpy] + list(args[4:])
             _heal["margin"] = float(max_corr + margin)
             setup_breakdown["sparse_live_frac"] = round(
-                idx2.shape[1] / sparse_ctx["nb_total"], 4)
+                idx2.shape[-1] / sparse_ctx["nb_total"], 4)
             setup_breakdown["sparse_heals"] = _heal["attempts"]
             return True
         if not _corr_warned[0]:

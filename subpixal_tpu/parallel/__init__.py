@@ -25,6 +25,7 @@ from .sharding import (
 from .spatial import (
     band_rows,
     drizzle_deposit_spatial,
+    drizzle_deposit_sparse_spatial,
     drizzle_deposit_stack_spatial,
     gather_rows,
     halo_exchange,
@@ -45,6 +46,7 @@ __all__ = [
     "halo_exchange",
     "make_mesh2d",
     "drizzle_deposit_spatial",
+    "drizzle_deposit_sparse_spatial",
     "drizzle_deposit_stack_spatial",
     "sample_spatial",
     "init_distributed",

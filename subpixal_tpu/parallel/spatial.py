@@ -52,6 +52,7 @@ __all__ = [
     "halo_exchange",
     "make_mesh2d",
     "drizzle_deposit_spatial",
+    "drizzle_deposit_sparse_spatial",
     "drizzle_deposit_stack_spatial",
     "sample_spatial",
 ]
@@ -373,6 +374,142 @@ def _deposit_stack_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
             yo = jnp.pad(yo, zpad)
             ridx = jnp.pad(ridx, (0, pad))
         return sharded(data, w, xo, yo, ridx)
+
+    return run
+
+
+def drizzle_deposit_sparse_spatial(
+    mesh: Mesh,
+    data: jax.Array,
+    wht: jax.Array,
+    x_out: jax.Array,
+    y_out: jax.Array,
+    out_shape: tuple[int, int],
+    pixfrac: float = 1.0,
+    pscale_ratio=1.0,
+    kernel: str = "square",
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Band-compacted sparse deposit onto a row-sharded plane.
+
+    ``data``/``wht``/``x_out``/``y_out`` are ``(Nb, E, L·bh, bw)``
+    per-band pseudo-image stacks (``align._compact_blocks_bands``):
+    each band's entry holds only the input blocks whose deposits can
+    reach a blot-needed output cell INSIDE that band's rows — the
+    spatial restriction of the replicated sparse live set, so the band
+    union reproduces its deposits exactly (a straddling block appears
+    in every band its padded bbox touches; out-of-band cells fail each
+    band deposit's own bounds check). The band axis shards over the
+    mesh rows axis; on a 2-D ``(frames, rows)`` mesh the frame axis
+    shards over the frames axis (``E`` zero-padded internally) and the
+    band accumulators ``psum`` over it.
+
+    ``pscale_ratio`` scalar or per-frame sequence (``lax.switch``
+    branches, as :func:`drizzle_deposit_stack_spatial`).
+    ``use_pallas=True`` deposits each pseudo-image with the Mosaic
+    matmul kernel inside shard_map (TPU backends; ``interpret=True``
+    for CPU parity tests); ``tophat`` falls back to XLA.
+    """
+    Nb, E = int(jnp.shape(data)[0]), int(jnp.shape(data)[1])
+    if Nb != _n_bands(mesh):
+        raise ValueError(
+            f"band axis {Nb} != mesh rows axis {_n_bands(mesh)}")
+    ratios = (tuple(float(r) for r in pscale_ratio)
+              if hasattr(pscale_ratio, "__len__")
+              else (float(pscale_ratio),) * E)
+    if len(ratios) != E:
+        raise ValueError(
+            f"pscale_ratio: expected {E} per-frame values, got "
+            f"{len(ratios)}")
+    fn = _deposit_sparse_spatial_jit(
+        mesh, (int(out_shape[0]), int(out_shape[1])), float(pixfrac),
+        ratios, kernel, bool(use_pallas) and kernel != "tophat",
+        bool(interpret))
+    return fn(jnp.asarray(data, jnp.float32),
+              jnp.asarray(wht, jnp.float32),
+              jnp.asarray(x_out, jnp.float32),
+              jnp.asarray(y_out, jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _deposit_sparse_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
+                                use_pallas=False, interpret=False):
+    """Jitted band-sparse deposit for one static config (see
+    ``_deposit_spatial_jit`` for why the shard_map must be jitted)."""
+    ax = _rows_axis(mesh)
+    two_d = len(mesh.axis_names) == 2
+    fax = mesh.axis_names[0] if two_d else None
+    Nf = int(mesh.shape[fax]) if two_d else 1
+    Ho, Wo = out_shape
+    Hl = band_rows(mesh, Ho)
+    E = len(ratios)
+    uniq = tuple(sorted(set(ratios)))
+    ridx_np = np.asarray([uniq.index(r) for r in ratios], np.int32)
+    pad = (-E) % Nf
+    El = (E + pad) // Nf
+
+    def _branch(ratio):
+        if use_pallas:
+            from ..kernels.drizzle import drizzle_deposit_pallas
+
+            def f(d_, w_, x_, y_):
+                return drizzle_deposit_pallas(
+                    d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
+                    pscale_ratio=ratio, kernel=kernel,
+                    interpret=interpret)
+        else:
+            def f(d_, w_, x_, y_):
+                return drizzle_deposit(
+                    d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
+                    pscale_ratio=ratio, kernel=kernel)
+        return f
+
+    def shard_fn(d, w, xs, ys, ri):
+        # d: (1, El, L·bh, bw) — this band's blocks, local frame slots
+        row0 = (jax.lax.axis_index(ax) * Hl).astype(jnp.float32)
+        sci = jnp.zeros((Hl, Wo), jnp.float32)
+        whtb = jnp.zeros((Hl, Wo), jnp.float32)
+        branches = [_branch(r) for r in uniq]
+        for e in range(El):  # static unroll; local frame count is small
+            if len(branches) == 1:
+                s, ww = branches[0](d[0, e], w[0, e], xs[0, e],
+                                    ys[0, e] - row0)
+            else:
+                s, ww = jax.lax.switch(ri[e], branches, d[0, e], w[0, e],
+                                       xs[0, e], ys[0, e] - row0)
+            sci = sci + s
+            whtb = whtb + ww
+        keep = (row0 + jax.lax.iota(jnp.float32, Hl) < Ho)[:, None]
+        sci = sci * keep
+        whtb = whtb * keep
+        if two_d:  # band-sized psum over the frames axis only
+            sci = jax.lax.psum(sci, fax)
+            whtb = jax.lax.psum(whtb, fax)
+        return sci, whtb
+
+    spec_in = (P(ax, fax, None, None) if two_d
+               else P(ax, None, None, None))
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec_in,) * 4 + ((P(fax),) if two_d else (P(),)),
+        out_specs=(P(ax, None), P(ax, None)),
+        # pallas_call outputs carry no varying-manual-axes metadata;
+        # the deposit is band-exact so the looser check is safe
+        check_vma=not use_pallas,
+    )
+
+    @jax.jit
+    def run(data, wht, xo, yo):
+        ridx = jnp.asarray(ridx_np)
+        if pad:  # zero-weight frame slots deposit nothing
+            zpad = ((0, 0), (0, pad), (0, 0), (0, 0))
+            data = jnp.pad(data, zpad)
+            wht = jnp.pad(wht, zpad)
+            xo = jnp.pad(xo, zpad)
+            yo = jnp.pad(yo, zpad)
+            ridx = jnp.pad(ridx, (0, pad))
+        return sharded(data, wht, xo, yo, ridx)
 
     return run
 
