@@ -1499,9 +1499,7 @@ def align_images(
         # matmul kernels inside shard_map on TPU backends (probed
         # working on v5e 2026-08-19; 1-D per-frame deposit + per-band
         # ownership-masked gather — the 2-D stack deposit stays XLA).
-        # Everything else Pallas assumes a replicated plane, so on
-        # non-TPU backends (and for sparse_deposit always) the flags
-        # are forced off as before.
+        # On non-TPU backends use_pallas is forced off as before.
         from .kernels import use_pallas as _resolve_pallas
 
         spatial_pallas = (_resolve_pallas(cfg.use_pallas)
