@@ -346,14 +346,31 @@ def find_displacement_packed(
     s0y = (flat // nx).astype(jnp.int32) + lag_y0
     s0x = (flat % nx).astype(jnp.int32) + lag_x0
 
-    # upsampled window: per-cutout integer-shift phase twist (packed)
+    # upsampled window: per-cutout integer-shift phase twist (packed).
+    # The twist is separable (row diag × column diag), so the FULL
+    # twisted spectrum never materializes: the ROW twist rides the row
+    # contraction's operands as broadcast elementwise (XLA fuses it
+    # into the matmul load — single consumer each), and the COLUMN
+    # twist lands on the (nwin, Wr, B) post-contraction intermediate,
+    # H/nwin = 4× smaller. Honest measurement: replacing the earlier
+    # full-twist form (four (H, Wr, B) arrays — Tr/Ti outer products +
+    # Gdr/Gdi) moved the headline batch only 77.9 → 77.5 µs (v5e,
+    # hardened timer, within run-to-run spread) — the Gr/Gi re-reads
+    # the fused form adds offset the materializations it removes; it is
+    # kept for the smaller op graph, not a traffic win. Fourth data
+    # point for the closed HLO-steering question (architecture.md).
     Dyr, Dyi = _phase_diag_packed(s0y, H, H)     # (H, B)
     Dxr, Dxi = _phase_diag_packed(s0x, Wr, W)    # (Wr, B)
-    Tr = Dyr[:, None, :] * Dxr[None, :, :] - Dyi[:, None, :] * Dxi[None, :, :]
-    Ti = Dyr[:, None, :] * Dxi[None, :, :] + Dyi[:, None, :] * Dxr[None, :, :]
-    Gdr = Gr * Tr - Gi * Ti
-    Gdi = Gr * Ti + Gi * Tr
-    Cu = _readout_stacked(Gdr, Gdi, Ky2, Kx2w[0], Kx2w[1], nwin, _P_READOUT)
+    G1r = Gr * Dyr[:, None, :] - Gi * Dyi[:, None, :]
+    G1i = Gr * Dyi[:, None, :] + Gi * Dyr[:, None, :]
+    Sr = jnp.einsum("iu,uvb->ivb", Ky2, G1r, precision=_P_READOUT)
+    Si = jnp.einsum("iu,uvb->ivb", Ky2, G1i, precision=_P_READOUT)
+    Ar = Sr[:nwin] - Si[nwin:]         # Re(Ky @ (G ⊙ Dy))
+    Ai = Si[:nwin] + Sr[nwin:]         # Im(Ky @ (G ⊙ Dy))
+    A2r = Ar * Dxr[None, :, :] - Ai * Dxi[None, :, :]
+    A2i = Ar * Dxi[None, :, :] + Ai * Dxr[None, :, :]
+    Cu = (jnp.einsum("jv,ivb->ijb", Kx2w[0], A2r, precision=_P_READOUT)
+          - jnp.einsum("jv,ivb->ijb", Kx2w[1], A2i, precision=_P_READOUT))
     # DC subtraction (deferred path only) + inverse-DFT 1/n, on the
     # TINY window only
     Cu = (Cu / n if g00 is None else (Cu - g00[None, None, :]) / n)
