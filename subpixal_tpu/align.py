@@ -662,7 +662,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                     spatial_mesh, exp_data, exp_wht, px, py, out_shape,
                     pixfrac=cfg.pixfrac,
                     pscale_ratio=tuple(float(r) for r in dri_ratios),
-                    kernel=cfg.kernel)
+                    kernel=cfg.kernel, use_pallas=pallas)
                 return (drizzle_combine(sci, wht),
                         jnp.zeros(E, jnp.int32))
             # spatial mode: the accumulators inherit the first deposit's

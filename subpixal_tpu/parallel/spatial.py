@@ -270,6 +270,8 @@ def drizzle_deposit_stack_spatial(
     pixfrac: float = 1.0,
     pscale_ratio=1.0,
     kernel: str = "square",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Deposit an ``(E, H, W)`` exposure stack over a 2-D ``(frames,
     rows)`` mesh: frames shard for THROUGHPUT, output rows shard for
@@ -305,7 +307,8 @@ def drizzle_deposit_stack_spatial(
             f"{len(ratios)}")
     fn = _deposit_stack_spatial_jit(
         mesh, (int(out_shape[0]), int(out_shape[1])), float(pixfrac),
-        ratios, kernel, wht is None)
+        ratios, kernel, wht is None,
+        bool(use_pallas) and kernel != "tophat", bool(interpret))
     return fn(jnp.asarray(data, jnp.float32),
               None if wht is None else jnp.asarray(wht, jnp.float32),
               jnp.asarray(x_out, jnp.float32),
@@ -314,9 +317,13 @@ def drizzle_deposit_stack_spatial(
 
 @functools.lru_cache(maxsize=64)
 def _deposit_stack_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
-                               no_wht):
+                               no_wht, use_pallas=False, interpret=False):
     """Jitted 2-D-mesh stack deposit for one static config (see
-    ``_deposit_spatial_jit`` for why the shard_map must be jitted)."""
+    ``_deposit_spatial_jit`` for why the shard_map must be jitted).
+
+    ``use_pallas=True`` runs each local frame slot's band deposit as
+    the Mosaic matmul kernel inside shard_map (like the 1-D band
+    deposit; ``interpret=True`` for CPU parity tests)."""
     fax, rax = mesh.axis_names
     Nf = mesh.shape[fax]
     Ho, Wo = out_shape
@@ -328,10 +335,19 @@ def _deposit_stack_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
     El = (E + pad) // Nf
 
     def _branch(ratio):
-        def f(d_, w_, x_, y_):
-            return drizzle_deposit(
-                d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
-                pscale_ratio=ratio, kernel=kernel)
+        if use_pallas:
+            from ..kernels.drizzle import drizzle_deposit_pallas
+
+            def f(d_, w_, x_, y_):
+                return drizzle_deposit_pallas(
+                    d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
+                    pscale_ratio=ratio, kernel=kernel,
+                    interpret=interpret)
+        else:
+            def f(d_, w_, x_, y_):
+                return drizzle_deposit(
+                    d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
+                    pscale_ratio=ratio, kernel=kernel)
         return f
 
     def shard_fn(d, wl, xl, yl, ri):
@@ -357,6 +373,9 @@ def _deposit_stack_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
         shard_fn, mesh=mesh,
         in_specs=(P(fax, None, None),) * 4 + (P(fax),),
         out_specs=(P(rax, None), P(rax, None)),
+        # pallas_call outputs carry no varying-manual-axes metadata;
+        # the deposit is band-exact so the looser check is safe
+        check_vma=not use_pallas,
     )
 
     @jax.jit

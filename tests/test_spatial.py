@@ -326,6 +326,31 @@ class TestMesh2D:
         np.testing.assert_allclose(gather_rows(w_sh, H), w_ref,
                                    atol=1e-5, rtol=1e-4)
 
+    def test_stack_deposit_pallas_matches_xla(self, mesh2):
+        """use_pallas=True runs each local frame slot's band deposit as
+        the Mosaic matmul kernel inside the 2-D shard_map (round 4 —
+        previously only the 1-D band deposit had the Pallas path);
+        interpreter mode pins CPU parity with the XLA stack deposit."""
+        rng = np.random.default_rng(10)
+        H, W = 100, 48
+        E = 3
+        data = rng.random((E, 40, 36)).astype(np.float32)
+        wht = rng.random((E, 40, 36)).astype(np.float32)
+        gx = np.stack([_pixmap(40, 36, tx=1.0 + 2 * k)[0]
+                       for k in range(E)])
+        gy = np.stack([_pixmap(40, 36, ty=2.0 - k)[1] for k in range(E)])
+        s_x, w_x = drizzle_deposit_stack_spatial(
+            mesh2, data, wht, gx, gy, (H, W), pixfrac=0.9)
+        s_p, w_p = drizzle_deposit_stack_spatial(
+            mesh2, data, wht, gx, gy, (H, W), pixfrac=0.9,
+            use_pallas=True, interpret=True)
+        np.testing.assert_allclose(gather_rows(s_p, H),
+                                   gather_rows(s_x, H),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(gather_rows(w_p, H),
+                                   gather_rows(w_x, H),
+                                   atol=1e-5, rtol=1e-4)
+
     def test_stack_deposit_mixed_pscale_ratios(self, mesh2):
         """VERDICT r3 task 6: a two-pscale stack (two-camera mosaic)
         on the 2-D (frames, rows) mesh matches the per-frame deposits
