@@ -256,7 +256,9 @@ def test_spatial_sparse_self_heal_recovers(mesh):
     from test_sparse_deposit import _warning_scene
 
     def scene():
-        exps = _warning_scene(E=3, seed=21)
+        # 256 rows (vs the mesh test's 512): the heal still fires and
+        # the suite saves ~40 s of CPU shard_map compiles
+        exps = _warning_scene(shape=(256, 1024), E=3, seed=21)
         e2 = exps[2]
         bad = e2.wcs.replace(crpix=e2.wcs.crpix + np.array([30.0, 0.0]))
         return exps[:2] + [Exposure(e2.data.copy(), bad, name=e2.name)]
