@@ -14,7 +14,10 @@ Supported:
 * BITPIX 8 / 16 / 32 / 64 / -32 / -64, BSCALE/BZERO scaling, big-endian;
 * header cards: logical, integer, float, string (with quote escaping),
   HISTORY/COMMENT, END; EXTNAME/EXTVER lookup (``hdul["SCI", 2]``-style);
-* in-place header updates + rewrite (the align loop's WCS write-back).
+* in-place header updates + rewrite (the align loop's WCS write-back);
+* gzip compression: ``read_fits`` detects gzip magic bytes regardless
+  of suffix (archive ``.fits.gz`` deliveries), ``write_fits`` emits
+  gzip when the path ends in ``.gz``.
 
 Not supported (and not needed here): ASCII/binary tables, random groups,
 tile compression, CONTINUE long strings.
@@ -295,9 +298,19 @@ class HDUList(list):
 
 
 def read_fits(path: str | os.PathLike) -> HDUList:
-    """Read all HDUs of a FITS file into memory."""
+    """Read all HDUs of a FITS file into memory.
+
+    Gzip-compressed files (``.fits.gz`` — the archive-delivery form of
+    most HST/JWST products) are detected by their magic bytes and
+    decompressed transparently, matching ``astropy.io.fits.open``'s
+    behavior (SURVEY.md §1 Host I/O).
+    """
     with open(path, "rb") as f:
         buf = f.read()
+    if buf[:2] == b"\x1f\x8b":  # gzip magic, regardless of suffix
+        import gzip
+
+        buf = gzip.decompress(buf)
     hdus = HDUList()
     offset = 0
     while offset < len(buf):
@@ -415,6 +428,9 @@ def write_fits(path: str | os.PathLike, hdus: list[HDU] | HDU,
     must never leave a truncated file — the killed-run recovery story
     ("resume from the last written headers") depends on the previous
     intact version surviving any interruption.
+
+    A ``.gz`` suffix writes gzip-compressed output (mtime pinned to 0
+    so identical pixels produce identical bytes).
     """
     if isinstance(hdus, HDU):
         hdus = [hdus]
@@ -423,11 +439,16 @@ def write_fits(path: str | os.PathLike, hdus: list[HDU] | HDU,
     path = os.fspath(path)
     tmp = path + f".tmp{os.getpid()}"
     try:
+        payload = b"".join(
+            _serialize_header(h.header, h.data, primary=(i == 0))
+            + _serialize_data(h.data)
+            for i, h in enumerate(hdus))
+        if path.endswith(".gz"):
+            import gzip
+
+            payload = gzip.compress(payload, mtime=0)
         with open(tmp, "wb") as f:
-            for i, h in enumerate(hdus):
-                f.write(_serialize_header(h.header, h.data,
-                                          primary=(i == 0)))
-                f.write(_serialize_data(h.data))
+            f.write(payload)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):  # pragma: no cover - error cleanup

@@ -124,3 +124,33 @@ def test_long_string_card_keeps_quote(tmp_path):
     v = back.header["LONGVAL"]
     assert isinstance(v, str) and set(v) == {"x"}, v  # clean truncation
     assert any("truncated" in str(w.message) for w in rec)
+
+
+def test_gzip_roundtrip(tmp_path):
+    """.fits.gz write + read (suffix-driven write, magic-byte read —
+    including a gz payload hiding behind a plain .fits name)."""
+    import gzip
+    import shutil
+
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(9, 13)).astype(np.float32)
+    hdr = Header()
+    hdr["OBJECT"] = "gztest"
+    p = tmp_path / "x.fits.gz"
+    write_fits(p, HDU(data=data, header=hdr))
+    raw = p.read_bytes()
+    assert raw[:2] == b"\x1f\x8b"  # actually gzip on disk
+    back = read_fits(p)
+    np.testing.assert_array_equal(back[0].data, data)
+    assert back[0].header["OBJECT"] == "gztest"
+    # magic-byte detection: same bytes under a non-.gz name still read
+    p2 = tmp_path / "renamed.fits"
+    shutil.copyfile(p, p2)
+    np.testing.assert_array_equal(read_fits(p2)[0].data, data)
+    # deterministic output (mtime pinned): rewrite produces same bytes
+    write_fits(p, HDU(data=data, header=hdr))
+    assert p.read_bytes() == raw
+    # and a plain write of the same HDUs matches the decompressed bytes
+    p3 = tmp_path / "plain.fits"
+    write_fits(p3, HDU(data=data, header=hdr))
+    assert gzip.decompress(raw) == p3.read_bytes()
