@@ -397,10 +397,15 @@ def _serialize_header(hdr: Header, data: np.ndarray | None,
         if key in reserved:
             continue
         cards.append(_make_card(key, val, hdr.get_comment(key)))
+    # commentary text wraps at the 72-char card payload instead of
+    # truncating (astropy behavior — long align HISTORY records carry
+    # full affine matrices that a silent cut would corrupt)
     for h in hdr.history:
-        cards.append(_make_card("HISTORY", h))
+        for k in range(0, max(len(str(h)), 1), 72):
+            cards.append(_make_card("HISTORY", str(h)[k:k + 72]))
     for c in hdr.comments_raw:
-        cards.append(_make_card("COMMENT", c))
+        for k in range(0, max(len(str(c)), 1), 72):
+            cards.append(_make_card("COMMENT", str(c)[k:k + 72]))
     cards.append(b"END".ljust(CARD))
     blob = b"".join(cards)
     pad = (-len(blob)) % BLOCK

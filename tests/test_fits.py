@@ -154,3 +154,16 @@ def test_gzip_roundtrip(tmp_path):
     p3 = tmp_path / "plain.fits"
     write_fits(p3, HDU(data=data, header=hdr))
     assert gzip.decompress(raw) == p3.read_bytes()
+
+
+def test_long_history_wraps_not_truncates(tmp_path):
+    """Commentary text beyond one card's 72-char payload wraps across
+    cards (align HISTORY records carry full affine matrices)."""
+    long = "matrix=" + ",".join(f"{v:.8f}" for v in np.linspace(0, 1, 12))
+    assert len(long) > 72
+    hdr = Header()
+    hdr.add_history(long)
+    p = tmp_path / "h.fits"
+    write_fits(p, HDU(data=np.zeros((2, 2), np.float32), header=hdr))
+    back = read_fits(p)[0].header
+    assert "".join(back.history) == long
