@@ -495,8 +495,9 @@ def bench_align_spatial():
     validated by the driver's CPU-mesh dryrun instead (one real chip
     here). Since round 4 spatial mode runs the Mosaic kernels inside
     shard_map on TPU backends (band deposit + ownership-masked blot
-    gather), so the remaining gap to ``align_iter_ms`` is the psum'd
-    gather collective and the absent sparse in-loop deposit
+    gather) AND the band-local sparse in-loop deposit
+    (sparse_deposit='auto' engages it when compaction pays), so the
+    remaining gap to ``align_iter_ms`` is the psum'd gather collective
     (docs/roadmap.md §Spatial).
 
     Runs LAST (see main()): its compiles are the longest of the bench
@@ -522,11 +523,15 @@ def bench_align_spatial():
     assert err_mpix < 10.0, f"spatial align fit error {err_mpix:.2f} mpix"
     iters = [recs[0].iter_s for recs in res.history]
     steady = iters[1:] or iters
-    return {
+    out = {
         "align_spatial_iter_ms": round(1e3 * float(np.median(steady)), 1),
         "align_spatial_fit_err_mpix": round(err_mpix, 3),
         "align_spatial_setup_s": round(res.setup_s, 2),
     }
+    if "sparse_live_frac" in res.setup_breakdown:  # band-sparse engaged
+        out["align_spatial_sparse_live_frac"] = (
+            res.setup_breakdown["sparse_live_frac"])
+    return out
 
 
 def main():
