@@ -71,19 +71,26 @@ _P_READOUT = {
       jax.lax.Precision.HIGHEST)
 
 #: COARSE windowed-surface precision. The windowed coarse lags feed ONLY
-#: an integer argmax — a relative surface error of 2^-18 (HIGH) cannot
-#:flip the argmax between lags unless two lag values agree to ~4e-6 of
-#: the peak, in which case they straddle the true peak and either choice
-#: keeps the true peak inside the ±(nwin/2)/usfac upsampled window — so
-#: HIGH is exactly as accurate as HIGHEST here and halves the coarse
-#: chain's MXU passes (~6.5 us of 97 us at 500x64^2, v5e). The subpixel
-#: read-out (_P_READOUT) stays HIGHEST by default; this knob only
-#: affects which integer lag the refinement window is centered on.
+#: an integer argmax — a relative surface error of eps cannot flip the
+#: argmax between lags unless two lag values agree to ~eps of the
+#: surface scale, in which case they straddle the true peak and either
+#: choice keeps the true peak inside the ±(nwin/2)/usfac upsampled
+#: window (a flip to a FAR lag needs a far value within eps of the
+#: peak — a near-flat surface no precision tier measures meaningfully).
+#: That argument holds down to single-pass bf16 (eps ≈ 2^-8): DEFAULT
+#: measured BIT-IDENTICAL displacements to HIGH/HIGHEST on the 500x64²
+#: headline workload (rmse vs the f64 reference 0.0142 mpix, unchanged
+#: to 4 decimals) while cutting the coarse chain to one MXU pass —
+#: 6.45 → 6.93 M cc/s end-to-end (v5e, hardened timer, 2026-08-20).
+#: The subpixel read-out (_P_READOUT) stays HIGHEST by default; this
+#: knob only affects which integer lag the refinement window is
+#: centered on. Override with SUBPIXAL_TPU_COARSE_PRECISION=
+#: high|highest (read at trace time).
 _P_COARSE = {
     "highest": jax.lax.Precision.HIGHEST,
-    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
 }.get(_os.environ.get("SUBPIXAL_TPU_COARSE_PRECISION", "").lower(),
-      jax.lax.Precision.HIGH)
+      jax.lax.Precision.DEFAULT)
 
 
 class Displacement(NamedTuple):
