@@ -926,7 +926,7 @@ def _build_mesh_step_cached(cfg, mesh, *rest):
 
 def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
                      fitgeom, dri_ratios: tuple, pallas: bool,
-                     blot_tile, driz_tile, E: int):
+                     blot_tile, driz_tile, E: int, big_hw=None):
     """The full SPMD align iteration over a device mesh (SURVEY §2b).
 
     Same ``step(Ms, ts, *args) -> (newM, newt, info)`` contract as
@@ -952,6 +952,16 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
     caller): dep_data/dep_wht/dep_px/dep_py (Ep, Hd, Wd) + dep_fid (Ep,)
     frame ids, then the flattened cutout batch fpx/fpy/fimg/fmsk/fseg
     (Bp, h, w), fjac (Bp, 2, 2), fxy0 (Bp, 2), fw (Bp,), ffid (Bp,).
+
+    ``big_hw`` (round 4): the oversized-footprint bucket (VERDICT r3
+    task 4) under SPMD. Eight extra sharded args follow — the bucket's
+    pixmaps/images/masks/seg at the big static shape (KBp, hB, wB) plus
+    btgt (global flat index of each slot's base-batch row), bfid (frame
+    ids) and bval (real-slot flags). The bucket shard is measured with
+    the same blot+correlate path and its rows override the base batch's
+    through a psum'd one-hot (duplicate-free by construction), so the
+    global sigma-clipped fit sees whole-footprint measurements exactly
+    like the single-chip bucket path.
     """
     from jax.sharding import PartitionSpec as PS
 
@@ -1012,31 +1022,14 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
                      nmatches=rep, max_shift=rep, escaped=rep,
                      max_corr=rep)
 
-    @partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(rep, rep, sh, sh, sh, sh, sh,
-                  sh, sh, sh, sh, sh, sh, sh, sh, sh),
-        out_specs=(rep, rep, info_spec),
-        # pallas_call's out_shape carries no varying-mesh-axes (vma)
-        # annotation, so the replication checker cannot reason through
-        # the kernels; the CPU/XLA path keeps the check on
-        check_vma=not pallas,
-    )
-    def step(Ms, ts, dep_data, dep_wht, dep_px, dep_py, dep_fid,
-             fpx, fpy, fimg, fmsk, fseg, fjac, fxy0, fw, ffid):
-        # ---- 1. re-drizzle: local frames, psum over the mesh ----------
-        sci, whta, esc_d = deposit_local(Ms, ts, dep_data, dep_wht,
-                                         dep_px, dep_py, dep_fid)
-        sci = jax.lax.psum(sci, axis)
-        whta = jax.lax.psum(whta, axis)
-        esc_d = jax.lax.psum(esc_d, axis)
-        drz = drizzle_combine(sci, whta)
+    D = int(mesh.shape[axis])
 
-        # ---- 2. measure the local cutout shard ------------------------
-        Mi = Ms[ffid]
-        ti = ts[ffid]
+    def measure_shard(drz, Mi, ti, px, py, img0, mk0, seg0):
+        """Blot + correlate + peak-fit one sharded cutout set against
+        the replicated reference; shared by the base batch and the
+        oversized-footprint bucket (whose static shape differs)."""
         bx, by = _affine_apply_grid(
-            Mi[:, None, None], ti[:, None, None], fpx, fpy)
+            Mi[:, None, None], ti[:, None, None], px, py)
         if pallas:
             from .kernels.blot import sample_cutouts_pallas
 
@@ -1048,11 +1041,11 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
                 lambda a, b: sample_image(drz, a, b, interp=interp)
             )(bx, by)
             besc = jnp.zeros(bx.shape[0], jnp.int32)
-        msk = fmsk & ok
-        img = fimg
+        msk = mk0 & ok
+        img = img0
         if cfg.combine_seg_mask:
-            img = img * fseg
-            blotted = blotted * fseg
+            img = img * seg0
+            blotted = blotted * seg0
         d = find_displacement(
             blotted, img, cc_type=cfg.cc_type, usfac=cfg.usfac,
             peak_fit_box=cfg.peak_fit_box, fit_type=cfg.fit_type,
@@ -1060,12 +1053,76 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
             peak_search_box=cfg.peak_search_box,
         )
         dxy = jnp.stack([d.dx, d.dy], axis=-1)
+        good = (d.fit_ok & (d.peak > 0)).astype(jnp.float32)
+        return dxy, good, besc
+
+    n_big = 8 if big_hw is not None else 0
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(rep, rep) + (sh,) * (14 + n_big),
+        out_specs=(rep, rep, info_spec),
+        # pallas_call's out_shape carries no varying-mesh-axes (vma)
+        # annotation, so the replication checker cannot reason through
+        # the kernels; the CPU/XLA path keeps the check on
+        check_vma=not pallas,
+    )
+    def step(Ms, ts, dep_data, dep_wht, dep_px, dep_py, dep_fid,
+             fpx, fpy, fimg, fmsk, fseg, fjac, fxy0, fw, ffid, *big):
+        # ---- 1. re-drizzle: local frames, psum over the mesh ----------
+        sci, whta, esc_d = deposit_local(Ms, ts, dep_data, dep_wht,
+                                         dep_px, dep_py, dep_fid)
+        sci = jax.lax.psum(sci, axis)
+        whta = jax.lax.psum(whta, axis)
+        esc_d = jax.lax.psum(esc_d, axis)
+        drz = drizzle_combine(sci, whta)
+
+        # ---- 2. measure the local cutout shard ------------------------
+        Mi = Ms[ffid]
+        ti = ts[ffid]
+        dxy, good, besc = measure_shard(drz, Mi, ti, fpx, fpy,
+                                        fimg, fmsk, fseg)
+        besc_big = jnp.zeros((E,), jnp.float32)
+        if big_hw is not None:
+            # oversized-footprint bucket: measure its shard whole at
+            # the big shape, then override the matching base rows.
+            # Each bucket slot names its base row by GLOBAL flat index
+            # (btgt); a one-hot psum materializes the (tiny) dense
+            # override on every device and each device slices its own
+            # base-row window back out — no cross-device scatter.
+            bpx, bpy, bimg, bmsk_b, bseg_b, btgt, bfid, bval = big
+            dxyB, goodB, bescB = measure_shard(
+                drz, Ms[bfid], ts[bfid], bpx, bpy,
+                bimg, bmsk_b, bseg_b)
+            Bg = fpx.shape[0] * D  # global base-batch rows (static)
+            ohB = ((btgt[:, None] == jnp.arange(Bg)[None, :])
+                   & bval[:, None]).astype(jnp.float32)  # (KBl, Bg)
+            over_dxy = jax.lax.psum(
+                jnp.einsum("kb,kj->bj", ohB, dxyB, precision=_P), axis)
+            over_good = jax.lax.psum(
+                jnp.einsum("kb,k->b", ohB, goodB, precision=_P), axis)
+            anyb = jax.lax.psum(jnp.sum(ohB, axis=0), axis) > 0.5
+            off = jax.lax.axis_index(axis) * fpx.shape[0]
+
+            def _sl(a):
+                return jax.lax.dynamic_slice_in_dim(
+                    a, off, fpx.shape[0], 0)
+
+            anyb_l = _sl(anyb)
+            dxy = jnp.where(anyb_l[:, None], _sl(over_dxy), dxy)
+            good = jnp.where(anyb_l, _sl(over_good), good)
+            ohEb = (bfid[:, None] == jnp.arange(E)[None, :]
+                    ).astype(jnp.float32)
+            besc_big = jax.lax.psum(jnp.sum(
+                ohEb * (bescB.astype(jnp.float32)
+                        * bval.astype(jnp.float32))[:, None],
+                axis=0), axis)
 
         # ---- 3. psum-reduced per-frame sigma-clipped fits -------------
         MJ = jnp.einsum("nij,njk->nik", Mi, fjac, precision=_P)
         duv = jnp.einsum("nik,nk->ni", MJ, dxy, precision=_P)
         uv = fxy0 + duv
-        wgt = fw * (d.fit_ok & (d.peak > 0)).astype(jnp.float32)
+        wgt = fw * good
         fit = iter_linear_fit_frames(
             uv, fxy0, ffid, E, wxy=wgt, fitgeom=fitgeom,
             nclip=cfg.nclip, sigma=cfg.sigma, axis_name=axis)
@@ -1102,13 +1159,15 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
                 + newt[ffid])
         dnorm = jnp.where(fw > 0,
                           jnp.sqrt(jnp.sum(dpts * dpts, -1)), 0.0)
+        maxdim = max(h, w) if big_hw is None else max(h, w, *big_hw)
         rot_extra = (jnp.max(jnp.sum(jnp.abs(dM), axis=(1, 2)))
-                     * (max(h, w) * 0.5))
+                     * (maxdim * 0.5))
         max_corr = jax.lax.pmax(jnp.max(dnorm), axis) + rot_extra
 
         info = dict(G_M=G_M, G_t=G_t, rms=fit.rms, rmse=fit.rmse,
                     mae=fit.mae, nmatches=fit.nmatches,
-                    max_shift=max_shift, escaped=esc_d + esc_b,
+                    max_shift=max_shift,
+                    escaped=esc_d + esc_b + besc_big.astype(jnp.int32),
                     max_corr=max_corr)
         return newM, newt, info
 
@@ -1697,15 +1756,16 @@ def align_images(
             cut_shape = cfg.cutout_shape
         h, w = cut_shape
         # sources whose segmentation footprint exceeds the static cutout
-        # shape: on the single-chip batch path they are RE-measured
-        # whole in a second static-shape bucket (VERDICT r3 task 4);
-        # elsewhere (mesh / spatial / otf) they are measured on
-        # centered crops — record + warn instead of truncating silently
+        # shape: on the batch path — single-chip AND frame-sharded
+        # ``mesh=`` (round 4) — they are RE-measured whole in a second
+        # static-shape bucket (VERDICT r3 task 4); elsewhere
+        # (spatial / otf) they are measured on centered crops —
+        # record + warn instead of truncating silently
         over_i = [i for i, c in enumerate(prim)
                   if c.data.shape[0] > h or c.data.shape[1] > w]
         big_hw = None
         big_src_i: list[int] = []
-        if (over_i and mesh is None and spatial_mesh is None
+        if (over_i and spatial_mesh is None
                 and cfg.wcsupdate != "otf"):
             cap = max(256, 2 * max(h, w))
             need = max(max(prim[i].data.shape) for i in over_i) + 4
@@ -2229,6 +2289,43 @@ def align_images(
                 pad_b(jac), pad_b(xy0),
                 jnp.pad(jnp.asarray(fw), (0, Bp - B)),
                 jnp.pad(jnp.asarray(ffid), (0, Bp - B))]
+        if big_hw is not None:
+            # oversized-footprint bucket under ``mesh=`` (round 4):
+            # the (E, NBp) bucket flattens like the base batch and
+            # shards over the same frame axis; the mesh step measures
+            # its shard at the big static shape and overrides the
+            # matching base rows through a psum'd one-hot before the
+            # global fit (_build_mesh_step)
+            (cpxB_m, cpyB_m, bimg_m, bmsk_m, bseg_m,
+             bidx_m, bval_m) = big_args
+            NBp_m = int(np.asarray(bidx_m).shape[0])
+            KB = E * NBp_m
+            KBp = -(-KB // D) * D
+
+            def pad_k(a, fill=0.0):
+                a = jnp.asarray(a)
+                a = a.reshape((KB,) + a.shape[2:])
+                if KBp == KB:
+                    return a
+                padw = [(0, KBp - KB)] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, padw, constant_values=fill)
+
+            # global flat index of each bucket slot's base-batch row
+            btgt = (np.arange(E, dtype=np.int32)[:, None] * N
+                    + np.asarray(bidx_m, np.int32)[None, :]
+                    ).reshape(KB)
+            bval_f = np.ascontiguousarray(np.broadcast_to(
+                np.asarray(bval_m, bool)[None, :], (E, NBp_m))
+            ).reshape(KB)
+            bfid_f = np.ascontiguousarray(np.broadcast_to(
+                np.arange(E, dtype=np.int32)[:, None], (E, NBp_m))
+            ).reshape(KB)
+            args += [pad_k(cpxB_m), pad_k(cpyB_m), pad_k(bimg_m),
+                     pad_k(bmsk_m, False), pad_k(bseg_m),
+                     jnp.pad(jnp.asarray(btgt), (0, KBp - KB)),
+                     jnp.pad(jnp.asarray(bfid_f), (0, KBp - KB)),
+                     jnp.pad(jnp.asarray(bval_f), (0, KBp - KB),
+                             constant_values=False)]
         # explicit sharded placement; under a multi-process runtime this
         # also assembles the GLOBAL arrays from each host's identical
         # local copy (multi-host path, SURVEY §2b DCN)
@@ -2243,7 +2340,7 @@ def align_images(
         ts = stage_global(ts, mesh, _PS())
         step = _build_mesh_step_cached(
             cfg, mesh, out_shape, cut_shape, cfg.interp, cfg.fitgeom,
-            dri_ratios, pallas, blot_tile, driz_tile, E)
+            dri_ratios, pallas, blot_tile, driz_tile, E, big_hw)
     else:
         step = _build_step_cached(cfg, out_shape, cut_shape, cfg.interp,
                                   cfg.fitgeom, dri_ratios, pallas,

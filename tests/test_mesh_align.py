@@ -210,3 +210,39 @@ def test_mesh_with_device_resident_exposures():
                        usfac=8, fit_type="gaussian", mesh=make_mesh())
     assert pairwise_shift_errors(
         np.asarray(res.shifts), planted) < 5e-3
+
+
+def test_mesh_align_oversized_footprint_bucket():
+    """Round 4: the oversized-footprint bucket runs under ``mesh=`` —
+    the giant source is measured whole in its sharded big-shape bucket
+    (no truncation record, no footprint warning) and the fixed point
+    matches the single-chip bucket path."""
+    import warnings
+
+    def scene():
+        exps, planted = _scene(seed=31)
+        yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+        for e, (dx, dy) in zip(exps, planted):
+            e.data = e.data + (60.0 * np.exp(
+                -((xx - 70 - dx) ** 2 + (yy - 180 - dy) ** 2)
+                / (2 * 7.0 ** 2))).astype(np.float32)
+        return exps
+
+    kw = dict(COMMON, use_weights=False)
+    # control: the footprint really is oversized — the (bucket-less)
+    # otf path must record + warn the truncation on this scene
+    with pytest.warns(UserWarning, match="footprint"):
+        ctl = align_images(exposures=scene(), wcsupdate="otf",
+                           **dict(kw, max_iterations=1))
+    assert ctl.truncated_sources, "scene lost its oversized footprint"
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res1 = align_images(exposures=scene(), **kw)
+        res2 = align_images(exposures=scene(), mesh=make_mesh(4), **kw)
+    assert not [w for w in rec if "footprint" in str(w.message)]
+    assert res1.truncated_sources == []
+    assert res2.truncated_sources == []
+    sh1 = np.asarray(res1.shifts)
+    sh2 = np.asarray(res2.shifts)
+    assert np.abs(sh1 - sh2).max() < 5e-4, (sh1, sh2)
