@@ -229,18 +229,16 @@ def test_mesh_align_oversized_footprint_bucket():
         return exps
 
     kw = dict(COMMON, use_weights=False)
-    # control: the footprint really is oversized — the (bucket-less)
-    # otf path must record + warn the truncation on this scene
-    with pytest.warns(UserWarning, match="footprint"):
-        ctl = align_images(exposures=scene(), wcsupdate="otf",
-                           **dict(kw, max_iterations=1))
-    assert ctl.truncated_sources, "scene lost its oversized footprint"
-
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         res1 = align_images(exposures=scene(), **kw)
         res2 = align_images(exposures=scene(), mesh=make_mesh(4), **kw)
     assert not [w for w in rec if "footprint" in str(w.message)]
+    # the bucket really ENGAGED (the scene's giant footprint exceeds
+    # the 24x24 base cutout): its staging stage was marked on both
+    # paths — truncated_sources == [] alone would also hold vacuously
+    assert "big_bucket_stage" in res1.setup_breakdown
+    assert "big_bucket_stage" in res2.setup_breakdown
     assert res1.truncated_sources == []
     assert res2.truncated_sources == []
     sh1 = np.asarray(res1.shifts)

@@ -55,11 +55,18 @@ def test_spatial_stats_match_device(mesh):
     assert abs(std_s - std_d) < 5e-3 * max(1.0, abs(std_d))
 
 
-def test_spatial_finder_matches_device(mesh):
+@pytest.fixture(scope="module")
+def starband(mesh):
+    """One shared (img, pts, band) scene: the finder tests each pay
+    only their own finder call, not a fresh scene + H2D + shard."""
     img, pts = _starfield()
+    return img, pts, shard_rows(mesh, jnp.asarray(img))
+
+
+def test_spatial_finder_matches_device(mesh, starband):
+    img, pts, band = starband
     cat_d, seg_d = find_sources_device(img, nsigma=5.0, npixels=5,
                                        method="peaks", window=16)
-    band = shard_rows(mesh, jnp.asarray(img))
     cat_s, seg_s = find_sources_spatial(mesh, band, 128, nsigma=5.0,
                                         npixels=5, window=16)
     assert len(cat_s) == len(cat_d) == len(pts)
@@ -81,19 +88,18 @@ def test_spatial_finder_matches_device(mesh):
         assert seg_host[y, x] == int(cat_s["id"][i])
 
 
-def test_spatial_finder_threshold_override(mesh):
-    img, _ = _starfield(seed=11)
-    band = shard_rows(mesh, jnp.asarray(img))
-    cat1, _ = find_sources_spatial(mesh, band, 128, threshold=5.0,
-                                   window=16)
-    cat2, _ = find_sources_spatial(mesh, band, 128, threshold=50.0,
-                                   window=16)
-    assert len(cat2) < len(cat1)
+def test_spatial_finder_threshold_override(mesh, starband):
+    _, pts, band = starband
+    # amplitudes in the shared scene span ~30-80: a threshold of 50
+    # must drop the faint half while the nsigma default (the
+    # matches_device test) finds all len(pts)
+    cat_hi, _ = find_sources_spatial(mesh, band, 128, threshold=50.0,
+                                     window=16)
+    assert 0 < len(cat_hi) < len(pts)
 
 
-def test_spatial_catalog_facade(mesh):
-    img, pts = _starfield(seed=21)
-    band = shard_rows(mesh, jnp.asarray(img))
+def test_spatial_catalog_facade(mesh, starband):
+    img, pts, band = starband
     c = SpatialSourceCatalog(mesh, band, 128, nsigma=5.0, window=16)
     assert len(c) == len(pts)
     assert c.segmentation_device.shape[1] == img.shape[1]
