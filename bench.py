@@ -597,17 +597,43 @@ def main():
     }))
 
 
+def _is_transient(exc: BaseException) -> bool:
+    """Only the tunneled-TPU relay abort signatures earn a retry.
+
+    A bare ``except Exception`` retry (round-4 shape) would also launder
+    a nondeterministic numerics assertion — gate trips on attempt 1,
+    passes on attempt 2, clean JSON ships (VERDICT r4 weak #5).
+    AssertionError and friends must stay fatal.
+    """
+    if isinstance(exc, AssertionError):
+        return False
+    msg = f"{type(exc).__name__}: {exc}"
+    transient_markers = (
+        # observed relay/runtime abort signatures on the axon tunnel
+        "DEADLINE_EXCEEDED", "UNAVAILABLE", "ABORTED", "INTERNAL",
+        "RESOURCE_EXHAUSTED", "Socket closed", "connection reset",
+        "Connection reset", "transport", "rpc", "RPC",
+        "XlaRuntimeError", "FAILED_PRECONDITION",
+    )
+    return any(m in msg for m in transient_markers)
+
+
 if __name__ == "__main__":
     try:
         main()
-    except Exception:
+    except Exception as e:
         # the tunneled TPU runtime intermittently aborts a call after
         # Pallas work (relay-side flake, see .claude/skills/verify/
-        # SKILL.md); one retry in a fresh attempt usually succeeds
+        # SKILL.md); one retry in a fresh attempt usually succeeds —
+        # but ONLY for the known transient signatures (_is_transient)
         import sys
         import traceback
 
         traceback.print_exc(file=sys.stderr)
+        if not _is_transient(e):
+            print("bench: non-transient failure, not retrying",
+                  file=sys.stderr)
+            sys.exit(1)
         try:  # a crash between start_trace/stop_trace leaves the
             import jax  # profiler active; the retry must not re-start it
 

@@ -699,10 +699,14 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             )(flat_x, flat_y)
             return vals, ok, jnp.zeros(flat_x.shape[0], jnp.int32)
 
-        def measure_set(drz, Mi, ti, cpx, cpy, img, mk0, seg, hw):
+        def measure_set(drz, Mi, ti, cpx, cpy, img, mk0, seg, hw,
+                        slot_valid=None):
             """Displacements of one cutout set (k, n, hh, ww) vs
             ``drz`` — shared by the base batch and the oversized
-            bucket (whose static shape differs)."""
+            bucket (whose static shape differs). ``slot_valid`` (n,)
+            masks padded slots out of the escape count (padded pixmaps
+            blot at the origin and would otherwise rack up Pallas
+            tile-escape counts the mesh path masks with ``bval``)."""
             k, n = cpx.shape[:2]
             hh, ww = hw
             bpx, bpy = _affine_apply_grid(
@@ -714,7 +718,10 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             blot_vals, blot_ok, blot_esc = blot_cutouts(drz, flat_x, flat_y)
             blotted = blot_vals.reshape(k, n, hh, ww)
             blot_valid = blot_ok.reshape(k, n, hh, ww)
-            esc_e = jnp.sum(blot_esc.reshape(k, n), axis=1)  # (k,)
+            esc_pn = blot_esc.reshape(k, n)
+            if slot_valid is not None:
+                esc_pn = esc_pn * slot_valid.astype(esc_pn.dtype)
+            esc_e = jnp.sum(esc_pn, axis=1)  # (k,)
 
             msk = mk0 & blot_valid
             if cfg.combine_seg_mask:
@@ -803,7 +810,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             if big_shape is not None:
                 dxyB, okB, pkB, escB = measure_set(
                     drz, Ms, ts, big_cpx, big_cpy, big_img, big_msk,
-                    big_seg, big_shape)
+                    big_seg, big_shape, slot_valid=big_valid)
                 escaped = escaped + escB
                 # one-hot override (scatter .set with padded duplicate
                 # indices is order-undefined); NB is tiny
@@ -888,8 +895,9 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                 + newt[:, None, :])
         dnorm = jnp.where(src_valid,
                           jnp.sqrt(jnp.sum(dpts * dpts, -1)), 0.0)
+        maxdim = max(h, w) if big_shape is None else max(h, w, *big_shape)
         rot_extra = (jnp.max(jnp.sum(jnp.abs(dM), axis=(1, 2)))
-                     * (max(h, w) * 0.5))
+                     * (maxdim * 0.5))
         max_corr = jnp.max(dnorm) + rot_extra
 
         info = dict(
