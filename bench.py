@@ -534,6 +534,122 @@ def bench_align_spatial():
     return out
 
 
+def _fresh_child_main():
+    """Child mode (``python bench.py --fresh-child``): run the 8x1024²
+    device-scene align in THIS fresh process and print one JSON line
+    with end-to-end wall timings. The parent (:func:`bench_align_fresh`)
+    measures the user-visible cost of a real invocation: interpreter +
+    jax import + client init + setup + loop, with whatever cache state
+    the environment provides (SUBPIXAL_TPU_AOT_DIR /
+    JAX_COMPILATION_CACHE_DIR point cold runs at empty dirs)."""
+    import os
+    import sys
+    import time
+
+    t0 = time.time()
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
+
+    t_imp = time.time()
+    jax.devices()
+    t_dev = time.time()
+    exps, planted = simulate_stack(n_exp=8, shape=(1024, 1024),
+                                   n_stars=60, seed=11, device=True)
+    t_scene = time.time()
+    res = align_images(exposures=exps, fitgeom="shift", max_iterations=4,
+                       eps_shift=1e-7, usfac=8, fit_type="gaussian",
+                       use_pallas=True)
+    t_align = time.time()
+    err = 1e3 * pairwise_shift_errors(res.shifts, planted)
+    assert err < 10.0, f"fresh-child fit error {err:.2f} mpix"
+    print(json.dumps({
+        "total_s": round(time.time() - t0, 2),
+        "import_s": round(t_imp - t0, 2),
+        "client_init_s": round(t_dev - t_imp, 2),
+        "scene_s": round(t_scene - t_dev, 2),
+        "align_s": round(t_align - t_scene, 2),
+        "err_mpix": round(float(err), 3),
+        "setup_s": round(res.setup_s, 2),
+        "breakdown": {k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in (res.setup_breakdown or {}).items()
+                      if isinstance(v, float) and v > 0.25},
+    }))
+
+
+def bench_align_fresh():
+    """Fresh-PROCESS align latency (VERDICT r4 weak #1 / r5 task 1).
+
+    Launches subprocesses running the 8x1024² device-scene align:
+    one COLD (private empty AOT + compilation-cache dirs — every
+    compile paid) and two WARM (same dirs, now populated — the
+    serialized-executable cache serves the loop, the finder, the
+    deposit stack and the scene renderer; zero compile RPCs).
+
+    ``align_fresh_warm_s`` is the MIN over the warm runs' align_images
+    wall time, ``align_fresh_warm_total_s`` the min end-to-end process
+    wall (interpreter + jax + client + scene + align). Min-of-2
+    because the tunneled relay intermittently stalls a single fetch
+    100-500 s regardless of what the process does (verify SKILL
+    "post-Pallas stall"); the minimum is the framework's actual cost,
+    the stall is the rig's. Runs LAST: the cold child's compiles can
+    leave the relay degraded for anything that follows (observed
+    2026-08-19 with a cold spatial section).
+    """
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    out = {}
+    script = os.path.abspath(__file__)
+    tmp = tempfile.mkdtemp(prefix="subpixal_fresh_")
+    env = dict(os.environ)
+    env["SUBPIXAL_TPU_AOT_DIR"] = os.path.join(tmp, "aot")
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(tmp, "xla")
+    os.makedirs(env["SUBPIXAL_TPU_AOT_DIR"], exist_ok=True)
+    os.makedirs(env["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+
+    def run(timeout):
+        t0 = time.time()
+        r = subprocess.run([sys.executable, script, "--fresh-child"],
+                           capture_output=True, text=True, env=env,
+                           timeout=timeout, cwd=os.path.dirname(script))
+        wall = time.time() - t0
+        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            child = json.loads(line)
+        except json.JSONDecodeError:
+            child = {}
+        if r.returncode != 0 or "align_s" not in child:
+            raise RuntimeError(
+                f"fresh child rc={r.returncode}: "
+                f"{(r.stderr or '').strip().splitlines()[-1:]}")
+        return wall, child
+
+    try:
+        cold_wall, cold = run(timeout=1500)
+        out["align_fresh_cold_s"] = round(cold_wall, 2)
+        out["align_fresh_cold_align_s"] = cold.get("align_s")
+        warms = []
+        for _ in range(2):
+            warms.append(run(timeout=900))
+        best = min(warms, key=lambda wc: wc[1]["align_s"])
+        out["align_fresh_warm_total_s"] = round(
+            min(w for w, _ in warms), 2)
+        out["align_fresh_warm_s"] = best[1]["align_s"]
+        out["align_fresh_warm_breakdown"] = best[1].get("breakdown", {})
+    except Exception as e:  # noqa: BLE001 - fresh section is best-effort
+        out["align_fresh_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
 def main():
     import os
 
@@ -576,6 +692,9 @@ def main():
     if "align_spatial_iter_ms" in extras and "align_iter_ms" in extras:
         extras["align_spatial_vs_replicated"] = round(
             extras["align_spatial_iter_ms"] / extras["align_iter_ms"], 2)
+    # fresh-process latency LAST: its cold child re-pays every compile
+    # in a private cache, which can degrade the relay for later work
+    extras.update(bench_align_fresh())
 
     print(json.dumps({
         "metric": "batched cutout cross-correlations/sec "
@@ -619,6 +738,11 @@ def _is_transient(exc: BaseException) -> bool:
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
+    if "--fresh-child" in _sys.argv:
+        _fresh_child_main()
+        raise SystemExit(0)
     try:
         main()
     except Exception as e:

@@ -1188,39 +1188,18 @@ _AOT_COMPILED: dict = {}
 
 #: trace-time env knobs that change the compiled loop's PROGRAM (not
 #: just its inputs) — they must key the AOT blob or a knob flip would
-#: silently load a loop built under the other setting
-_AOT_ENV_KNOBS = ("SUBPIXAL_TPU_PACKED", "SUBPIXAL_TPU_FFT",
-                  "SUBPIXAL_TPU_FWD_PRECISION",
-                  "SUBPIXAL_TPU_READOUT_PRECISION",
-                  "SUBPIXAL_TPU_COARSE_PRECISION")
+#: silently load a loop built under the other setting (shared with
+#: the generic serialized-executable cache, aot.py)
+from .aot import ENV_KNOBS as _AOT_ENV_KNOBS  # noqa: E402
 
 
-@functools.lru_cache(maxsize=1)
 def _code_fingerprint() -> str:
-    """Content hash of the package's source files.
+    """Content hash of the package's source files (see
+    :func:`subpixal_tpu.aot.code_fingerprint` — shared with the
+    generic serialized-executable cache)."""
+    from .aot import code_fingerprint
 
-    The AOT loop blob serializes the COMPILED align step: any library
-    change that alters the traced program (a faster measurement path, a
-    numerics fix) must invalidate old blobs. Measured failure without
-    this (2026-08-19): blobs saved before the lane-packed measurement
-    landed kept loading afterwards — the smoke ran the OLD loop at
-    ~67 ms/iter vs ~47 fresh, and a numerics fix would have been
-    silently undone the same way.
-    """
-    import hashlib
-    import os
-
-    root = os.path.dirname(os.path.abspath(__file__))
-    h = hashlib.sha256()
-    for dirpath, dirnames, filenames in sorted(os.walk(root)):
-        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
-        for fname in sorted(filenames):
-            if fname.endswith((".py", ".cpp", ".so")):
-                p = os.path.join(dirpath, fname)
-                h.update(fname.encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
-    return h.hexdigest()[:16]
+    return code_fingerprint()
 
 
 def _aot_key(cfg: "AlignConfig", fitgeom: str, E: int, arg_tree) -> str:
@@ -1252,13 +1231,13 @@ def _aot_key(cfg: "AlignConfig", fitgeom: str, E: int, arg_tree) -> str:
 def _aot_path(key: str):
     import os
 
-    d = os.environ.get("SUBPIXAL_TPU_AOT_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "subpixal_tpu_aot")
-    os.makedirs(d, exist_ok=True)
+    from .aot import aot_dir
+
     # .jaxexe = pickled serialize_executable payload (accelerators);
     # .jaxexp = jax.export StableHLO (CPU — see _aot_use_serialized)
-    return os.path.join(d, key + (".jaxexe" if _aot_use_serialized()
-                                  else ".jaxexp"))
+    return os.path.join(aot_dir(),
+                        key + (".jaxexe" if _aot_use_serialized()
+                               else ".jaxexp"))
 
 
 def _aot_use_serialized() -> bool:
@@ -1360,9 +1339,16 @@ def _aot_loop_load(cfg, fitgeom, E, Ms, ts, eps_j, args,
     try:
         t0 = time.time()
         if _aot_use_serialized():
+            import gzip
+
             # the blob is a pickle from the user's own cache dir — the
-            # same trust domain as the persistent compilation cache
+            # same trust domain as the persistent compilation cache;
+            # gzip-compressed since round 5 (the 72 MB loop pickle
+            # gzips ~7x; magic-sniffed so round-4 raw blobs still load)
             with open(path, "rb") as f:
+                head = f.read(2)
+            opener = gzip.open if head == b"\x1f\x8b" else open
+            with opener(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
             # the AOT loop is single-chip by construction (mesh/
             # spatial runs never reach here) — pin ONE execution
@@ -1413,8 +1399,10 @@ def _aot_loop_save(cfg, fitgeom, E, loop, compiled, Ms, ts, eps_j,
                                   (Ms, ts, eps_j) + tuple(args)))
         tmp = path + ".tmp"
         if _aot_use_serialized():
+            import gzip
+
             payload, in_tree, out_tree = _se.serialize(compiled)
-            with open(tmp, "wb") as f:
+            with gzip.open(tmp, "wb", compresslevel=1) as f:
                 pickle.dump((payload, in_tree, out_tree), f)
         else:
             from jax import export as jex
@@ -1622,6 +1610,7 @@ def align_images(
 
             resample._ensure_output_grid()
             _cat_warm(tuple(resample.output_shape),
+                      nsigma=cfg.catalog_nsigma,
                       npixels=cfg.catalog_npixels,
                       window=cfg.catalog_window,
                       max_sources=cfg.catalog_max_sources)

@@ -10,6 +10,10 @@ suite, user experiments).
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .resample import Exposure
@@ -104,31 +108,53 @@ def _render_stack_device(shape, stars, shifts, n_stars, amp, sigma,
     E = shifts.shape[0]
     H, W = shape
     key = jax.random.PRNGKey(seed)
-    P = 2 * R + 1
-    py, px = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
     cx = np.round(stars[:, 0]).astype(np.int32)
     cy = np.round(stars[:, 1]).astype(np.int32)
     fx = (stars[:, 0] - cx).astype(np.float32)   # sub-pixel star offset
     fy = (stars[:, 1] - cy).astype(np.float32)
 
-    @jax.jit
-    def render(key, sh):
-        frames = noise * jax.random.normal(key, (E, H, W), jnp.float32)
-        # (E, S, P, P) patches: star sub-pixel pos + planted frame shift
-        ddx = fx[None, :] + sh[:, 0:1].astype(jnp.float32)   # (E, S)
-        ddy = fy[None, :] + sh[:, 1:2].astype(jnp.float32)
-        r2 = ((px[None, None] - ddx[..., None, None]) ** 2
-              + (py[None, None] - ddy[..., None, None]) ** 2)
-        patch = jnp.where(r2 < r_cut,
-                          amp * jnp.exp(-r2 / (2 * sigma * sigma)), 0.0)
-        rows = (cy[:, None] + py.astype(np.int32)[None, :, 0])  # (S, P)
-        cols = (cx[:, None] + px.astype(np.int32)[None, 0, :])
-        ii = jnp.broadcast_to(rows[:, :, None], (n_stars, P, P))
-        jj = jnp.broadcast_to(cols[:, None, :], (n_stars, P, P))
-        return jax.vmap(
-            lambda f, p: f.at[ii, jj].add(p, mode="drop"))(frames, patch)
+    statics = dict(E=E, H=H, W=W, amp=float(amp), sigma=float(sigma),
+                   noise=float(noise), R=int(R), r_cut=float(r_cut))
+    args = (key, jnp.asarray(shifts), jnp.asarray(fx), jnp.asarray(fy),
+            jnp.asarray(cx), jnp.asarray(cy))
+    # serialized-executable cache: scene rendering is bench/test
+    # scaffolding, but its per-process compile is real wall time in the
+    # fresh-process latency measurement (aot.py); star data are ARGS,
+    # not baked constants, so the executable is scene-independent
+    from .aot import get_executable
 
-    return render(key, jnp.asarray(shifts))
+    exe = get_executable("render_stack", _render_core,
+                         tuple(args), statics=statics)
+    if exe is not None:
+        return exe(*args)
+    return _render_core(*args, **statics)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("E", "H", "W", "amp", "sigma", "noise",
+                              "R", "r_cut"))
+def _render_core(key, sh, fx, fy, cx, cy, *, E, H, W, amp, sigma,
+                 noise, R, r_cut):
+    import jax
+    import jax.numpy as jnp
+
+    n_stars = fx.shape[0]
+    P = 2 * R + 1
+    py, px = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
+    frames = noise * jax.random.normal(key, (E, H, W), jnp.float32)
+    # (E, S, P, P) patches: star sub-pixel pos + planted frame shift
+    ddx = fx[None, :] + sh[:, 0:1].astype(jnp.float32)   # (E, S)
+    ddy = fy[None, :] + sh[:, 1:2].astype(jnp.float32)
+    r2 = ((px[None, None] - ddx[..., None, None]) ** 2
+          + (py[None, None] - ddy[..., None, None]) ** 2)
+    patch = jnp.where(r2 < r_cut,
+                      amp * jnp.exp(-r2 / (2 * sigma * sigma)), 0.0)
+    rows = (cy[:, None] + py.astype(np.int32)[None, :, 0])  # (S, P)
+    cols = (cx[:, None] + px.astype(np.int32)[None, 0, :])
+    ii = jnp.broadcast_to(rows[:, :, None], (n_stars, P, P))
+    jj = jnp.broadcast_to(cols[:, None, :], (n_stars, P, P))
+    return jax.vmap(
+        lambda f, p: f.at[ii, jj].add(p, mode="drop"))(frames, patch)
 
 
 def pairwise_shift_errors(shifts, planted) -> float:
