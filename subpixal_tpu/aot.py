@@ -117,10 +117,28 @@ def _key(name: str, shapes, statics, key_extra) -> str:
     return hashlib.sha256(raw.encode()).hexdigest()[:32]
 
 
+def _named_sharding(a):
+    """The arg's NamedSharding, or None. Single-device shardings are
+    deliberately ignored: a plain device array and a bare
+    ShapeDtypeStruct (warm_compile pre-warms with the latter) must
+    produce the SAME key/executable. Mesh-sharded inputs (shard_map
+    programs) bake their layout into the binary — those must key."""
+    from jax.sharding import NamedSharding
+
+    sh = getattr(a, "sharding", None)
+    return sh if isinstance(sh, NamedSharding) else None
+
+
+def _leaf_sig(a):
+    if hasattr(a, "shape"):
+        sh = _named_sharding(a)
+        return (tuple(a.shape), str(a.dtype),
+                repr(sh) if sh is not None else "")
+    return repr(a)
+
+
 def _shape_sig(tree):
-    return jax.tree.map(
-        lambda a: (tuple(a.shape), str(a.dtype))
-        if hasattr(a, "shape") else repr(a), tree)
+    return jax.tree.map(_leaf_sig, tree)
 
 
 def get_executable(name: str, fn, arg_shapes: tuple, *,
@@ -142,10 +160,17 @@ def get_executable(name: str, fn, arg_shapes: tuple, *,
     under ``{name}.load`` / ``{name}.compile`` / ``{name}.save``.
     """
     statics = statics or {}
-    shapes = tuple(jax.ShapeDtypeStruct(jnp.shape(a),
-                                        jnp.result_type(a))
-                   if not isinstance(a, jax.ShapeDtypeStruct)
-                   and hasattr(a, "shape") else a for a in arg_shapes)
+
+    def _to_sds(a):
+        if isinstance(a, jax.ShapeDtypeStruct) or not hasattr(a, "shape"):
+            return a
+        sh = _named_sharding(a)
+        if sh is not None:
+            return jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a),
+                                        sharding=sh)
+        return jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
+
+    shapes = tuple(jax.tree.map(_to_sds, a) for a in arg_shapes)
     key = _key(name, _shape_sig(shapes), repr(sorted(statics.items())),
                key_extra)
     hit = _MEM.get(key)
@@ -171,10 +196,21 @@ def get_executable(name: str, fn, arg_shapes: tuple, *,
             opener = gzip.open if head == b"\x1f\x8b" else open
             with opener(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            dev = jax.devices()[0]
+            # mesh-sharded programs execute on the mesh's device set;
+            # everything else is pinned to ONE device (or the loader
+            # defaults to ALL local devices and builds an N-shard
+            # executable on forced-multi-device test platforms)
+            exec_devs = None
+            for a in jax.tree.leaves(shapes):
+                sh = _named_sharding(a)
+                if sh is not None:
+                    exec_devs = list(sh.mesh.devices.flat)
+                    break
+            if exec_devs is None:
+                exec_devs = [jax.devices()[0]]
             compiled = _se.deserialize_and_load(
-                payload, in_tree, out_tree, backend=dev.client,
-                execution_devices=[dev])
+                payload, in_tree, out_tree, backend=exec_devs[0].client,
+                execution_devices=exec_devs)
             if timings is not None:
                 timings[f"{name}.load"] = round(time.time() - t0, 3)
             _remember(key, compiled)

@@ -342,9 +342,16 @@ def compute_cutout_pixmaps_device_stack(wcs_list, to_wcs, blc, shape):
         return None
     sip2_mode, tab_modes = sip2_cfg
     blc_j = jnp.asarray(np.asarray(blc, np.float32))
-    return _cutout_pixmaps_stack_core(
-        stacked, blc_j, shape=tuple(shape), sip_mode=sip_mode,
-        sip2_mode=sip2_mode, tab_modes=tab_modes)
+    statics = dict(shape=tuple(shape), sip_mode=sip_mode,
+                   sip2_mode=sip2_mode, tab_modes=tab_modes)
+    from .aot import get_executable
+
+    exe = get_executable("cutout_pixmaps_stack",
+                         _cutout_pixmaps_stack_core,
+                         (stacked, blc_j), statics=statics)
+    if exe is not None:
+        return exe(stacked, blc_j)
+    return _cutout_pixmaps_stack_core(stacked, blc_j, **statics)
 
 
 @functools.partial(

@@ -118,33 +118,20 @@ def sigma_clipped_stats_spatial(mesh: Mesh, band_plane, logical_rows: int,
     return fn(band_plane)
 
 
-def find_sources_spatial(mesh: Mesh, band_plane, logical_rows: int,
-                         threshold: float | None = None,
-                         nsigma: float = 3.0, npixels: int = 5,
-                         max_sources: int = 8192, window: int = 32,
-                         deblend_nthresh: int = 32,
-                         deblend_cont: float = 0.005):
-    """Band-local :func:`~subpixal_tpu.catalogs.device.
-    find_sources_device` on a row-sharded mosaic (module docstring).
-
-    ``band_plane``: ``(ceil(H/Nr)*Nr, W)`` row-sharded science plane;
-    ``logical_rows``: the un-padded H. Returns ``(Table, seg)`` with
-    ``seg`` a row-sharded int32 id plane (0 = background).
-    """
-    from .device import _find_sources_peaks_core, _peaks_dims
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "logical_rows", "halo", "B",
+                              "win", "npixels", "deblend_nthresh",
+                              "deblend_cont"))
+def _detect_core(band_plane, thr, *, mesh, logical_rows, halo, B, win,
+                 npixels, deblend_nthresh, deblend_cont):
+    """Band-local detection at an explicit threshold: one program."""
+    from .device import _find_sources_peaks_core
 
     rax = _rows_axis(mesh)
     Nr = mesh.shape[rax]
-    Hp, W = band_plane.shape
-    Hl = Hp // Nr
+    Hl = band_plane.shape[0] // Nr
+    W = band_plane.shape[1]
     Ho = int(logical_rows)
-    halo = max(2, min(int(window), max(Hl - 1, 1)))
-    B, win = _peaks_dims((Hl + 2 * halo, W), max_sources, window)
-
-    if threshold is None:
-        _, med, std = sigma_clipped_stats_spatial(mesh, band_plane, Ho)
-        threshold = med + nsigma * std
-    thr = jnp.asarray(threshold, jnp.float32)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(P(rax, None), P()),
@@ -185,7 +172,90 @@ def find_sources_spatial(mesh: Mesh, band_plane, logical_rows: int,
         seg_own = jax.lax.dynamic_slice(seg_rank, (halo, 0), (Hl, W))
         return seg_own, packed[None]
 
-    seg_local, packed_all = detect(band_plane, thr)
+    return detect(band_plane, thr)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "logical_rows", "nsigma", "halo",
+                              "B", "win", "npixels", "deblend_nthresh",
+                              "deblend_cont"))
+def _find_spatial_core(band_plane, *, mesh, logical_rows, nsigma, halo,
+                       B, win, npixels, deblend_nthresh, deblend_cont):
+    """Sigma-clip threshold + band-local detection as ONE program
+    (same dispatch-diet rationale as the replicated finder's
+    ``_find_sources_peaks_fused``: no stats dispatch, no eager
+    threshold math, no scalar fetch — fresh-process latency)."""
+    _, med, std = sigma_clipped_stats_spatial(mesh, band_plane,
+                                              int(logical_rows))
+    thr = (med + jnp.float32(nsigma) * std).astype(jnp.float32)
+    seg_local, packed_all = _detect_core(
+        band_plane, thr, mesh=mesh, logical_rows=logical_rows,
+        halo=halo, B=B, win=win, npixels=npixels,
+        deblend_nthresh=deblend_nthresh, deblend_cont=deblend_cont)
+    return seg_local, packed_all, thr
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _remap_spatial(seg, lut, *, mesh):
+    rax = _rows_axis(mesh)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(rax, None), P(rax, None)), out_specs=P(rax, None))
+    def remap(seg, lut):
+        return lut[0][seg]
+
+    return remap(seg, lut)
+
+
+def find_sources_spatial(mesh: Mesh, band_plane, logical_rows: int,
+                         threshold: float | None = None,
+                         nsigma: float = 3.0, npixels: int = 5,
+                         max_sources: int = 8192, window: int = 32,
+                         deblend_nthresh: int = 32,
+                         deblend_cont: float = 0.005):
+    """Band-local :func:`~subpixal_tpu.catalogs.device.
+    find_sources_device` on a row-sharded mosaic (module docstring).
+
+    ``band_plane``: ``(ceil(H/Nr)*Nr, W)`` row-sharded science plane;
+    ``logical_rows``: the un-padded H. Returns ``(Table, seg)`` with
+    ``seg`` a row-sharded int32 id plane (0 = background). The
+    detection programs are served from the serialized-executable cache
+    (:mod:`..aot`) so warm processes skip their compile RPCs.
+    """
+    from ..aot import get_executable
+    from .device import _peaks_dims
+
+    rax = _rows_axis(mesh)
+    Nr = mesh.shape[rax]
+    Hp, W = band_plane.shape
+    Hl = Hp // Nr
+    Ho = int(logical_rows)
+    halo = max(2, min(int(window), max(Hl - 1, 1)))
+    B, win = _peaks_dims((Hl + 2 * halo, W), max_sources, window)
+    core_statics = dict(mesh=mesh, logical_rows=Ho, halo=halo, B=B,
+                        win=win, npixels=npixels,
+                        deblend_nthresh=int(deblend_nthresh),
+                        deblend_cont=float(deblend_cont))
+
+    if threshold is None:
+        statics = dict(nsigma=float(nsigma), **core_statics)
+        exe = get_executable("spatial_find", _find_spatial_core,
+                             (band_plane,), statics=statics)
+        if exe is not None:
+            seg_local, packed_all, _thr = exe(band_plane)
+        else:
+            seg_local, packed_all, _thr = _find_spatial_core(
+                band_plane, **statics)
+    else:
+        thr = jnp.asarray(threshold, jnp.float32)
+        exe = get_executable("spatial_detect", _detect_core,
+                             (band_plane, thr), statics=core_statics)
+        if exe is not None:
+            seg_local, packed_all = exe(band_plane, thr)
+        else:
+            seg_local, packed_all = _detect_core(band_plane, thr,
+                                                 **core_statics)
     from ..utils import fetch_to_host
 
     arr = np.asarray(fetch_to_host(packed_all))     # (Nr, 14, B) — KB
@@ -229,13 +299,15 @@ def find_sources_spatial(mesh: Mesh, band_plane, logical_rows: int,
                                int(arr[bnd, 12, i])), 0)
             luts[bnd, i + 1] = gid
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(rax, None), P(rax, None)), out_specs=P(rax, None))
-    def remap(seg, lut):
-        return lut[0][seg]
-
-    seg_ids = remap(seg_local, jnp.asarray(luts))
+    luts_j = jax.device_put(
+        jnp.asarray(luts), NamedSharding(mesh, P(rax, None)))
+    exe = get_executable("spatial_remap", _remap_spatial,
+                         (seg_local, luts_j),
+                         statics=dict(mesh=mesh))
+    if exe is not None:
+        seg_ids = exe(seg_local, luts_j)
+    else:
+        seg_ids = _remap_spatial(seg_local, luts_j, mesh=mesh)
     return cat, seg_ids
 
 
