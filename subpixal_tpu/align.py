@@ -619,7 +619,7 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                     spatial_mesh, exp_data[e], exp_wht[e], px, py,
                     out_shape, pixfrac=cfg.pixfrac,
                     pscale_ratio=ratio_e, kernel=cfg.kernel,
-                    use_pallas=pallas)
+                    use_pallas=pallas, tile=driz_tile)
                 return s, wgt, jnp.int32(0)
             if pallas and cfg.kernel != "tophat":  # tophat: not separable
                 from .kernels.drizzle import drizzle_deposit_pallas
@@ -656,7 +656,8 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                     spatial_mesh, exp_data, exp_wht, px, py, out_shape,
                     pixfrac=cfg.pixfrac,
                     pscale_ratio=tuple(float(r) for r in dri_ratios),
-                    kernel=cfg.kernel, use_pallas=pallas)
+                    kernel=cfg.kernel, use_pallas=pallas,
+                    tile=driz_tile)
                 return (drizzle_combine(sci, wht),
                         jnp.zeros(E, jnp.int32))
             if (spatial_mesh is not None
@@ -677,7 +678,8 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                     spatial_mesh, exp_data, exp_wht, px, py, out_shape,
                     pixfrac=cfg.pixfrac,
                     pscale_ratio=tuple(float(r) for r in dri_ratios),
-                    kernel=cfg.kernel, use_pallas=pallas)
+                    kernel=cfg.kernel, use_pallas=pallas,
+                    tile=driz_tile)
                 return (drizzle_combine(sci, wht),
                         jnp.zeros(E, jnp.int32))
             # spatial mode: the accumulators inherit the first deposit's

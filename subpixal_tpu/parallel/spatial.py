@@ -164,6 +164,7 @@ def drizzle_deposit_spatial(
     pscale_ratio: float = 1.0,
     kernel: str = "square",
     use_pallas: bool = False,
+    tile: tuple[int, int] | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """:func:`subpixal_tpu.ops.drizzle.drizzle_deposit` with the OUTPUT
@@ -188,6 +189,8 @@ def drizzle_deposit_spatial(
                               float(pixfrac), float(pscale_ratio), kernel,
                               in_wht is None,
                               bool(use_pallas) and kernel != "tophat",
+                              None if tile is None
+                              else (int(tile[0]), int(tile[1])),
                               bool(interpret))
     return fn(jnp.asarray(in_data, jnp.float32),
               None if in_wht is None else jnp.asarray(in_wht, jnp.float32),
@@ -197,7 +200,8 @@ def drizzle_deposit_spatial(
 
 @functools.lru_cache(maxsize=64)
 def _deposit_spatial_jit(mesh, out_shape, pixfrac, pscale_ratio, kernel,
-                         no_wht, use_pallas=False, interpret=False):
+                         no_wht, use_pallas=False, tile=None,
+                         interpret=False):
     """Jitted sharded deposit for one static config.
 
     The shard_map MUST run under jit: an eager shard_map dispatches
@@ -218,7 +222,7 @@ def _deposit_spatial_jit(mesh, out_shape, pixfrac, pscale_ratio, kernel,
 
             sci, wht_acc = drizzle_deposit_pallas(
                 data, wht, xo, yo - row0, (Hl, Wo), pixfrac=pixfrac,
-                pscale_ratio=pscale_ratio, kernel=kernel,
+                pscale_ratio=pscale_ratio, kernel=kernel, tile=tile,
                 interpret=interpret)
         else:
             sci, wht_acc = drizzle_deposit(
@@ -271,6 +275,7 @@ def drizzle_deposit_stack_spatial(
     pscale_ratio=1.0,
     kernel: str = "square",
     use_pallas: bool = False,
+    tile: tuple[int, int] | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Deposit an ``(E, H, W)`` exposure stack over a 2-D ``(frames,
@@ -308,7 +313,9 @@ def drizzle_deposit_stack_spatial(
     fn = _deposit_stack_spatial_jit(
         mesh, (int(out_shape[0]), int(out_shape[1])), float(pixfrac),
         ratios, kernel, wht is None,
-        bool(use_pallas) and kernel != "tophat", bool(interpret))
+        bool(use_pallas) and kernel != "tophat",
+        None if tile is None else (int(tile[0]), int(tile[1])),
+        bool(interpret))
     return fn(jnp.asarray(data, jnp.float32),
               None if wht is None else jnp.asarray(wht, jnp.float32),
               jnp.asarray(x_out, jnp.float32),
@@ -317,7 +324,8 @@ def drizzle_deposit_stack_spatial(
 
 @functools.lru_cache(maxsize=64)
 def _deposit_stack_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
-                               no_wht, use_pallas=False, interpret=False):
+                               no_wht, use_pallas=False, tile=None,
+                               interpret=False):
     """Jitted 2-D-mesh stack deposit for one static config (see
     ``_deposit_spatial_jit`` for why the shard_map must be jitted).
 
@@ -341,7 +349,7 @@ def _deposit_stack_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
             def f(d_, w_, x_, y_):
                 return drizzle_deposit_pallas(
                     d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
-                    pscale_ratio=ratio, kernel=kernel,
+                    pscale_ratio=ratio, kernel=kernel, tile=tile,
                     interpret=interpret)
         else:
             def f(d_, w_, x_, y_):
@@ -408,6 +416,7 @@ def drizzle_deposit_sparse_spatial(
     pscale_ratio=1.0,
     kernel: str = "square",
     use_pallas: bool = False,
+    tile: tuple[int, int] | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Band-compacted sparse deposit onto a row-sharded plane.
@@ -444,6 +453,7 @@ def drizzle_deposit_sparse_spatial(
     fn = _deposit_sparse_spatial_jit(
         mesh, (int(out_shape[0]), int(out_shape[1])), float(pixfrac),
         ratios, kernel, bool(use_pallas) and kernel != "tophat",
+        None if tile is None else (int(tile[0]), int(tile[1])),
         bool(interpret))
     return fn(jnp.asarray(data, jnp.float32),
               jnp.asarray(wht, jnp.float32),
@@ -453,7 +463,8 @@ def drizzle_deposit_sparse_spatial(
 
 @functools.lru_cache(maxsize=64)
 def _deposit_sparse_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
-                                use_pallas=False, interpret=False):
+                                use_pallas=False, tile=None,
+                                interpret=False):
     """Jitted band-sparse deposit for one static config (see
     ``_deposit_spatial_jit`` for why the shard_map must be jitted)."""
     ax = _rows_axis(mesh)
@@ -475,7 +486,7 @@ def _deposit_sparse_spatial_jit(mesh, out_shape, pixfrac, ratios, kernel,
             def f(d_, w_, x_, y_):
                 return drizzle_deposit_pallas(
                     d_, w_, x_, y_, (Hl, Wo), pixfrac=pixfrac,
-                    pscale_ratio=ratio, kernel=kernel,
+                    pscale_ratio=ratio, kernel=kernel, tile=tile,
                     interpret=interpret)
         else:
             def f(d_, w_, x_, y_):
