@@ -362,6 +362,28 @@ def bench_kernels():
     }
 
 
+def _iter_ms_diff(run, reps=3, counts=(4, 12)):
+    """Median-differenced per-iteration ms for an align runner.
+
+    A single entry's wall (dispatch + device loop + history fetch) is
+    polluted by the tunneled relay's random 0.2-200 s fetch stall
+    (verify SKILL "post-Pallas stall"), which round-4 numbers inherited.
+    Repeating the align at two iteration counts and differencing the
+    MEDIAN walls cancels both the fixed per-entry overhead and the
+    stall outliers. Validated against the xplane device trace
+    2026-08-20: this reported 16.8 ms/iter where the device trace
+    showed 16.6 (replicated 8x1024² smoke).
+    """
+
+    def wall(res):
+        return sum(r[0].iter_s for r in res.history)
+
+    lo, hi = counts
+    w_lo = [wall(run(lo)) for _ in range(reps)]
+    w_hi = [wall(run(hi)) for _ in range(reps)]
+    return 1e3 * float(np.median(w_hi) - np.median(w_lo)) / (hi - lo)
+
+
 def bench_align_smoke(parity_ref=None):
     """Full use_pallas align smoke on the real chip (SURVEY §3.1 hot loop;
     VERDICT r1 item 5): an 8-frame 1024² scene, 4 device iterations.
@@ -394,10 +416,7 @@ def bench_align_smoke(parity_ref=None):
                        usfac=8, fit_type="gaussian", use_pallas=True)
     err_mpix = 1e3 * pairwise_shift_errors(res.shifts, planted)
     assert err_mpix < 10.0, f"align smoke fit error {err_mpix:.2f} mpix"
-    iters = [recs[0].iter_s for recs in res.history]
-    steady = iters[1:] or iters  # first call carries the jit compile
     out = {
-        "align_iter_ms": round(1e3 * float(np.median(steady)), 1),
         "align_fit_err_mpix": round(err_mpix, 3),
         "align_setup_s": round(res.setup_s, 2),
         # machine-visible per-stage breakdown (VERDICT r2 task 2): the
@@ -433,6 +452,11 @@ def bench_align_smoke(parity_ref=None):
     err_d = 1e3 * pairwise_shift_errors(res_d.shifts, planted_d)
     assert err_d < 10.0, f"device-scene smoke fit error {err_d:.2f} mpix"
     out["align_setup_device_s"] = round(res_d.setup_s, 2)
+    out["align_iter_ms"] = round(_iter_ms_diff(
+        lambda it: align_images(exposures=exps_d, fitgeom="shift",
+                                max_iterations=it, eps_shift=1e-7,
+                                usfac=8, fit_type="gaussian",
+                                use_pallas=True)), 1)
     return out
 
 
@@ -459,8 +483,6 @@ def bench_align_2k():
                        use_pallas=True)
     err_mpix = 1e3 * pairwise_shift_errors(res.shifts, planted)
     assert err_mpix < 10.0, f"2k align fit error {err_mpix:.2f} mpix"
-    iters = [recs[0].iter_s for recs in res.history]
-    steady = iters[1:] or iters
     # device-resident variant: the same mosaic scene rendered ON device
     # (testing.simulate_stack(device=True)) — setup with zero exposure
     # H2D. The host-scene setup_s above includes shipping 64 MB of
@@ -475,7 +497,12 @@ def bench_align_2k():
     err_d = 1e3 * pairwise_shift_errors(res_d.shifts, planted_d)
     assert err_d < 10.0, f"2k device-scene fit error {err_d:.2f} mpix"
     return {
-        "align2k_iter_ms": round(1e3 * float(np.median(steady)), 1),
+        "align2k_iter_ms": round(_iter_ms_diff(
+            lambda it: align_images(exposures=exps_d, fitgeom="shift",
+                                    max_iterations=it, eps_shift=1e-7,
+                                    usfac=8, fit_type="gaussian",
+                                    use_pallas=True),
+            reps=3, counts=(3, 9)), 1),
         "align2k_setup_s": round(res.setup_s, 2),
         "align2k_setup_device_s": round(res_d.setup_s, 2),
         "align2k_fit_err_mpix": round(err_mpix, 3),
@@ -521,10 +548,12 @@ def bench_align_spatial():
                        eps_shift=1e-7, usfac=8, fit_type="gaussian")
     err_mpix = 1e3 * pairwise_shift_errors(res.shifts, planted)
     assert err_mpix < 10.0, f"spatial align fit error {err_mpix:.2f} mpix"
-    iters = [recs[0].iter_s for recs in res.history]
-    steady = iters[1:] or iters
     out = {
-        "align_spatial_iter_ms": round(1e3 * float(np.median(steady)), 1),
+        "align_spatial_iter_ms": round(_iter_ms_diff(
+            lambda it: align_images(resample=Drizzle(
+                exps, spatial_mesh=mesh), fitgeom="shift",
+                max_iterations=it, eps_shift=1e-7, usfac=8,
+                fit_type="gaussian")), 1),
         "align_spatial_fit_err_mpix": round(err_mpix, 3),
         "align_spatial_setup_s": round(res.setup_s, 2),
     }
@@ -532,6 +561,48 @@ def bench_align_spatial():
         out["align_spatial_sparse_live_frac"] = (
             res.setup_breakdown["sparse_live_frac"])
     return out
+
+
+def bench_align_4k_spatial():
+    """4096² spatial datapoint (VERDICT r4 task 10): the spatial mode's
+    reason to exist is frames beyond one chip's comfort; previous
+    rounds topped out at 2048². A 4x4096² scene (256 MB of science
+    pixels + accumulators) through ``Drizzle(spatial_mesh=...)`` on
+    the real chip: emits setup, fit error, sparse live fraction and
+    the median-differenced iteration time. Measured cold 2026-08-20:
+    first-ever run paid 446 s of finder compiles; warm (serialized
+    executables) setup is ~37 s, err 0.512 mpix, live 14 %.
+    """
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    from subpixal_tpu.align import align_images
+    from subpixal_tpu.parallel.sharding import make_mesh
+    from subpixal_tpu.resample import Drizzle
+    from subpixal_tpu.testing import pairwise_shift_errors, simulate_stack
+
+    exps, planted = simulate_stack(n_exp=4, shape=(4096, 4096),
+                                   n_stars=80, seed=23, device=True)
+    mesh = make_mesh(1, axis_name="rows")
+
+    def run(iters):
+        return align_images(resample=Drizzle(exps, spatial_mesh=mesh),
+                            fitgeom="shift", max_iterations=iters,
+                            eps_shift=1e-7, usfac=8,
+                            fit_type="gaussian")
+
+    res = run(2)
+    err = 1e3 * pairwise_shift_errors(res.shifts, planted)
+    assert err < 10.0, f"4k spatial fit error {err:.2f} mpix"
+    return {
+        "align4k_spatial_setup_s": round(res.setup_s, 2),
+        "align4k_spatial_fit_err_mpix": round(float(err), 3),
+        "align4k_spatial_live_frac":
+            res.setup_breakdown.get("sparse_live_frac"),
+        "align4k_spatial_iter_ms": round(
+            _iter_ms_diff(run, reps=2, counts=(2, 6)), 1),
+    }
 
 
 def _fresh_child_main():
@@ -692,6 +763,7 @@ def main():
     if "align_spatial_iter_ms" in extras and "align_iter_ms" in extras:
         extras["align_spatial_vs_replicated"] = round(
             extras["align_spatial_iter_ms"] / extras["align_iter_ms"], 2)
+    extras.update(bench_align_4k_spatial())
     # fresh-process latency LAST: its cold child re-pays every compile
     # in a private cache, which can degrade the relay for later work
     extras.update(bench_align_fresh())
