@@ -60,6 +60,12 @@ __all__ = ["align_images", "AlignConfig", "AlignResult", "ImageAlignInfo"]
 
 _P = jax.lax.Precision.HIGHEST
 
+#: floor of the oversized-footprint bucket's shape cap (the bucket is
+#: sized min(need, max(_BIG_CAP_FLOOR, 2*max(cutout_shape)))); module
+#: constant so tests can exercise the beyond-cap truncation fallback
+#: without building quarter-frame sources
+_BIG_CAP_FLOOR = 256
+
 
 @dataclasses.dataclass(frozen=True)
 class AlignConfig:
@@ -774,6 +780,31 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             return measure_set(drz, Mi, ti, cpx, cpy, img, mk0, seg,
                                (h, w))
 
+        def bucket_override(dxy, meas_ok, peak, dxyB, okB, pkB):
+            """Override base-batch rows with the oversized-footprint
+            bucket's whole-source measurements (one-hot matmul —
+            scatter .set with padded duplicate indices is
+            order-undefined); NB is tiny. Leading exposure axis is
+            E on the batch path, 1 per otf step."""
+            sel = ((big_idx[:, None] == jnp.arange(N)[None, :])
+                   & big_valid[:, None])               # (NB, N)
+            selF = sel.astype(jnp.float32)
+            anyb = jnp.any(sel, axis=0)                # (N,)
+            dxy = jnp.where(
+                anyb[None, :, None],
+                jnp.einsum("bn,ebk->enk", selF, dxyB, precision=_P),
+                dxy)
+            meas_ok = jnp.where(
+                anyb[None, :],
+                jnp.einsum("bn,eb->en", selF,
+                           okB.astype(jnp.float32), precision=_P) > 0.5,
+                meas_ok)
+            peak = jnp.where(
+                anyb[None, :],
+                jnp.einsum("bn,eb->en", selF, pkB, precision=_P),
+                peak)
+            return dxy, meas_ok, peak
+
         if cfg.wcsupdate == "otf" and E > 1:
             # update-as-you-go (reference non-'batch' mode, SURVEY §3.1):
             # after fitting each exposure the reference image is rebuilt
@@ -785,7 +816,21 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
             for e in range(E):
                 drz, driz_esc = drizzle_all(cur_M, cur_t)
                 dxy_e, ok_e, pk_e, esc_e = measure(drz, cur_M, cur_t, [e])
-                esc_l.append(esc_e[0] + driz_esc[e])
+                esc_tot = esc_e[0] + driz_esc[e]
+                if big_shape is not None:
+                    # oversized-footprint bucket per otf step (round 5):
+                    # exposure e's big sources re-measured whole at the
+                    # bucket shape, rows overridden before ITS fit
+                    ei = jnp.asarray([e])
+                    dxyB_e, okB_e, pkB_e, escB_e = measure_set(
+                        drz, cur_M[ei], cur_t[ei], big_cpx[e:e + 1],
+                        big_cpy[e:e + 1], big_img[e:e + 1],
+                        big_msk[e:e + 1], big_seg[e:e + 1], big_shape,
+                        slot_valid=big_valid)
+                    dxy_e, ok_e, pk_e = bucket_override(
+                        dxy_e, ok_e, pk_e, dxyB_e, okB_e, pkB_e)
+                    esc_tot = esc_tot + escB_e[0]
+                esc_l.append(esc_tot)
                 # fit this exposure and update the state before the next
                 # exposure is measured. NOTE: the state at measurement
                 # time for exposure e is still the iteration-start
@@ -829,26 +874,8 @@ def _build_step(cfg: AlignConfig, out_shape, cut_shape, interp, fitgeom,
                     drz, Ms, ts, big_cpx, big_cpy, big_img, big_msk,
                     big_seg, big_shape, slot_valid=big_valid)
                 escaped = escaped + escB
-                # one-hot override (scatter .set with padded duplicate
-                # indices is order-undefined); NB is tiny
-                sel = ((big_idx[:, None] == jnp.arange(N)[None, :])
-                       & big_valid[:, None])           # (NB, N)
-                selF = sel.astype(jnp.float32)
-                anyb = jnp.any(sel, axis=0)            # (N,)
-                dxy = jnp.where(
-                    anyb[None, :, None],
-                    jnp.einsum("bn,ebk->enk", selF, dxyB, precision=_P),
-                    dxy)
-                meas_ok = jnp.where(
-                    anyb[None, :],
-                    jnp.einsum("bn,eb->en", selF,
-                               okB.astype(jnp.float32),
-                               precision=_P) > 0.5,
-                    meas_ok)
-                peak = jnp.where(
-                    anyb[None, :],
-                    jnp.einsum("bn,eb->en", selF, pkB, precision=_P),
-                    peak)
+                dxy, meas_ok, peak = bucket_override(
+                    dxy, meas_ok, peak, dxyB, okB, pkB)
 
             # ---- 4. per-exposure sigma-clipped fit in the ref frame ----
             # Displacement in ref-frame px: duv = (M_e @ J_{e,n}) @ d_{e,n}.
@@ -1773,18 +1800,18 @@ def align_images(
             cut_shape = cfg.cutout_shape
         h, w = cut_shape
         # sources whose segmentation footprint exceeds the static cutout
-        # shape: on the batch path — single-chip AND frame-sharded
-        # ``mesh=`` (round 4) — they are RE-measured whole in a second
-        # static-shape bucket (VERDICT r3 task 4); elsewhere
-        # (spatial / otf) they are measured on centered crops —
-        # record + warn instead of truncating silently
+        # shape are RE-measured whole in a second static-shape bucket
+        # (VERDICT r3 task 4) on EVERY path since round 5: single-chip
+        # batch, frame-sharded ``mesh=``, spatial (``spatial_mesh=``)
+        # and ``wcsupdate='otf'``. Only a footprint beyond the bucket
+        # cap (2x the base cutout, >=256) still crops — recorded in
+        # ``truncated_sources`` + warned, never silent
         over_i = [i for i, c in enumerate(prim)
                   if c.data.shape[0] > h or c.data.shape[1] > w]
         big_hw = None
         big_src_i: list[int] = []
-        if (over_i and spatial_mesh is None
-                and cfg.wcsupdate != "otf"):
-            cap = max(256, 2 * max(h, w))
+        if over_i:
+            cap = max(_BIG_CAP_FLOOR, 2 * max(h, w))
             need = max(max(prim[i].data.shape) for i in over_i) + 4
             sB = int(np.ceil(min(need, cap) / 16) * 16)
             big_src_i = [i for i in over_i

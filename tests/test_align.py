@@ -260,8 +260,12 @@ def test_align_with_sip_distortion():
 
 def test_oversized_footprint_truncation_reported():
     """VERDICT r1 item 9: a source whose segmentation footprint exceeds
-    the static cutout cap must be REPORTED (warning + record), and the
-    alignment must still converge using the centered crop."""
+    even the BUCKET cap must be REPORTED (warning + record), and the
+    alignment must still converge using the centered crop. Since round
+    5 every path buckets (batch/mesh/spatial/otf), so the bucket cap
+    floor is monkeypatched down to force the beyond-cap fallback."""
+    import subpixal_tpu.align as A
+
     err = np.array([(0.0, 0.0), (0.9, -0.4)])
     exps, _, ref_frame, stars = planted_scene(n_exp=2, shift_err=err)
     # plant one very extended bright source in every exposure (same sky
@@ -273,20 +277,52 @@ def test_oversized_footprint_truncation_reported():
         exp.data = exp.data + (400.0 * np.exp(
             -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * 8.0 ** 2))
         ).astype(np.float32)
-    with pytest.warns(UserWarning, match="footprint"):
+    cap0 = A._BIG_CAP_FLOOR
+    A._BIG_CAP_FLOOR = 16   # cap = max(16, 2*16) = 32 < the ~51 px giant
+    try:
+        with pytest.warns(UserWarning, match="footprint"):
+            res = align_images(
+                resample=Drizzle(exps, pixfrac=1.0),
+                fitgeom="shift", max_iterations=8, eps_shift=0.004,
+                fit_type="gaussian", min_sources=5, max_cut_size=16,
+                # uniform weights: flux weighting would let the
+                # (blended) giant dominate the fit — a property of the
+                # scene, not of the truncation under test
+                use_weights=False,
+            )
+    finally:
+        A._BIG_CAP_FLOOR = cap0
+    assert res.truncated_sources, "oversized footprint not recorded"
+    rel = res.shifts - res.shifts[0]
+    rel_true = err - err[0]
+    assert np.abs(rel - rel_true).max() < 0.02
+
+
+def test_otf_oversized_footprint_bucket():
+    """Round 5: the oversized-footprint bucket also runs under
+    ``wcsupdate='otf'`` — the giant is measured whole per otf step, no
+    warning, no truncation record, accuracy unchanged."""
+    import warnings
+
+    err = np.array([(0.0, 0.0), (0.9, -0.4)])
+    exps, _, ref_frame, stars = planted_scene(n_exp=2, shift_err=err)
+    for e, exp in enumerate(exps):
+        ra, dec = ref_frame.pixel_to_world(60.0, 190.0)
+        x0, y0 = exp.wcs.world_to_pixel(ra, dec)
+        yy, xx = np.mgrid[0:exp.data.shape[0], 0:exp.data.shape[1]]
+        exp.data = exp.data + (400.0 * np.exp(
+            -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * 8.0 ** 2))
+        ).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the footprint warn must NOT fire
         res = align_images(
             resample=Drizzle(exps, pixfrac=1.0),
             fitgeom="shift", max_iterations=8, eps_shift=0.004,
             fit_type="gaussian", min_sources=5, max_cut_size=48,
-            # otf: the oversized-footprint BUCKET is batch-path only,
-            # so this run exercises the truncation-reporting fallback
-            wcsupdate="otf",
-            # uniform weights: flux weighting would let the (blended)
-            # giant dominate the fit — a property of the scene, not of
-            # the truncation under test (verified: same bias at cap 128)
-            use_weights=False,
+            wcsupdate="otf", use_weights=False,
         )
-    assert res.truncated_sources, "oversized footprint not recorded"
+    assert res.truncated_sources == [], res.truncated_sources
+    assert "big_bucket_stage" in res.setup_breakdown
     rel = res.shifts - res.shifts[0]
     rel_true = err - err[0]
     assert np.abs(rel - rel_true).max() < 0.02
