@@ -52,7 +52,14 @@ def _aux_data(hdul, aux_ext, sci_ver):
 
 
 def _exposure_from_hdu(hdul, hdu, name, wht_ext, err_ext) -> Exposure:
-    wcs = wcs_from_header(hdu.header)
+    from .wcs.fitswcs import wcs_from_hdul
+
+    # full stwcs-style chain: SCI-header TAN+SIP plus any lookup-table
+    # distortion extensions (WCSDVARR/D2IMARR) in the file, chip k's
+    # grids at EXTVER (2k-1, 2k) with the single (1, 2) pair shared
+    # when that is all the file carries (round-5 fix: the loader read
+    # only the SCI header, silently dropping table distortion)
+    wcs = wcs_from_hdul(hdul, ext=hdu, chip=getattr(hdu, "ver", 1))
     exptime = float(hdu.header.get(
         "EXPTIME", hdul[0].header.get("EXPTIME", 1.0)))
     bunit = str(hdu.header.get("BUNIT", "")).upper()

@@ -124,7 +124,8 @@ def wcs_to_header(wcs: TanWCS, hdr: Header | None = None) -> Header:
 # --------------------------------------------------------------------- #
 
 def distortion_from_hdus(hdul, kind: str = "WCSDVARR",
-                         skip_record_check: bool = False):
+                         skip_record_check: bool = False,
+                         extvers: tuple[int, int] | None = None):
     """Read a :class:`~subpixal_tpu.wcs.wcs.DistGrid` from FITS image
     extensions named ``kind`` (``WCSDVARR`` = NPOL / CPDIS lookup,
     ``D2IMARR`` = detector-to-image), the layout stwcs writes into HST
@@ -137,16 +138,23 @@ def distortion_from_hdus(hdul, kind: str = "WCSDVARR",
     :class:`DistGrid` anchor here. The record-valued ``DPj`` keywords
     of the science header are NOT required (they only point at these
     extensions). Returns None when no ``kind`` extension exists.
+
+    ``extvers=(x_ver, y_ver)`` selects a specific grid pair — the
+    multi-chip stwcs layout stores chip k's corrections at EXTVER
+    (2k-1, 2k); the default (1, 2) is the single-chip case. Only the
+    requested extensions are read (other chips' grids may carry
+    different anchors).
     """
     from .wcs import DistGrid
 
+    xv, yv = extvers or (1, 2)
     grids = {}
     meta = None
     for hdu in hdul:
         if str(hdu.header.get("EXTNAME", "")).strip().upper() != kind:
             continue
         ver = int(hdu.header.get("EXTVER", 1))
-        if hdu.data is None:
+        if ver not in (xv, yv) or hdu.data is None:
             continue
         grids[ver] = np.asarray(hdu.data, np.float64)
         m = (float(hdu.header.get("CRPIX1", 1.0)) - 1.0,
@@ -164,19 +172,22 @@ def distortion_from_hdus(hdul, kind: str = "WCSDVARR",
     if not grids:
         return None
     return DistGrid(
-        data_x=grids.get(1), data_y=grids.get(2),
+        data_x=grids.get(xv), data_y=grids.get(yv),
         crpix=(meta[0], meta[1]), crval=(meta[2], meta[3]),
         cdelt=(meta[4], meta[5]))
 
 
-def distortion_to_hdus(grid, kind: str = "WCSDVARR"):
+def distortion_to_hdus(grid, kind: str = "WCSDVARR",
+                       extvers: tuple[int, int] = (1, 2)):
     """Write a :class:`DistGrid` as ``kind`` image extensions (EXTVER
-    1 = x grid, 2 = y grid) — the inverse of
+    ``extvers[0]`` = x grid, ``extvers[1]`` = y grid; multi-chip files
+    use (2k-1, 2k) for chip k) — the inverse of
     :func:`distortion_from_hdus`."""
     from ..io.fits import HDU
 
     out = []
-    for ver, data in ((1, grid.data_x), (2, grid.data_y)):
+    for ver, data in ((extvers[0], grid.data_x),
+                      (extvers[1], grid.data_y)):
         if data is None:
             continue
         hdu = HDU(data=np.asarray(data, np.float32), name=kind)
@@ -191,14 +202,27 @@ def distortion_to_hdus(grid, kind: str = "WCSDVARR"):
     return out
 
 
-def wcs_from_hdul(hdul, ext=0) -> TanWCS:
+def wcs_from_hdul(hdul, ext=0, chip: int = 1) -> TanWCS:
     """:func:`wcs_from_header` of ``hdul[ext]`` plus any lookup-table
     distortion extensions (``WCSDVARR`` -> ``cpdis``, ``D2IMARR`` ->
-    ``d2im``) present in the file — the full stwcs-style HST chain."""
-    w = wcs_from_header(hdul[ext].header if hasattr(hdul[ext], "header")
-                        else hdul[ext])
-    cpdis = distortion_from_hdus(hdul, "WCSDVARR")
-    d2im = distortion_from_hdus(hdul, "D2IMARR")
+    ``d2im``) present in the file — the full stwcs-style HST chain.
+
+    ``chip`` selects the grid pair for multi-chip files (stwcs layout:
+    chip k's grids at EXTVER (2k-1, 2k)); a file carrying only the
+    single (1, 2) pair applies it to every chip."""
+    target = ext if hasattr(ext, "header") else hdul[ext]
+    w = wcs_from_header(target.header if hasattr(target, "header")
+                        else target)
+    cpdis = d2im = None
+    if chip > 1:
+        cpdis = distortion_from_hdus(
+            hdul, "WCSDVARR", extvers=(2 * chip - 1, 2 * chip))
+        d2im = distortion_from_hdus(
+            hdul, "D2IMARR", extvers=(2 * chip - 1, 2 * chip))
+    if cpdis is None:
+        cpdis = distortion_from_hdus(hdul, "WCSDVARR")
+    if d2im is None:
+        d2im = distortion_from_hdus(hdul, "D2IMARR")
     if cpdis is not None or d2im is not None:
         w = w.replace(cpdis=cpdis, d2im=d2im)
     return w
