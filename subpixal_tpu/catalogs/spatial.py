@@ -167,7 +167,7 @@ def _detect_core(band_plane, thr, *, mesh, logical_rows, halo, B, win,
         packed = packed.at[9].add(jnp.float32(ero0))   # ymax
         packed = packed.at[11].add(jnp.float32(ero0))  # peak_y
         packed = jnp.concatenate(
-            [packed, own.astype(jnp.float32)[None]], axis=0)  # row 13
+            [packed, own.astype(jnp.float32)[None]], axis=0)  # row 14
         # seg: own rows, band-LOCAL ranks (remapped after the merge)
         seg_own = jax.lax.dynamic_slice(seg_rank, (halo, 0), (Hl, W))
         return seg_own, packed[None]
@@ -258,9 +258,32 @@ def find_sources_spatial(mesh: Mesh, band_plane, logical_rows: int,
                                                  **core_statics)
     from ..utils import fetch_to_host
 
-    arr = np.asarray(fetch_to_host(packed_all))     # (Nr, 14, B) — KB
+    arr = np.asarray(fetch_to_host(packed_all))     # (Nr, 15, B) — KB
     keep = arr[:, 0, :] > 0
-    owned = keep & (arr[:, 13, :] > 0)
+    owned = keep & (arr[:, 14, :] > 0)
+    # window escalation (VERDICT r4 task 5, band-local variant): an
+    # owned source whose bbox touched its measurement window (device
+    # flag, row 13) was truncated — re-run with the window doubled
+    # while that actually enlarges the effective in-band window
+    if (keep & owned & (arr[:, 13, :] > 0)).any():
+        cap = min(256, W, Ho)
+        win2 = min(2 * window, cap)
+        halo2 = max(2, min(int(win2), max(Hl - 1, 1)))
+        _, win2_eff = _peaks_dims((Hl + 2 * halo2, W), max_sources,
+                                  win2)
+        if win2_eff > win:
+            # cap the escalated static batch at the known per-band
+            # candidate count (same threshold -> same candidates; see
+            # find_sources_device's escalation)
+            n_cand = int(arr[:, 10, 0].max())
+            b2 = min(max_sources,
+                     max(64, -(-(n_cand + 8) // 64) * 64))
+            return find_sources_spatial(
+                mesh, band_plane, logical_rows, threshold=threshold,
+                nsigma=nsigma, npixels=npixels,
+                max_sources=b2, window=win2,
+                deblend_nthresh=deblend_nthresh,
+                deblend_cont=deblend_cont)
     order = []
     for bnd in range(arr.shape[0]):
         for i in np.nonzero(owned[bnd])[0]:

@@ -366,9 +366,12 @@ def test_device_deblend_matches_host_crowded_pair():
     hxy = np.sort(np.stack([cat_h["x"], cat_h["y"]], 1), axis=0)
     dxy = np.sort(np.stack([np.asarray(cat_d["x"]),
                             np.asarray(cat_d["y"])], 1), axis=0)
-    # the device skirt assignment is lockstep-geodesic (host:
-    # euclidean nearest seed) — centroids land within half a pixel
-    np.testing.assert_allclose(dxy, hxy, atol=0.5)
+    # round 5: euclidean nearest-seed skirt assignment (host parity;
+    # the only remaining deviation is the other-children seed proxy —
+    # 3x3-refined peaks vs the host's core centroids). Measured
+    # 0.074 px max on this scene; pinned at 0.2 (VERDICT r4 task 5
+    # target, was 0.5 with the geodesic growth).
+    np.testing.assert_allclose(dxy, hxy, atol=0.2)
 
     # deblending must not perturb isolated sources: rerun with it off
     cat_off, _ = find_sources_device(img, threshold=thr, npixels=5,
@@ -381,3 +384,42 @@ def test_device_deblend_matches_host_crowded_pair():
     seg = np.asarray(seg_d)
     assert seg[48, 40] != seg[50, 47] and seg[48, 40] > 0
     assert seg[20, 70] != seg[27, 70] and seg[20, 70] > 0
+
+
+def test_device_finder_big_source_window_escalation():
+    """VERDICT r4 task 5: a source larger than the measurement window
+    is no longer truncated — the finder escalates the window until the
+    footprint fits, and the measurement matches the host finder."""
+    from subpixal_tpu.catalogs import find_sources
+    from subpixal_tpu.catalogs.device import find_sources_device
+
+    rng = np.random.default_rng(21)
+    H = W = 160
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+
+    def g(x0, y0, amp, sig):
+        return amp * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2)
+                            / (2 * sig * sig))
+
+    # giant (footprint ~65 px at thr=1) + two ordinary stars
+    img = (g(80.0, 78.0, 100.0, 12.0) + g(30.0, 30.0, 60.0, 1.8)
+           + g(130.0, 40.0, 70.0, 1.8)
+           + rng.normal(0, 0.05, (H, W))).astype(np.float32)
+
+    cat_h, _ = find_sources(img, threshold=1.0, npixels=5,
+                            deblend=False)
+    cat_d, seg_d = find_sources_device(img, threshold=1.0, npixels=5,
+                                       method="peaks", window=32,
+                                       deblend_nthresh=1)
+    assert len(cat_d) == len(cat_h) == 3
+    order_h = np.argsort(np.asarray(cat_h["flux"]))
+    order_d = np.argsort(np.asarray(cat_d["flux"]))
+    for col, tol in (("x", 0.05), ("y", 0.05), ("area", 0),
+                     ("xmin", 0), ("xmax", 0), ("ymin", 0), ("ymax", 0)):
+        hv = np.asarray(cat_h[col], np.float64)[order_h]
+        dv = np.asarray(cat_d[col], np.float64)[order_d]
+        np.testing.assert_allclose(dv, hv, atol=tol, err_msg=col)
+    # flux of the giant measured WHOLE (window escalated past 65 px)
+    np.testing.assert_allclose(
+        np.asarray(cat_d["flux"], np.float64)[order_d],
+        np.asarray(cat_h["flux"], np.float64)[order_h], rtol=1e-4)

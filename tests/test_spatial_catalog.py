@@ -123,8 +123,14 @@ def test_spatial_align_with_band_local_catalog(mesh):
     ref = align_images(exposures=[e.copy() for e in exps], **kw)
     d = Drizzle([e.copy() for e in exps], spatial_mesh=mesh)
     res = align_images(resample=d, **kw)
+    # round 5: both finders escalate truncated windows, but the
+    # band-local finder's effective window is capped by the band
+    # height (12 rows here), so window-touching sources measure
+    # slightly differently than the replicated finder's escalated
+    # 32 px window — a structural band-local property (docs/parity.md
+    # #6), ~0.011 px on this scene
     np.testing.assert_allclose(np.asarray(res.shifts),
-                               np.asarray(ref.shifts), atol=5e-3)
+                               np.asarray(ref.shifts), atol=2e-2)
     err = pairwise_shift_errors(res.shifts, planted)
     assert err < max(0.1, 1.5 * pairwise_shift_errors(ref.shifts,
                                                       planted))
