@@ -1121,66 +1121,134 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
     )
     def step(Ms, ts, dep_data, dep_wht, dep_px, dep_py, dep_fid,
              fpx, fpy, fimg, fmsk, fseg, fjac, fxy0, fw, ffid, *big):
-        # ---- 1. re-drizzle: local frames, psum over the mesh ----------
-        sci, whta, esc_d = deposit_local(Ms, ts, dep_data, dep_wht,
-                                         dep_px, dep_py, dep_fid)
-        sci = jax.lax.psum(sci, axis)
-        whta = jax.lax.psum(whta, axis)
-        esc_d = jax.lax.psum(esc_d, axis)
-        drz = drizzle_combine(sci, whta)
+        def measure_all(Ms_, ts_):
+            """Re-drizzle with state ``(Ms_, ts_)`` and measure the
+            local cutout shard: returns (uv, wgt, esc_d, besc,
+            besc_big) — shared by the batch step and each otf
+            sub-step."""
+            # ---- 1. re-drizzle: local frames, psum over the mesh ----
+            sci, whta, esc_d = deposit_local(Ms_, ts_, dep_data,
+                                             dep_wht, dep_px, dep_py,
+                                             dep_fid)
+            sci = jax.lax.psum(sci, axis)
+            whta = jax.lax.psum(whta, axis)
+            esc_d = jax.lax.psum(esc_d, axis)
+            drz = drizzle_combine(sci, whta)
 
-        # ---- 2. measure the local cutout shard ------------------------
-        Mi = Ms[ffid]
-        ti = ts[ffid]
-        dxy, good, besc = measure_shard(drz, Mi, ti, fpx, fpy,
-                                        fimg, fmsk, fseg)
-        besc_big = jnp.zeros((E,), jnp.float32)
-        if big_hw is not None:
-            # oversized-footprint bucket: measure its shard whole at
-            # the big shape, then override the matching base rows.
-            # Each bucket slot names its base row by GLOBAL flat index
-            # (btgt); a one-hot psum materializes the (tiny) dense
-            # override on every device and each device slices its own
-            # base-row window back out — no cross-device scatter.
-            bpx, bpy, bimg, bmsk_b, bseg_b, btgt, bfid, bval = big
-            dxyB, goodB, bescB = measure_shard(
-                drz, Ms[bfid], ts[bfid], bpx, bpy,
-                bimg, bmsk_b, bseg_b)
-            Bg = fpx.shape[0] * D  # global base-batch rows (static)
-            ohB = ((btgt[:, None] == jnp.arange(Bg)[None, :])
-                   & bval[:, None]).astype(jnp.float32)  # (KBl, Bg)
-            over_dxy = jax.lax.psum(
-                jnp.einsum("kb,kj->bj", ohB, dxyB, precision=_P), axis)
-            over_good = jax.lax.psum(
-                jnp.einsum("kb,k->b", ohB, goodB, precision=_P), axis)
-            anyb = jax.lax.psum(jnp.sum(ohB, axis=0), axis) > 0.5
-            off = jax.lax.axis_index(axis) * fpx.shape[0]
+            # ---- 2. measure the local cutout shard ------------------
+            Mi = Ms_[ffid]
+            ti = ts_[ffid]
+            dxy, good, besc = measure_shard(drz, Mi, ti, fpx, fpy,
+                                            fimg, fmsk, fseg)
+            besc_big = jnp.zeros((E,), jnp.float32)
+            if big_hw is not None:
+                # oversized-footprint bucket: measure its shard whole
+                # at the big shape, then override the matching base
+                # rows. Each bucket slot names its base row by GLOBAL
+                # flat index (btgt); a one-hot psum materializes the
+                # (tiny) dense override on every device and each
+                # device slices its own base-row window back out — no
+                # cross-device scatter.
+                bpx, bpy, bimg, bmsk_b, bseg_b, btgt, bfid, bval = big
+                dxyB, goodB, bescB = measure_shard(
+                    drz, Ms_[bfid], ts_[bfid], bpx, bpy,
+                    bimg, bmsk_b, bseg_b)
+                Bg = fpx.shape[0] * D  # global base-batch rows
+                ohB = ((btgt[:, None] == jnp.arange(Bg)[None, :])
+                       & bval[:, None]).astype(jnp.float32)  # (KBl,Bg)
+                over_dxy = jax.lax.psum(
+                    jnp.einsum("kb,kj->bj", ohB, dxyB, precision=_P),
+                    axis)
+                over_good = jax.lax.psum(
+                    jnp.einsum("kb,k->b", ohB, goodB, precision=_P),
+                    axis)
+                anyb = jax.lax.psum(jnp.sum(ohB, axis=0), axis) > 0.5
+                off = jax.lax.axis_index(axis) * fpx.shape[0]
 
-            def _sl(a):
-                return jax.lax.dynamic_slice_in_dim(
-                    a, off, fpx.shape[0], 0)
+                def _sl(a):
+                    return jax.lax.dynamic_slice_in_dim(
+                        a, off, fpx.shape[0], 0)
 
-            anyb_l = _sl(anyb)
-            dxy = jnp.where(anyb_l[:, None], _sl(over_dxy), dxy)
-            good = jnp.where(anyb_l, _sl(over_good), good)
-            ohEb = (bfid[:, None] == jnp.arange(E)[None, :]
-                    ).astype(jnp.float32)
-            besc_big = jax.lax.psum(jnp.sum(
-                ohEb * (bescB.astype(jnp.float32)
-                        * bval.astype(jnp.float32))[:, None],
-                axis=0), axis)
+                anyb_l = _sl(anyb)
+                dxy = jnp.where(anyb_l[:, None], _sl(over_dxy), dxy)
+                good = jnp.where(anyb_l, _sl(over_good), good)
+                ohEb = (bfid[:, None] == jnp.arange(E)[None, :]
+                        ).astype(jnp.float32)
+                besc_big = jax.lax.psum(jnp.sum(
+                    ohEb * (bescB.astype(jnp.float32)
+                            * bval.astype(jnp.float32))[:, None],
+                    axis=0), axis)
 
-        # ---- 3. psum-reduced per-frame sigma-clipped fits -------------
-        MJ = jnp.einsum("nij,njk->nik", Mi, fjac, precision=_P)
-        duv = jnp.einsum("nik,nk->ni", MJ, dxy, precision=_P)
-        uv = fxy0 + duv
-        wgt = fw * good
-        fit = iter_linear_fit_frames(
-            uv, fxy0, ffid, E, wxy=wgt, fitgeom=fitgeom,
-            nclip=cfg.nclip, sigma=cfg.sigma, axis_name=axis)
-        G_M, G_t = fit.matrix, fit.shift
-        newM = jnp.einsum("eij,ejk->eik", G_M, Ms, precision=_P)
-        newt = jnp.einsum("eij,ej->ei", G_M, ts, precision=_P) + G_t
+            MJ = jnp.einsum("nij,njk->nik", Mi, fjac, precision=_P)
+            duv = jnp.einsum("nik,nk->ni", MJ, dxy, precision=_P)
+            uv = fxy0 + duv
+            wgt = fw * good
+            return uv, wgt, esc_d, besc, besc_big
+
+        oh = (ffid[:, None] == jnp.arange(E)[None, :]).astype(jnp.float32)
+        if cfg.wcsupdate == "otf" and E > 1:
+            # update-as-you-go under SPMD (round 5 — reference
+            # non-'batch' mode, SURVEY §3.1): exposures update
+            # SEQUENTIALLY, each measured against a reference rebuilt
+            # with every earlier update applied. Each sub-step reuses
+            # the FULL sharded deposit+measurement (all devices busy);
+            # only exposure e's psum'd fit moments are consumed, so an
+            # otf iteration costs E batch measurements — the inherent
+            # price of the reference's sequential semantics.
+            from .ops.fit import LinearFitResult
+
+            cur_M, cur_t = Ms, ts
+            uv = jnp.zeros((fpx.shape[0], 2), fxy0.dtype)
+            wgt = jnp.zeros((fpx.shape[0],), jnp.float32)
+            rows, esc_l = [], []
+            for e in range(E):
+                uv_e, wgt_e, esc_d_e, besc_e, bb_e = measure_all(
+                    cur_M, cur_t)
+                fit_e = iter_linear_fit_frames(
+                    uv_e, fxy0, ffid, E, wxy=wgt_e, fitgeom=fitgeom,
+                    nclip=cfg.nclip, sigma=cfg.sigma, axis_name=axis)
+                Ge_M = fit_e.matrix[e]
+                Ge_t = fit_e.shift[e]
+                cur_M = cur_M.at[e].set(
+                    jnp.einsum("ij,jk->ik", Ge_M, cur_M[e],
+                               precision=_P))
+                cur_t = cur_t.at[e].set(
+                    jnp.einsum("ij,j->i", Ge_M, cur_t[e],
+                               precision=_P) + Ge_t)
+                sel = ffid == e
+                uv = jnp.where(sel[:, None], uv_e, uv)
+                wgt = jnp.where(sel, wgt_e, wgt)
+                rows.append((Ge_M, Ge_t, fit_e.rms[e], fit_e.rmse[e],
+                             fit_e.mae[e], fit_e.nmatches[e]))
+                esc_b_e = jax.lax.psum(
+                    jnp.sum(oh[:, e] * besc_e.astype(jnp.float32)),
+                    axis)
+                esc_l.append(esc_d_e[e] + esc_b_e.astype(jnp.int32)
+                             + bb_e[e].astype(jnp.int32))
+            fit = LinearFitResult(
+                matrix=jnp.stack([r[0] for r in rows]),
+                shift=jnp.stack([r[1] for r in rows]),
+                rms=jnp.stack([r[2] for r in rows]),
+                rmse=jnp.stack([r[3] for r in rows]),
+                mae=jnp.stack([r[4] for r in rows]),
+                nmatches=jnp.stack([r[5] for r in rows]),
+                weights=wgt)
+            G_M, G_t = fit.matrix, fit.shift
+            newM, newt = cur_M, cur_t
+            escaped = jnp.stack(esc_l)
+        else:
+            uv, wgt, esc_d, besc, besc_big = measure_all(Ms, ts)
+            # ---- 3. psum-reduced per-frame sigma-clipped fits ---------
+            fit = iter_linear_fit_frames(
+                uv, fxy0, ffid, E, wxy=wgt, fitgeom=fitgeom,
+                nclip=cfg.nclip, sigma=cfg.sigma, axis_name=axis)
+            G_M, G_t = fit.matrix, fit.shift
+            newM = jnp.einsum("eij,ejk->eik", G_M, Ms, precision=_P)
+            newt = jnp.einsum("eij,ej->ei", G_M, ts, precision=_P) + G_t
+            esc_b = jax.lax.psum(
+                jnp.sum(oh * besc[:, None].astype(jnp.float32), axis=0),
+                axis).astype(jnp.int32)
+            escaped = esc_d + esc_b + besc_big.astype(jnp.int32)
 
         # ---- 4. convergence metric (identical to the 1-device step) ---
         moved = (jnp.einsum("nij,nj->ni", G_M[ffid], uv, precision=_P)
@@ -1193,16 +1261,11 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
                 / wsum_all)[None, :]
             moved = moved - common
         move2 = jnp.sum(moved * moved, axis=-1)
-        oh = (ffid[:, None] == jnp.arange(E)[None, :]).astype(jnp.float32)
         swf = jax.lax.psum(jnp.sum(oh * wgt[:, None], axis=0), axis)
         sm2 = jax.lax.psum(
             jnp.sum(oh * (wgt * move2)[:, None], axis=0), axis)
         rms_move = jnp.sqrt(sm2 / jnp.maximum(swf, 1e-12))
         max_shift = jnp.max(rms_move)
-
-        esc_b = jax.lax.psum(
-            jnp.sum(oh * besc[:, None].astype(jnp.float32), axis=0), axis
-        ).astype(jnp.int32)
 
         # total correction magnitude (see _build_step): bound on blot-
         # window drift from the setup positions, pmax'd over the mesh
@@ -1218,8 +1281,7 @@ def _build_mesh_step(cfg: AlignConfig, mesh, out_shape, cut_shape, interp,
 
         info = dict(G_M=G_M, G_t=G_t, rms=fit.rms, rmse=fit.rmse,
                     mae=fit.mae, nmatches=fit.nmatches,
-                    max_shift=max_shift,
-                    escaped=esc_d + esc_b + besc_big.astype(jnp.int32),
+                    max_shift=max_shift, escaped=escaped,
                     max_corr=max_corr)
         return newM, newt, info
 
@@ -1548,7 +1610,11 @@ def align_images(
     iteration then runs as one SPMD program over its devices (exposures
     sharded for the re-drizzle, the flattened cutout batch sharded for
     measurement, psum-reduced global fits; see :func:`_build_mesh_step`).
-    Only ``wcsupdate='batch'`` is supported under a mesh.
+    Both ``wcsupdate`` modes run under a mesh (round 5): 'otf'
+    reuses the full sharded deposit+measurement per sequential
+    exposure update, so an otf iteration costs E batch
+    measurements — the reference's sequential semantics priced
+    honestly, not a silent fallback.
 
     Parameters mirror the reference ``align_images(catalogs, resample,
     cc_type='NCC', fitgeom='general', nclip=3, sigma=3.0,
@@ -2289,10 +2355,6 @@ def align_images(
     ts = jnp.zeros((E, 2), jnp.float32)
     _mesh_heal_ctx: dict = {}
     if mesh is not None:
-        if cfg.wcsupdate == "otf":
-            raise ValueError(
-                "wcsupdate='otf' is sequential by construction and not "
-                "supported under a mesh; use wcsupdate='batch'")
         D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         # frames padded to the mesh size with weight-0 deposits
         Ep = -(-E // D) * D
