@@ -56,8 +56,33 @@ import os as _os
 _P_FWD = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,   # 1-pass bf16 (experimental)
+    "split2": jax.lax.Precision.DEFAULT,    # see _fwd_einsum
 }.get(_os.environ.get("SUBPIXAL_TPU_FWD_PRECISION", "").lower(),
       jax.lax.Precision.HIGH)
+
+#: hand-rolled 2-pass forward DFT (VERDICT r4 task 7 / roadmap
+#: "Precision"): the DFT CONSTANTS are split exactly into bf16 hi+lo
+#: halves while the data takes one bf16 pass — 2 MXU passes per
+#: contraction vs HIGH's 3, with the constant-rounding term of
+#: DEFAULT eliminated (only the data's own bf16 rounding remains).
+_FWD_SPLIT2 = (_os.environ.get("SUBPIXAL_TPU_FWD_PRECISION", "").lower()
+               == "split2")
+
+
+def _fwd_einsum(pattern: str, C, X):
+    """Forward-DFT contraction at the configured precision; constants
+    MUST be the first operand. Under ``SUBPIXAL_TPU_FWD_PRECISION=
+    split2`` runs ``C_hi @ X + C_lo @ X`` with exactly-representable
+    bf16 constant halves (single-pass each); the hi/lo splits of the
+    trace-constant tables are constant-folded by XLA."""
+    if not _FWD_SPLIT2:
+        return jnp.einsum(pattern, C, X, precision=_P_FWD)
+    Cf = jnp.asarray(C, jnp.float32)
+    hi = Cf.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = Cf - hi
+    d = jax.lax.Precision.DEFAULT
+    return (jnp.einsum(pattern, hi, X, precision=d)
+            + jnp.einsum(pattern, lo, X, precision=d))
 
 #: read-out contraction precision (upsampled window / windowed coarse
 #: lags). HIGHEST (6-pass bf16, exact-f32 class) is the default: these
@@ -238,11 +263,11 @@ def _rfft2_matmul(x: jax.Array):
     Wr = W // 2 + 1
     consts = _dft_consts(H, W)
     CWS, CH, SH, CHpS = consts[0], consts[4], consts[5], consts[6]
-    X = jnp.einsum("...hw,kw->...hk", x, CWS, precision=_P_FWD)  # [Xr|Xi]
+    X = _fwd_einsum("kw,...hw->...hk", CWS, x)               # [Xr|Xi]
     Xr, Xi = X[..., :Wr], X[..., Wr:]
-    P1 = jnp.einsum("gh,...hk->...gk", CH, Xr, precision=_P_FWD)
-    P2 = jnp.einsum("gh,...hk->...gk", SH, Xi, precision=_P_FWD)
-    P3 = jnp.einsum("gh,...hk->...gk", CHpS, Xr + Xi, precision=_P_FWD)
+    P1 = _fwd_einsum("gh,...hk->...gk", CH, Xr)
+    P2 = _fwd_einsum("gh,...hk->...gk", SH, Xi)
+    P3 = _fwd_einsum("gh,...hk->...gk", CHpS, Xr + Xi)
     return P1 - P2, P3 - P1 - P2
 
 

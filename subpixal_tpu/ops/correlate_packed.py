@@ -58,7 +58,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .correlate import _P_COARSE, _P_FWD, _P_READOUT, _dft_consts
+from .correlate import (_P_COARSE, _P_FWD, _P_READOUT, _dft_consts,
+                        _fwd_einsum)
 from .peaks import _power_tables, _solve_spd_small
 
 __all__ = ["find_displacement_packed", "use_packed"]
@@ -149,11 +150,11 @@ def _fwd_packed(x: jax.Array):
     consts = _dft_consts(H, W)
     CWS, CH, SH, CHpS = (jnp.asarray(consts[0]), jnp.asarray(consts[4]),
                          jnp.asarray(consts[5]), jnp.asarray(consts[6]))
-    X1 = jnp.einsum("kw,bhw->hkb", CWS, x, precision=_P_FWD)  # (H, 2Wr, B)
+    X1 = _fwd_einsum("kw,bhw->hkb", CWS, x)               # (H, 2Wr, B)
     Xr, Xi = X1[:, :Wr, :], X1[:, Wr:, :]
-    P1 = jnp.einsum("gh,hkb->gkb", CH, Xr, precision=_P_FWD)
-    P2 = jnp.einsum("gh,hkb->gkb", SH, Xi, precision=_P_FWD)
-    P3 = jnp.einsum("gh,hkb->gkb", CHpS, Xr + Xi, precision=_P_FWD)
+    P1 = _fwd_einsum("gh,hkb->gkb", CH, Xr)
+    P2 = _fwd_einsum("gh,hkb->gkb", SH, Xi)
+    P3 = _fwd_einsum("gh,hkb->gkb", CHpS, Xr + Xi)
     return P1 - P2, P3 - P1 - P2
 
 
