@@ -270,6 +270,60 @@ _EARLIER = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
 _LATER = ((0, 1), (1, -1), (1, 0), (1, 1))
 
 
+def _candidate_mask(img, threshold, npixels):
+    """Local-maxima candidate mask (threshold + minarea prefilter) —
+    the EXACT candidate set of `_find_sources_peaks_core`, shared with
+    the cheap counting program (`_count_candidates`)."""
+    H, W = img.shape
+    finite = jnp.isfinite(img)
+    x = jnp.where(finite, img, -jnp.inf)
+    det = finite & (img > threshold)
+
+    def nb(a, dy, dx, fill):
+        # value at (i+dy, j+dx); _shift_min moves content by (+dy, +dx)
+        return _shift_min(a, -dy, -dx, fill)
+
+    # minarea prefilter: a connected component of area >= npixels that
+    # contains pixel p has >= min(npixels, r+1) det pixels within
+    # Chebyshev radius r of p (path argument), so with r = npixels - 1
+    # the box count >= npixels is NECESSARY for the component test —
+    # no false rejects; false accepts fall to the exact area filter.
+    r = npixels - 1
+    if r > 0:
+        dp = jnp.pad(det.astype(jnp.int32), r)
+        ii = jnp.pad(jnp.cumsum(jnp.cumsum(dp, 0), 1), ((1, 0), (1, 0)))
+        s = 2 * r + 1
+        box = (ii[s:s + H, s:s + W] - ii[:H, s:s + W]
+               - ii[s:s + H, :W] + ii[:H, :W])
+        pk = det & (box >= npixels)
+    else:
+        pk = det
+    for dy, dx in _EARLIER:
+        pk = pk & (x > nb(x, dy, dx, -jnp.inf))
+    for dy, dx in _LATER:
+        pk = pk & (x >= nb(x, dy, dx, -jnp.inf))
+    return pk
+
+
+@functools.partial(jax.jit, static_argnames=("nsigma", "npixels"))
+def _count_candidates_auto(img, *, nsigma, npixels):
+    """(candidate count, derived threshold) — stage A of the two-stage
+    finder: the KB-class result sizes stage B's static candidate batch
+    (round 5; a 60-star 1024² scene previously ran the full deblend
+    machinery over 8192 static slots — 542 ms of device time and a
+    multi-minute 4k compile for ~60 real candidates)."""
+    _, med, std = sigma_clipped_stats_device(img)
+    thr = (med + jnp.float32(nsigma) * std).astype(jnp.float32)
+    pk = _candidate_mask(img, thr, npixels)
+    return jnp.sum(pk.astype(jnp.int32)), thr
+
+
+@functools.partial(jax.jit, static_argnames=("npixels",))
+def _count_candidates(img, threshold, *, npixels):
+    pk = _candidate_mask(img, threshold, npixels)
+    return jnp.sum(pk.astype(jnp.int32))
+
+
 @functools.partial(
     jax.jit, static_argnames=("nsigma", "max_sources", "npixels",
                               "window", "deblend_nthresh",
@@ -313,30 +367,7 @@ def _find_sources_peaks_core(img, threshold, *, max_sources, npixels,
     finite = jnp.isfinite(img)
     x = jnp.where(finite, img, -jnp.inf)
     det = finite & (img > threshold)
-
-    def nb(a, dy, dx, fill):
-        # value at (i+dy, j+dx); _shift_min moves content by (+dy, +dx)
-        return _shift_min(a, -dy, -dx, fill)
-
-    # minarea prefilter: a connected component of area >= npixels that
-    # contains pixel p has >= min(npixels, r+1) det pixels within
-    # Chebyshev radius r of p (path argument), so with r = npixels - 1
-    # the box count >= npixels is NECESSARY for the component test —
-    # no false rejects; false accepts fall to the exact area filter.
-    r = npixels - 1
-    if r > 0:
-        dp = jnp.pad(det.astype(jnp.int32), r)
-        ii = jnp.pad(jnp.cumsum(jnp.cumsum(dp, 0), 1), ((1, 0), (1, 0)))
-        s = 2 * r + 1
-        box = (ii[s:s + H, s:s + W] - ii[:H, s:s + W]
-               - ii[s:s + H, :W] + ii[:H, :W])
-        pk = det & (box >= npixels)
-    else:
-        pk = det
-    for dy, dx in _EARLIER:
-        pk = pk & (x > nb(x, dy, dx, -jnp.inf))
-    for dy, dx in _LATER:
-        pk = pk & (x >= nb(x, dy, dx, -jnp.inf))
+    pk = _candidate_mask(img, threshold, npixels)
     n_cand = jnp.sum(pk.astype(jnp.int32))
 
     # brightest-first candidate selection (ONE top_k, ~40 ms at 16.7M)
@@ -582,7 +613,8 @@ def _peaks_dims(shape, max_sources, window):
 
 def _peaks_executables(shape, *, nsigma: float, npixels: int,
                        window: int, max_sources: int,
-                       deblend_nthresh: int, deblend_cont: float):
+                       deblend_nthresh: int, deblend_cont: float,
+                       want_fused: bool = True):
     """(fused, peaks, remap) compiled executables for an (H, W) image,
     served from the serialized-executable cache (:mod:`..aot`) — a
     warm process deserializes them (~0.1 s each) instead of paying a
@@ -600,9 +632,11 @@ def _peaks_executables(shape, *, nsigma: float, npixels: int,
     core_statics = dict(max_sources=B, npixels=npixels, window=win,
                         deblend_nthresh=deblend_nthresh,
                         deblend_cont=deblend_cont)
-    fused = get_executable(
-        "cat_find", _find_sources_peaks_fused, (img,),
-        statics=dict(nsigma=float(nsigma), **core_statics))
+    fused = None
+    if want_fused:
+        fused = get_executable(
+            "cat_find", _find_sources_peaks_fused, (img,),
+            statics=dict(nsigma=float(nsigma), **core_statics))
     peaks = get_executable("cat_peaks", _find_sources_peaks_core,
                            (img, thr), statics=core_statics)
     remap = get_executable(
@@ -629,10 +663,30 @@ def warm_compile(shape, *, nsigma: float = 3.0, npixels: int = 5,
     (:func:`_peaks_executables`): warm processes skip the compile RPC
     entirely.
     """
-    _peaks_executables(shape, nsigma=nsigma, npixels=npixels,
-                       window=window, max_sources=max_sources,
-                       deblend_nthresh=deblend_nthresh,
-                       deblend_cont=deblend_cont)
+    from ..aot import get_executable
+
+    B_full, _ = _peaks_dims(shape, max_sources, window)
+    if B_full > 256:
+        # two-stage flow (find_sources_device): warm the counting
+        # program and the LIKELY stage-B buckets — never the
+        # max_sources-sized monolith (its compile was the multi-minute
+        # cold cost this flow exists to avoid)
+        H, W = shape
+        img = jax.ShapeDtypeStruct((H, W), jnp.float32)
+        get_executable("cat_count", _count_candidates_auto, (img,),
+                       statics=dict(nsigma=float(nsigma),
+                                    npixels=int(npixels)))
+        for b in (128, 256):
+            _peaks_executables(shape, nsigma=nsigma, npixels=npixels,
+                               window=window, max_sources=b,
+                               deblend_nthresh=deblend_nthresh,
+                               deblend_cont=deblend_cont,
+                               want_fused=False)
+    else:
+        _peaks_executables(shape, nsigma=nsigma, npixels=npixels,
+                           window=window, max_sources=max_sources,
+                           deblend_nthresh=deblend_nthresh,
+                           deblend_cont=deblend_cont)
 
 
 def find_sources_device(image, threshold: float | None = None,
@@ -660,20 +714,55 @@ def find_sources_device(image, threshold: float | None = None,
         raise ValueError(
             f"method must be 'auto'|'peaks'|'ccl', got {method!r}")
     img = jnp.asarray(image, jnp.float32)
-    exes = (None, None, None)
-    if method != "ccl":
-        exes = _peaks_executables(
-            img.shape, nsigma=float(nsigma), npixels=npixels,
-            window=window, max_sources=max_sources,
-            deblend_nthresh=int(deblend_nthresh),
-            deblend_cont=float(deblend_cont))
     if threshold is None and method == "ccl":
         _, med, std = sigma_clipped_stats_device(img)
         threshold = med + nsigma * std
 
     if method != "ccl":
+        from ..aot import get_executable
+
         H, W = img.shape
         B, win = _peaks_dims((H, W), max_sources, window)
+        if B > 256:
+            # two-stage candidate sizing (round 5): a cheap counting
+            # program fetches (n_cand, threshold) — KB-class sync —
+            # and stage B runs with its static batch bucketed to the
+            # ACTUAL candidate count instead of max_sources. A 60-star
+            # 1024² scene drops the deblend machinery from 8192 to 128
+            # slots (542 -> ~20 ms device; the 4k finder's multi-minute
+            # cold compile shrinks the same way). Exact-identical
+            # results: stage B sees every candidate (B_eff >= n_cand)
+            # at the same threshold.
+            if threshold is None:
+                stA = dict(nsigma=float(nsigma), npixels=int(npixels))
+                cexe = get_executable("cat_count",
+                                      _count_candidates_auto, (img,),
+                                      statics=stA)
+                cnt, thr_d = (cexe(img) if cexe is not None
+                              else _count_candidates_auto(img, **stA))
+                n_est, thr_v = jax.device_get((cnt, thr_d))
+                threshold = float(thr_v)
+            else:
+                stA = dict(npixels=int(npixels))
+                thr_j = jnp.asarray(threshold, jnp.float32)
+                cexe = get_executable("cat_count_thr",
+                                      _count_candidates, (img, thr_j),
+                                      statics=stA)
+                cnt = (cexe(img, thr_j) if cexe is not None
+                       else _count_candidates(img, thr_j, **stA))
+                n_est = int(jax.device_get(cnt))
+            b_eff = 128
+            while b_eff < n_est + 8:
+                b_eff *= 2
+            if b_eff < B:
+                max_sources = b_eff
+                B, win = _peaks_dims((H, W), max_sources, window)
+        exes = _peaks_executables(
+            img.shape, nsigma=float(nsigma), npixels=npixels,
+            window=window, max_sources=max_sources,
+            deblend_nthresh=int(deblend_nthresh),
+            deblend_cont=float(deblend_cont),
+            want_fused=threshold is None)
         if threshold is None:
             # ONE program: sigma-clip threshold + detection (no stats
             # dispatch, no eager threshold math, no scalar fetch)
