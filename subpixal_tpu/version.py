@@ -1,3 +1,3 @@
 """Version for subpixal_tpu."""
 
-__version__ = "0.2.0"
+__version__ = "0.5.0"
