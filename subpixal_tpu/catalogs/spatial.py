@@ -119,6 +119,41 @@ def sigma_clipped_stats_spatial(mesh: Mesh, band_plane, logical_rows: int,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mesh", "logical_rows", "halo",
+                              "npixels", "nsigma"))
+def _count_spatial_auto(band_plane, *, mesh, logical_rows, halo,
+                        npixels, nsigma):
+    """(max per-band candidate count, derived threshold) — stage A of
+    the two-stage band-local finder (same rationale as the replicated
+    ``_count_candidates_auto``: the per-band static candidate batch is
+    sized from the ACTUAL count instead of ``max_sources``)."""
+    from .device import _candidate_mask
+
+    _, med, std = sigma_clipped_stats_spatial(mesh, band_plane,
+                                              int(logical_rows))
+    thr = (med + jnp.float32(nsigma) * std).astype(jnp.float32)
+    rax = _rows_axis(mesh)
+    Nr = mesh.shape[rax]
+    Hl = band_plane.shape[0] // Nr
+    Ho = int(logical_rows)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(rax, None), P()),
+        out_specs=P(), check_vma=False)
+    def count(band, t):
+        from ..parallel.spatial import halo_exchange
+
+        row0 = jax.lax.axis_index(rax) * Hl
+        rows_abs = row0 + jax.lax.iota(jnp.int32, Hl)
+        band = jnp.where((rows_abs < Ho)[:, None], band, jnp.nan)
+        ext = halo_exchange(band, halo, rax, edge="zero")
+        pk = _candidate_mask(ext, t, npixels)
+        return jax.lax.pmax(jnp.sum(pk.astype(jnp.int32)), rax)
+
+    return count(band_plane, thr), thr
+
+
+@functools.partial(
     jax.jit, static_argnames=("mesh", "logical_rows", "halo", "B",
                               "win", "npixels", "deblend_nthresh",
                               "deblend_cont"))
@@ -238,6 +273,27 @@ def find_sources_spatial(mesh: Mesh, band_plane, logical_rows: int,
                         deblend_nthresh=int(deblend_nthresh),
                         deblend_cont=float(deblend_cont))
 
+    if threshold is None and B > 256:
+        # two-stage candidate sizing (round 5 — see the replicated
+        # finder): a cheap counting program fetches the max per-band
+        # candidate count + the derived threshold; detection then runs
+        # with its static batch bucketed to the actual count
+        stA = dict(mesh=mesh, logical_rows=Ho, halo=halo,
+                   npixels=int(npixels), nsigma=float(nsigma))
+        cexe = get_executable("spatial_count", _count_spatial_auto,
+                              (band_plane,), statics=stA)
+        cnt, thr_d = (cexe(band_plane) if cexe is not None
+                      else _count_spatial_auto(band_plane, **stA))
+        n_est, thr_v = jax.device_get((cnt, thr_d))
+        threshold = float(thr_v)
+        b_eff = 128
+        while b_eff < int(n_est) + 8:
+            b_eff *= 2
+        if b_eff < B:
+            max_sources = b_eff
+            B, win = _peaks_dims((Hl + 2 * halo, W), max_sources,
+                                 window)
+            core_statics = dict(core_statics, B=B, win=win)
     if threshold is None:
         statics = dict(nsigma=float(nsigma), **core_statics)
         exe = get_executable("spatial_find", _find_spatial_core,
