@@ -367,12 +367,15 @@ def _iter_ms_diff(run, reps=3, counts=(4, 12)):
 
     A single entry's wall (dispatch + device loop + history fetch) is
     polluted by the tunneled relay's random 0.2-200 s fetch stall
-    (verify SKILL "post-Pallas stall"), which round-4 numbers inherited.
-    Repeating the align at two iteration counts and differencing the
-    MEDIAN walls cancels both the fixed per-entry overhead and the
-    stall outliers. Validated against the xplane device trace
-    2026-08-20: this reported 16.8 ms/iter where the device trace
-    showed 16.6 (replicated 8x1024² smoke).
+    (verify SKILL "post-Pallas stall"), which round-4 numbers
+    inherited. Repeating the align at two iteration counts and
+    differencing the MINIMUM walls cancels the fixed per-entry
+    overhead at its floor and rejects the stall outliers (a median of
+    3 was still polluted when 2 of 3 walls caught the slow phase —
+    observed 54 ms/iter reported where the xplane device trace showed
+    16.6). Validated against the device trace 2026-08-20: 16.3
+    reported vs 16.6/16.9 device ms/iter on the replicated/spatial
+    8x1024² smoke.
     """
 
     def wall(res):
@@ -381,7 +384,7 @@ def _iter_ms_diff(run, reps=3, counts=(4, 12)):
     lo, hi = counts
     w_lo = [wall(run(lo)) for _ in range(reps)]
     w_hi = [wall(run(hi)) for _ in range(reps)]
-    return 1e3 * float(np.median(w_hi) - np.median(w_lo)) / (hi - lo)
+    return 1e3 * float(np.min(w_hi) - np.min(w_lo)) / (hi - lo)
 
 
 def bench_align_smoke(parity_ref=None):
