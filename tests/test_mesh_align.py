@@ -261,3 +261,32 @@ def test_mesh_align_otf_matches_single_device():
     exps, _ = _scene()
     resb = align_images(exposures=exps, mesh=make_mesh(8), **COMMON)
     assert np.abs(np.asarray(resb.shifts) - sh2).max() > 1e-6
+
+
+def test_mesh_align_otf_bucket_composes():
+    """Round 5: ``wcsupdate='otf'`` + the oversized-footprint bucket
+    compose under ``mesh=`` (each otf sub-step re-measures the big
+    sources whole before ITS fit) and match the single-chip otf+bucket
+    fixed point."""
+    import warnings
+
+    def scene():
+        exps, planted = _scene(seed=31)
+        yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+        for e, (dx, dy) in zip(exps, planted):
+            e.data = e.data + (60.0 * np.exp(
+                -((xx - 70 - dx) ** 2 + (yy - 180 - dy) ** 2)
+                / (2 * 7.0 ** 2))).astype(np.float32)
+        return exps
+
+    kw = dict(COMMON, use_weights=False, wcsupdate="otf")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res1 = align_images(exposures=scene(), **kw)
+        res2 = align_images(exposures=scene(), mesh=make_mesh(4), **kw)
+    assert not [w for w in rec if "footprint" in str(w.message)]
+    assert "big_bucket_stage" in res2.setup_breakdown
+    assert res1.truncated_sources == res2.truncated_sources == []
+    sh1 = np.asarray(res1.shifts)
+    sh2 = np.asarray(res2.shifts)
+    assert np.abs(sh1 - sh2).max() < 5e-4, (sh1, sh2)
