@@ -505,7 +505,7 @@ def bench_align_2k():
                                     max_iterations=it, eps_shift=1e-7,
                                     usfac=8, fit_type="gaussian",
                                     use_pallas=True),
-            reps=3, counts=(3, 9)), 1),
+            reps=2, counts=(3, 9)), 1),
         "align2k_setup_s": round(res.setup_s, 2),
         "align2k_setup_device_s": round(res_d.setup_s, 2),
         "align2k_fit_err_mpix": round(err_mpix, 3),
@@ -708,12 +708,12 @@ def bench_align_fresh():
         return wall, child
 
     try:
-        cold_wall, cold = run(timeout=1500)
+        cold_wall, cold = run(timeout=1200)
         out["align_fresh_cold_s"] = round(cold_wall, 2)
         out["align_fresh_cold_align_s"] = cold.get("align_s")
         warms = []
         for _ in range(2):
-            warms.append(run(timeout=900))
+            warms.append(run(timeout=600))
         best = min(warms, key=lambda wc: wc[1]["align_s"])
         out["align_fresh_warm_total_s"] = round(
             min(w for w, _ in warms), 2)
